@@ -1,0 +1,60 @@
+"""Shared solver-loop infrastructure.
+
+Every iterative solver follows the same shape: a jit-compiled *chunk* of
+``nb_iter_plot`` iterations (a ``lax.fori_loop`` body over the device
+:class:`~pysparselp_tpu.problem.LPProblem`), driven by a host loop that pulls
+scalar metrics between chunks, feeds the curve-recording callback and enforces
+the wall-clock budget.  This reproduces the reference's callback/metrics
+contract (``ChambollePockPPD.py:242-329``, ``ADMM.py:213-248``) while keeping
+``max_time`` — which is nondeterministic by design — outside the compiled
+region.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def to_np(x):
+    return np.asarray(x, dtype=np.float64)
+
+
+def chunk_schedule(nb_iter: int, nb_iter_plot: int):
+    """Chunk sizes whose sum is exactly ``nb_iter`` (at most two distinct sizes,
+    so at most two XLA compilations per solver/problem shape)."""
+    nb_iter = int(nb_iter)
+    nb_iter_plot = max(1, int(nb_iter_plot))
+    full, rem = divmod(nb_iter, nb_iter_plot)
+    return [nb_iter_plot] * full + ([rem] if rem else [])
+
+
+class HostLoop:
+    """Host driver: timing, max_time budget, callback plumbing."""
+
+    def __init__(self, start_time=None, max_time=None):
+        self.start = time.perf_counter() if start_time is None else start_time
+        self.max_time = max_time
+
+    @property
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.start
+
+    @property
+    def timed_out(self) -> bool:
+        return self.max_time is not None and self.elapsed > self.max_time
+
+
+def emit_callback(callback_func, niter, x, energy1, energy2, elapsed,
+                  max_violated_eq, max_violated_ineq):
+    if callback_func is not None:
+        callback_func(
+            int(niter),
+            to_np(x),
+            float(energy1),
+            float(energy2),
+            float(elapsed),
+            float(max_violated_eq),
+            float(max_violated_ineq),
+        )
