@@ -1,0 +1,312 @@
+"""ADMM LP solvers on TPU.
+
+* ``lp_admm`` — penalized-equality ADMM (reference ``pysparselp/ADMM.py:47-269``):
+  the x-subproblem ``min ½xᵀMx − yᵀx`` with ``M = γₑAᵀA + γᵢI`` under box
+  constraints.  The reference's default inner solver is a sequential bounded
+  Gauss–Seidel sweep in Cython (``gaussSiedel.pyx:95-153``) — inherently
+  serial.  The TPU-native inner solver is a **damped projected Jacobi sweep**:
+  the same per-coordinate update applied to all coordinates simultaneously,
+  matrix-free (``Mx = γₑAᵀ(Ax) + γᵢx`` = two ELL gather-SpMVs; ``diag(M)``
+  from the squared column sums).  Everything fuses into one compiled loop.
+
+* ``lp_admm2`` — ADMM with equalities enforced exactly in the subproblem
+  (reference ``ADMM.py:272-474``; Boyd, "Distributed Optimization and
+  Statistical Learning via ADMM").  The reference factorizes the KKT system
+  ``[[γI, Aᵀ], [A, 0]]`` once with sparse LU (``ADMM.py:342``).  There is no
+  XLA sparse LU, and none is needed: block elimination reduces the KKT solve
+  to the SPD Schur complement ``(A Aᵀ) ν = A y − γ b``, which the framework
+  factors ONCE as a dense Cholesky on the MXU (small/medium row counts) or
+  solves with matrix-free CG (large).  Per iteration the solve is two
+  triangular MXU solves — the TPU analogue of the reference's reused LU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import scipy.sparse
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cg import conjgrad
+from ..preconditioning import (
+    convert_to_standard_form_with_bounds,
+    precondition_constraints,
+)
+from ..problem import EllMatrix, default_dtype
+from .base import HostLoop, chunk_schedule, emit_callback, to_np
+
+
+# ----------------------------------------------------------------------
+# lp_admm: penalized equalities + projected Jacobi inner solver
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "nb_inner"))
+def _admm_chunk(data, state, nsteps: int, nb_inner: int):
+    a, b = data["a"], data["b"]
+    c, lb, ub = data["c"], data["lb"], data["ub"]
+    gamma_eq, gamma_ineq = data["gamma_eq"], data["gamma_ineq"]
+    inv_diag, omega = data["inv_diag"], data["omega"]
+    atb = data["atb"]
+
+    def m_apply(v):
+        return gamma_eq * a.rmatvec(a.matvec(v)) + gamma_ineq * v
+
+    def one_iter(_, s):
+        x, xp, lam_eq = s
+        y = -c + gamma_eq * atb + gamma_ineq * xp - a.rmatvec(lam_eq)
+
+        def jacobi(_, x):
+            # damped projected Jacobi: parallel analogue of the reference's
+            # bounded Gauss-Seidel sweep (gaussSiedel.pyx:131-152)
+            x = x + omega * (y - m_apply(x)) * inv_diag
+            return jnp.clip(x, lb, ub)
+
+        x = jax.lax.fori_loop(0, nb_inner, jacobi, x)
+        xp = x
+        lam_eq = lam_eq + gamma_eq * (a.matvec(x) - b)
+        return (x, xp, lam_eq)
+
+    state = jax.lax.fori_loop(0, nsteps, one_iter, state)
+    x, xp, lam_eq = state
+
+    r = a.matvec(x) - b
+    energy1 = (
+        jnp.dot(c, x)
+        + 0.5 * gamma_eq * jnp.sum(r**2)
+        + jnp.dot(lam_eq, r)
+    )
+    metrics = dict(
+        energy1=energy1,
+        max_violated_equality=jnp.max(jnp.abs(r)),
+        max_violated_inequality=jnp.maximum(
+            jnp.max(lb - x), jnp.max(x - ub)
+        ),
+    )
+    return state, metrics
+
+
+def lp_admm(
+    c,
+    a_eq,
+    beq,
+    a_ineq,
+    b_lower,
+    b_upper,
+    lb,
+    ub,
+    x0=None,
+    gamma_eq=2,
+    gamma_ineq=3,
+    nb_iter=100,
+    callback_func=None,
+    max_time=None,
+    use_preconditioning=True,
+    nb_iter_plot=10,
+    nb_inner=2,
+    omega=1.0,
+    dtype=None,
+    start_time=None,
+):
+    """Penalized-equality ADMM; signature parity with ``ADMM.py:47``."""
+    dtype = dtype or default_dtype()
+    c = np.asarray(c, np.float64)
+    n = c.size
+    if x0 is None:
+        x0 = np.zeros(n)
+    # row-normalize before adding slacks (ADMM.py:76-83)
+    if a_eq is not None and a_eq.shape[0]:
+        a_eq, beq = precondition_constraints(a_eq, beq, alpha=2)
+    else:
+        a_eq, beq = None, None
+    if a_ineq is not None and a_ineq.shape[0]:
+        a_ineq, b_lower, b_upper = precondition_constraints(
+            a_ineq, b_lower, b_upper, alpha=2
+        )
+    else:
+        a_ineq = None
+    c2, a, b, lb2, ub2, x02 = convert_to_standard_form_with_bounds(
+        c, a_eq, beq, a_ineq, b_lower, b_upper, np.asarray(lb, float),
+        np.asarray(ub, float), x0,
+    )
+    if use_preconditioning:
+        a, b = precondition_constraints(a, b, alpha=2)
+
+    ell = EllMatrix.from_scipy(a, dtype=dtype)
+    diag_m = gamma_eq * np.asarray(ell.abs_power_colsum(2.0)) + gamma_ineq
+    data = dict(
+        a=ell,
+        b=jnp.asarray(b, dtype),
+        c=jnp.asarray(c2, dtype),
+        lb=jnp.asarray(lb2, dtype),
+        ub=jnp.asarray(ub2, dtype),
+        gamma_eq=jnp.asarray(gamma_eq, dtype),
+        gamma_ineq=jnp.asarray(gamma_ineq, dtype),
+        inv_diag=jnp.asarray(1.0 / diag_m, dtype),
+        omega=jnp.asarray(omega, dtype),
+        atb=ell.rmatvec(jnp.asarray(b, dtype)),
+    )
+    x = jnp.asarray(x02, dtype)
+    xp = jnp.clip(x, data["lb"], data["ub"])
+    state = (x, xp, jnp.zeros(a.shape[0], dtype))
+
+    loop = HostLoop(start_time=start_time, max_time=max_time)
+    niter = 0
+    for nsteps in chunk_schedule(nb_iter, nb_iter_plot):
+        state, metrics = _admm_chunk(data, state, nsteps, nb_inner)
+        niter += nsteps
+        emit_callback(
+            callback_func, niter, state[0][:n],
+            metrics["energy1"], metrics["energy1"], loop.elapsed,
+            metrics["max_violated_equality"], metrics["max_violated_inequality"],
+        )
+        if loop.timed_out:
+            break
+    return to_np(state[0][:n])
+
+
+# ----------------------------------------------------------------------
+# lp_admm2: exact equality subproblem via Schur-complement Cholesky
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "use_dense"))
+def _admm2_chunk(data, state, nsteps: int, use_dense: bool):
+    a = data["a"]
+    b, c = data["b"], data["c"]
+    lb, ub = data["lb"], data["ub"]
+    gamma, alpha = data["gamma"], data["alpha"]
+
+    if use_dense:
+        chol = data["chol"]
+
+        def schur_solve(rhs):
+            return jax.scipy.linalg.cho_solve((chol, False), rhs)
+    else:
+        jac = data["schur_inv_diag"]
+
+        def schur_solve(rhs):
+            return conjgrad(
+                lambda v: a.matvec(a.rmatvec(v)) + data["ridge"] * v,
+                rhs,
+                maxiter=data_static_cg_iters,
+                precond=lambda v: jac * v,
+            )
+
+    def one_iter(_, s):
+        x, xp, lam = s
+        y1 = -c + gamma * xp - lam
+        nu = schur_solve(a.matvec(y1) - gamma * b)
+        x = (y1 - a.rmatvec(nu)) / gamma
+        x = alpha * x + (1.0 - alpha) * xp
+        xp = jnp.clip(x + lam / gamma, lb, ub)
+        lam = lam + gamma * (x - xp)
+        return (x, xp, lam)
+
+    state = jax.lax.fori_loop(0, nsteps, one_iter, state)
+    x, xp, lam = state
+    energy1 = (
+        jnp.dot(c, x)
+        + 0.5 * gamma * jnp.sum((x - xp) ** 2)
+        + jnp.dot(lam, x - xp)
+    )
+    metrics = dict(
+        energy1=energy1,
+        max_violated_equality=jnp.max(jnp.abs(a.matvec(xp) - b)),
+        max_violated_inequality=jnp.asarray(0.0, x.dtype),
+    )
+    return state, metrics
+
+
+data_static_cg_iters = 100  # CG cap for the matrix-free Schur path
+
+
+def lp_admm2(
+    c,
+    a_eq,
+    beq,
+    a_ineq,
+    b_lower,
+    b_upper,
+    lb,
+    ub,
+    x0=None,
+    gamma_ineq=0.7,
+    nb_iter=100,
+    callback_func=None,
+    max_time=None,
+    use_preconditioning=False,
+    nb_iter_plot=10,
+    alpha=1.95,
+    dense_threshold=4096,
+    dtype=None,
+    start_time=None,
+):
+    """ADMM with exact equality subproblem; signature parity with ``ADMM.py:272``."""
+    dtype = dtype or default_dtype()
+    c = np.asarray(c, np.float64)
+    n = c.size
+    if x0 is None:
+        x0 = np.zeros(n)
+    if use_preconditioning:
+        if a_eq is not None and a_eq.shape[0]:
+            a_eq, beq = precondition_constraints(a_eq, beq, alpha=2)
+        if a_ineq is not None and a_ineq.shape[0]:
+            a_ineq, b_lower, b_upper = precondition_constraints(
+                a_ineq, b_lower, b_upper, alpha=2
+            )
+    if a_eq is not None and a_eq.shape[0] == 0:
+        a_eq, beq = None, None
+    if a_ineq is not None and a_ineq.shape[0] == 0:
+        a_ineq = None
+    c2, a, b, lb2, ub2, x02 = convert_to_standard_form_with_bounds(
+        c, a_eq, beq, a_ineq, b_lower, b_upper, np.asarray(lb, float),
+        np.asarray(ub, float), x0,
+    )
+
+    m = a.shape[0]
+    ell = EllMatrix.from_scipy(a, dtype=dtype)
+    use_dense = m <= dense_threshold
+    ridge = 1e-10 * max(1.0, float(abs(a).sum() / max(m, 1)))
+    data = dict(
+        a=ell,
+        b=jnp.asarray(b, dtype),
+        c=jnp.asarray(c2, dtype),
+        lb=jnp.asarray(lb2, dtype),
+        ub=jnp.asarray(ub2, dtype),
+        gamma=jnp.asarray(gamma_ineq, dtype),
+        alpha=jnp.asarray(alpha, dtype),
+        ridge=jnp.asarray(ridge, dtype),
+    )
+    if use_dense:
+        # Schur complement S = A Aᵀ (+ridge), factored once — the MXU analogue
+        # of the reference's one-time splu of the KKT system (ADMM.py:342)
+        s = (a @ a.T).toarray() + ridge * np.eye(m)
+        chol, _ = jax.scipy.linalg.cho_factor(
+            jnp.asarray(s, dtype), lower=False
+        )
+        data["chol"] = chol
+    else:
+        diag_s = np.asarray((a.multiply(a)).sum(axis=1)).ravel() + ridge
+        data["schur_inv_diag"] = jnp.asarray(1.0 / diag_s, dtype)
+
+    x = jnp.asarray(x02, dtype)
+    xp = jnp.clip(x, data["lb"], data["ub"])
+    state = (x, xp, jnp.zeros(x.shape, dtype))
+
+    loop = HostLoop(start_time=start_time, max_time=max_time)
+    niter = 0
+    for nsteps in chunk_schedule(nb_iter, nb_iter_plot):
+        state, metrics = _admm2_chunk(data, state, nsteps, use_dense)
+        niter += nsteps
+        emit_callback(
+            callback_func, niter, state[0][:n],
+            metrics["energy1"], metrics["energy1"], loop.elapsed,
+            metrics["max_violated_equality"], metrics["max_violated_inequality"],
+        )
+        if loop.timed_out:
+            break
+    return to_np(state[0][:n])
