@@ -79,6 +79,10 @@ class EllMatrix:
         """``sum_i |a_ij|^p`` per column (``ChambollePockPPD.py:122-153``)."""
         return jnp.sum(jnp.abs(self.vals_t) ** p, axis=1)
 
+    def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
+        """``sum_j a_ij² d_j`` per row — diag(A·diag(d)·Aᵀ)."""
+        return jnp.sum(self.vals**2 * jnp.take(d, self.cols, axis=0), axis=1)
+
     def to_dense(self) -> jax.Array:
         """Densify (small problems only): used by the MXU Cholesky paths."""
         out = jnp.zeros((self.nrows, self.ncols), dtype=self.vals.dtype)
@@ -119,6 +123,158 @@ class EllMatrix:
             nrows=nrows,
             ncols=ncols,
         )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("segs", "segs_t", "row_inv", "col_inv"),
+    meta_fields=("nrows", "ncols"),
+)
+@dataclasses.dataclass(frozen=True)
+class SegmentedEllMatrix:
+    """ELLPACK with rows bucketed by nnz width (both orientations).
+
+    For matrices with skewed row-length distributions (e.g. the k-medians LP:
+    25k rows of 2-3 nnz plus a few rows of 50) a single ELL width wastes most
+    of the gather bandwidth.  Rows are permuted into width buckets, each
+    stored at its own padded width; SpMV runs one gather-reduce per bucket and
+    un-permutes with one final gather.  Still scatter-free in both directions.
+    """
+
+    segs: tuple          # tuple of (vals (r_i, k_i), cols (r_i, k_i))
+    segs_t: tuple        # same for the transpose orientation
+    row_inv: jax.Array   # original row -> position in concatenated segments
+    col_inv: jax.Array
+    nrows: int
+    ncols: int
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nnz_padded(self):
+        return sum(v.size for v, _ in self.segs)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        parts = [
+            jnp.sum(vals * jnp.take(x, cols, axis=0), axis=1)
+            for vals, cols in self.segs
+        ]
+        return jnp.take(jnp.concatenate(parts), self.row_inv, axis=0)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        parts = [
+            jnp.sum(vals * jnp.take(y, rows, axis=0), axis=1)
+            for vals, rows in self.segs_t
+        ]
+        return jnp.take(jnp.concatenate(parts), self.col_inv, axis=0)
+
+    def abs_power_rowsum(self, p: float) -> jax.Array:
+        parts = [jnp.sum(jnp.abs(v) ** p, axis=1) for v, _ in self.segs]
+        return jnp.take(jnp.concatenate(parts), self.row_inv, axis=0)
+
+    def abs_power_colsum(self, p: float) -> jax.Array:
+        parts = [jnp.sum(jnp.abs(v) ** p, axis=1) for v, _ in self.segs_t]
+        return jnp.take(jnp.concatenate(parts), self.col_inv, axis=0)
+
+    def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
+        parts = [
+            jnp.sum(v**2 * jnp.take(d, c, axis=0), axis=1)
+            for v, c in self.segs
+        ]
+        return jnp.take(jnp.concatenate(parts), self.row_inv, axis=0)
+
+
+def _bucket_ell(indptr, indices, data, n_major, dtype, max_buckets=4):
+    """Split rows into width buckets minimizing padded storage (greedy on
+    width quantiles); returns (segments, inverse_permutation)."""
+    cnt = np.diff(indptr)
+    if n_major == 0:
+        return ((jnp.zeros((0, 1), dtype), jnp.zeros((0, 1), np.int32)),), (
+            jnp.zeros((0,), np.int32)
+        )
+    order = np.argsort(cnt, kind="stable")
+    sorted_cnt = cnt[order]
+    # choose bucket boundaries at big jumps in row width
+    boundaries = [n_major]
+    uniq = np.unique(sorted_cnt)
+    if uniq.size > 1 and max_buckets > 1:
+        # greedy: repeatedly split the bucket with the largest padding waste
+        def waste(lo, hi):
+            k = max(int(sorted_cnt[hi - 1]), 1)
+            return k * (hi - lo) - int(sorted_cnt[lo:hi].sum())
+
+        bounds = [0, n_major]
+        while len(bounds) - 1 < max_buckets:
+            best = None
+            for bi in range(len(bounds) - 1):
+                lo, hi = bounds[bi], bounds[bi + 1]
+                if hi - lo < 2:
+                    continue
+                base = waste(lo, hi)
+                # candidate split points: where the width changes
+                widths = sorted_cnt[lo:hi]
+                change = np.nonzero(np.diff(widths))[0]
+                for cp in change:
+                    mid = lo + cp + 1
+                    gain = base - waste(lo, mid) - waste(mid, hi)
+                    if best is None or gain > best[0]:
+                        best = (gain, mid)
+            if best is None or best[0] <= 0:
+                break
+            bounds.append(best[1])
+            bounds.sort()
+        boundaries = bounds[1:]
+    segs = []
+    prev = 0
+    for b in boundaries:
+        rows = order[prev:b]
+        prev = b
+        if rows.size == 0:
+            continue
+        k = max(int(cnt[rows].max()), 1)
+        vals = np.zeros((rows.size, k))
+        cols = np.zeros((rows.size, k), np.int32)
+        for out_i, r in enumerate(rows):
+            p0, p1 = indptr[r], indptr[r + 1]
+            vals[out_i, : p1 - p0] = data[p0:p1]
+            cols[out_i, : p1 - p0] = indices[p0:p1]
+        segs.append((jnp.asarray(vals, dtype), jnp.asarray(cols)))
+    inv = np.empty(n_major, np.int32)
+    inv[order] = np.arange(n_major)
+    return tuple(segs), jnp.asarray(inv)
+
+
+def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5):
+    """Lower a scipy sparse matrix to the best ELL layout for it.
+
+    Returns a plain :class:`EllMatrix` when a single width wastes less than
+    ``waste_threshold``× the nnz, else a :class:`SegmentedEllMatrix`.
+    """
+    dtype = dtype or default_dtype()
+    csr = scipy.sparse.csr_matrix(a)
+
+    def _waste_ratio(indptr, n_major):
+        cnt = np.diff(indptr)
+        if n_major == 0 or cnt.sum() == 0:
+            return 1.0
+        return n_major * max(int(cnt.max()), 1) / max(int(cnt.sum()), 1)
+
+    csc = csr.tocsc()
+    if (
+        _waste_ratio(csr.indptr, csr.shape[0]) <= waste_threshold
+        and _waste_ratio(csc.indptr, csr.shape[1]) <= waste_threshold
+    ):
+        return EllMatrix.from_scipy(csr, dtype=dtype)
+    segs, row_inv = _bucket_ell(csr.indptr, csr.indices, csr.data,
+                                csr.shape[0], dtype, max_buckets)
+    segs_t, col_inv = _bucket_ell(csc.indptr, csc.indices, csc.data,
+                                  csr.shape[1], dtype, max_buckets)
+    return SegmentedEllMatrix(
+        segs=segs, segs_t=segs_t, row_inv=row_inv, col_inv=col_inv,
+        nrows=csr.shape[0], ncols=csr.shape[1],
+    )
 
 
 @functools.partial(

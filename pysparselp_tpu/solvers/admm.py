@@ -35,7 +35,7 @@ from ..preconditioning import (
     convert_to_standard_form_with_bounds,
     precondition_constraints,
 )
-from ..problem import EllMatrix, default_dtype
+from ..problem import default_dtype, ell_from_scipy
 from .base import HostLoop, chunk_schedule, emit_callback, to_np
 
 
@@ -135,8 +135,36 @@ def lp_admm(
     if use_preconditioning:
         a, b = precondition_constraints(a, b, alpha=2)
 
-    ell = EllMatrix.from_scipy(a, dtype=dtype)
+    ell = ell_from_scipy(a, dtype=dtype)
     diag_m = gamma_eq * np.asarray(ell.abs_power_colsum(2.0)) + gamma_ineq
+
+    # damped projected Jacobi converges iff omega < 2/rho(D^-1 M); estimate
+    # the spectral radius once by matrix-free power iteration and clamp.
+    # (The reference's sequential Gauss-Seidel needs no damping; this is the
+    # price of the parallel sweep, paid once at setup.)
+    inv_diag_np = 1.0 / diag_m
+    rng = np.random.RandomState(0)
+    v = rng.randn(a.shape[1])
+    v /= np.linalg.norm(v)
+    rho = 1.0
+    import jax.numpy as _jnp
+
+    def m_apply_host(u):
+        u_dev = _jnp.asarray(u, dtype)
+        return np.asarray(
+            gamma_eq * ell.rmatvec(ell.matvec(u_dev)) + gamma_ineq * u_dev,
+            np.float64,
+        )
+
+    for _ in range(30):
+        w = inv_diag_np * m_apply_host(v)
+        nrm = np.linalg.norm(w)
+        if nrm == 0:
+            break
+        rho = nrm
+        v = w / nrm
+    omega = min(float(omega), 1.8 / max(rho, 1e-12))
+
     data = dict(
         a=ell,
         b=jnp.asarray(b, dtype),
@@ -268,7 +296,7 @@ def lp_admm2(
     )
 
     m = a.shape[0]
-    ell = EllMatrix.from_scipy(a, dtype=dtype)
+    ell = ell_from_scipy(a, dtype=dtype)
     use_dense = m <= dense_threshold
     ridge = 1e-10 * max(1.0, float(abs(a).sum() / max(m, 1)))
     data = dict(

@@ -21,7 +21,7 @@ import scipy.sparse
 import jax
 import jax.numpy as jnp
 
-from ..problem import EllMatrix, LPProblem, default_dtype
+from ..problem import LPProblem, default_dtype, ell_from_scipy
 from .base import HostLoop, chunk_schedule, emit_callback, to_np
 
 
@@ -159,8 +159,8 @@ def chambolle_pock_ppd(
         x[c < 0] = ub[c < 0]
         return x, None
 
-    eq_m = EllMatrix.from_scipy(a_eq, dtype=dtype) if a_eq is not None else None
-    in_m = EllMatrix.from_scipy(a_one, dtype=dtype) if a_one is not None else None
+    eq_m = ell_from_scipy(a_eq, dtype=dtype) if a_eq is not None else None
+    in_m = ell_from_scipy(a_one, dtype=dtype) if a_one is not None else None
     prob = LPProblem(
         c=jnp.asarray(c, dtype),
         lb=jnp.asarray(lb, dtype),

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linesearch import exact_dual_line_search
-from ..problem import EllMatrix, default_dtype
+from ..problem import EllMatrix, default_dtype, ell_from_scipy
 from .base import HostLoop, chunk_schedule, emit_callback, to_np
 
 
@@ -178,10 +178,10 @@ def dual_gradient_ascent(
     m_eq = lp.a_equalities.shape[0] if lp.a_equalities is not None else 0
     m_in = lp.a_inequalities.shape[0] if lp.a_inequalities is not None else 0
     if m_eq:
-        data["a_eq"] = EllMatrix.from_scipy(lp.a_equalities.tocsr(), dtype=dtype)
+        data["a_eq"] = ell_from_scipy(lp.a_equalities.tocsr(), dtype=dtype)
         data["b_eq"] = jnp.asarray(lp.b_equalities, dtype)
     if m_in:
-        data["a_ineq"] = EllMatrix.from_scipy(lp.a_inequalities.tocsr(), dtype=dtype)
+        data["a_ineq"] = ell_from_scipy(lp.a_inequalities.tocsr(), dtype=dtype)
         data["b_upper"] = jnp.asarray(lp.b_upper, dtype)
 
     # random dual init, matching the reference's choice (DualGradientAscent.py:92-101)

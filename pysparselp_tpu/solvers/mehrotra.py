@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cg import conjgrad
-from ..problem import EllMatrix, default_dtype
+from ..problem import default_dtype, ell_from_scipy
 from .base import to_np
 
 
@@ -47,7 +47,7 @@ def _ratio_test(v, dv, eta):
 
 
 @functools.partial(jax.jit, static_argnames=("use_dense",))
-def _ipm_iteration(data, x, y, s, theta, use_dense: bool):
+def _ipm_iteration(data, x, y, s, theta, ridge_boost, use_dense: bool):
     a_dense = data.get("a_dense")
     ell = data["ell"]
     b, c = data["b"], data["c"]
@@ -69,34 +69,48 @@ def _ipm_iteration(data, x, y, s, theta, use_dense: bool):
     if use_dense:
         m = (a_dense * d[None, :]) @ a_dense.T
         # ridge scaled with the diagonal keeps the Cholesky stable as
-        # complementarity drives cond(A D Aᵀ) → ∞ near convergence
-        ridge = data["ridge"] + 1e-14 * jnp.max(jnp.diagonal(m))
+        # complementarity drives cond(A D Aᵀ) → ∞ near convergence; the host
+        # raises ridge_boost and retries when a step still comes out non-finite
+        ridge = (data["ridge"] + 1e-14 * jnp.max(jnp.diagonal(m))) * ridge_boost
         m = m + ridge * jnp.eye(m.shape[0], dtype=m.dtype)
         chol = jax.scipy.linalg.cho_factor(m, lower=False)
 
         def solve_normal(rhs):
-            return jax.scipy.linalg.cho_solve(chol, rhs)
+            # one step of iterative refinement recovers accuracy lost to the
+            # ridge and to the ill-conditioned terminal Cholesky
+            dy = jax.scipy.linalg.cho_solve(chol, rhs)
+            dy = dy + jax.scipy.linalg.cho_solve(chol, rhs - m @ dy)
+            return dy
     else:
-        jac_diag = (
-            jnp.sum(ell.vals**2 * jnp.take(d, ell.cols, axis=0), axis=1)
-            + data["ridge"]
-        )
+        ridge = data["ridge"] * ridge_boost
+        jac_diag = ell.sq_rowsum_weighted(d) + ridge
 
         def solve_normal(rhs):
             return conjgrad(
-                lambda v: ell.matvec(d * ell.rmatvec(v)) + data["ridge"] * v,
+                lambda v: ell.matvec(d * ell.rmatvec(v)) + ridge * v,
                 rhs,
                 maxiter=200,
                 tol=1e-12,
                 precond=lambda v: v / jac_diag,
             )
 
-    def newton(r_xs):
-        rhs = -r_b - matvec(d * r_c) + matvec(r_xs / jnp.maximum(s, 1e-300))
+    def newton_raw(rb, rc, r_xs):
+        rhs = -rb - matvec(d * rc) + matvec(r_xs / jnp.maximum(s, 1e-300))
         dy = solve_normal(rhs)
-        dx = d * (rmatvec(dy) + r_c) - r_xs / jnp.maximum(s, 1e-300)
+        dx = d * (rmatvec(dy) + rc) - r_xs / jnp.maximum(s, 1e-300)
         ds = -(r_xs + s * dx) / jnp.maximum(x, 1e-300)
         return dx, dy, ds
+
+    def newton(r_xs):
+        dx, dy, ds = newton_raw(r_b, r_c, r_xs)
+        # KKT-level iterative refinement (same factorization): recovers the
+        # primal-feasibility digits the normal-equations reduction loses,
+        # matching the reference's sparse-LU solve accuracy
+        e1 = r_b + matvec(dx)                    # want A dx = -r_b
+        e2 = r_c + rmatvec(dy) + ds              # want Aᵀdy + ds = -r_c
+        e3 = r_xs + s * dx + x * ds              # want s dx + x ds = -r_xs
+        cx, cy, cs = newton_raw(e1, e2, e3)
+        return dx + cx, dy + cy, ds + cs
 
     # predictor (affine scaling)
     dx_aff, dy_aff, ds_aff = newton(r_xs0)
@@ -207,7 +221,7 @@ def mpc_sol(
     start = time.perf_counter() if start_time is None else start_time
 
     use_dense = m <= dense_threshold and m * n <= 64_000_000
-    ell = EllMatrix.from_scipy(a, dtype=dtype)
+    ell = ell_from_scipy(a, dtype=dtype)
     scale = max(1.0, float(abs(a).max()))
     data = dict(
         ell=ell,
@@ -232,9 +246,19 @@ def mpc_sol(
 
     niter_done = 0
     for niter in range(max_iter):
+        ridge_boost = 1.0
         x_new, y_new, s_new, metrics = _ipm_iteration(
-            data, x, y, s, theta_dev, use_dense
+            data, x, y, s, theta_dev, jnp.asarray(ridge_boost, dtype), use_dense
         )
+        # non-finite step: raise the regularization and retry this iteration
+        retries = 0
+        while not bool(metrics["finite"]) and retries < 4:
+            ridge_boost *= 100.0
+            retries += 1
+            x_new, y_new, s_new, metrics = _ipm_iteration(
+                data, x, y, s, theta_dev, jnp.asarray(ridge_boost, dtype),
+                use_dense,
+            )
         residual = float(metrics["residual"])
         if verbose > 1:
             print(
