@@ -1,0 +1,320 @@
+"""Row-sharded Chambolle–Pock LP solver over a device mesh.
+
+The multi-chip realization of the flagship first-order solver (SURVEY.md §5):
+the constraint systems are **row-partitioned** across the mesh axis, the
+primal vector ``x`` is replicated, and the dual vectors live with their rows:
+
+* forward SpMV ``A x₃`` — purely local (x replicated): no collective;
+* transpose SpMV ``yᵀA`` — each device reduces its local rows' contribution
+  through its local column-oriented ELL, then one ``psum`` over ICI merges
+  the reduced-cost update;
+* the primal update runs replicated on every device (identical inputs →
+  identical outputs, no collective needed);
+* residual norms for metrics reduce with ``psum``/``pmax``.
+
+One CP iteration therefore costs exactly one all-reduce of an ``n``-vector —
+the minimal communication possible for a row-partitioned primal-dual method.
+Built with ``shard_map`` so the collective schedule is explicit and XLA
+lowers it onto ICI rings.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import scipy.sparse
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def _chunk_ell(a, row_lo, row_hi, k_pad, dtype):
+    """Local row block as ELL (rows padded) + its local transpose ELL."""
+    sub = scipy.sparse.csr_matrix(a[row_lo:row_hi, :])
+    rows_loc = row_hi - row_lo
+    cnt = np.diff(sub.indptr)
+    vals = np.zeros((rows_loc, k_pad))
+    cols = np.zeros((rows_loc, k_pad), np.int32)
+    if sub.nnz:
+        row_of = np.repeat(np.arange(sub.shape[0]), cnt)
+        pos = np.arange(sub.nnz) - sub.indptr[row_of]
+        vals[row_of, pos] = sub.data
+        cols[row_of, pos] = sub.indices
+    return vals.astype(dtype), cols
+
+
+def _chunk_ell_t(a, row_lo, row_hi, kt_pad, dtype):
+    """Local transpose ELL: per column, this block's (row, val) entries."""
+    sub = scipy.sparse.csc_matrix(a[row_lo:row_hi, :])
+    n = sub.shape[1]
+    cnt = np.diff(sub.indptr)
+    vals = np.zeros((n, kt_pad))
+    rows = np.zeros((n, kt_pad), np.int32)
+    if sub.nnz:
+        col_of = np.repeat(np.arange(n), cnt)
+        pos = np.arange(sub.nnz) - sub.indptr[col_of]
+        vals[col_of, pos] = sub.data
+        rows[col_of, pos] = sub.indices
+    return vals.astype(dtype), rows
+
+
+def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
+                          alpha=1.0, dtype=np.float32):
+    """Partition the (one-sided) LP by constraint rows over ``mesh``.
+
+    Returns a dict of arrays placed with their shardings: per-device stacked
+    ELL blocks (leading axis sharded over the mesh axis), replicated primal
+    data and preconditioners, and the sharded dual state.
+    """
+    axis = mesh.axis_names[0]
+    ndev = int(np.prod(list(mesh.shape.values())))
+    n = c.size
+
+    def build_system(a, b):
+        if a is None or a.shape[0] == 0:
+            return None
+        a = scipy.sparse.csr_matrix(a)
+        m = a.shape[0]
+        rows_loc = -(-m // ndev)
+        m_pad = rows_loc * ndev
+        if m_pad != m:
+            a = scipy.sparse.vstack(
+                [a, scipy.sparse.csr_matrix((m_pad - m, n))]
+            ).tocsr()
+            b = np.concatenate([b, np.zeros(m_pad - m)])
+        cnt = np.diff(a.indptr)
+        k_pad = max(int(cnt.max()) if cnt.size else 0, 1)
+        kt_pad = 1
+        for d in range(ndev):
+            sub = scipy.sparse.csc_matrix(a[d * rows_loc:(d + 1) * rows_loc, :])
+            kt_pad = max(kt_pad, int(np.diff(sub.indptr).max()))
+        vals, cols, vals_t, rows_t, bs = [], [], [], [], []
+        for d in range(ndev):
+            lo, hi = d * rows_loc, (d + 1) * rows_loc
+            v, cidx = _chunk_ell(a, lo, hi, k_pad, np.float64)
+            vt, ridx = _chunk_ell_t(a, lo, hi, kt_pad, np.float64)
+            vals.append(v)
+            cols.append(cidx)
+            vals_t.append(vt)
+            rows_t.append(ridx)
+            bs.append(b[lo:hi])
+        row_mask = (np.abs(np.stack(vals)).sum(2) > 0).astype(np.float64)
+        return dict(
+            vals=np.stack(vals), cols=np.stack(cols),
+            vals_t=np.stack(vals_t), rows_t=np.stack(rows_t),
+            b=np.stack(bs), row_mask=row_mask, m=m, m_pad=m_pad,
+            rows_loc=rows_loc,
+        )
+
+    eq = build_system(a_eq, b_eq)
+    ineq = build_system(a_ineq, b_ineq)
+
+    # diagonal preconditioners computed globally on host (setup-time)
+    col_sum = np.zeros(n)
+    for sys_, a in ((eq, a_eq), (ineq, a_ineq)):
+        if sys_ is None:
+            continue
+        aa = scipy.sparse.csr_matrix(a).copy()
+        aa.data = np.abs(aa.data) ** (2.0 - alpha)
+        col_sum += np.asarray(aa.sum(axis=0)).ravel()
+    col_sum[col_sum == 0] = 1.0
+    diag_t = 1.0 / col_sum
+
+    def sigma_of(sys_, a):
+        if sys_ is None:
+            return None
+        aa = scipy.sparse.csr_matrix(a).copy()
+        aa.data = np.abs(aa.data) ** alpha
+        rs = np.asarray(aa.sum(axis=1)).ravel()
+        rs[rs == 0] = 1.0
+        sig = 1.0 / rs
+        sig = np.concatenate([sig, np.zeros(sys_["m_pad"] - sys_["m"])])
+        return sig.reshape(int(np.prod(list(mesh.shape.values()))), -1)
+
+    sig_eq = sigma_of(eq, a_eq)
+    sig_ineq = sigma_of(ineq, a_ineq)
+
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def put_sharded(x):
+        x = np.asarray(x)
+        t = x.dtype if np.issubdtype(x.dtype, np.integer) else dtype
+        return jax.device_put(jnp.asarray(x, t), shard)
+
+    def put_rep(x):
+        x = np.asarray(x)
+        t = x.dtype if np.issubdtype(x.dtype, np.integer) else dtype
+        return jax.device_put(jnp.asarray(x, t), rep)
+
+    data = dict(
+        c=put_rep(c), lb=put_rep(lb), ub=put_rep(ub), diag_t=put_rep(diag_t),
+        theta=put_rep(1.0),
+    )
+    for name, sys_, sig in (("eq", eq, sig_eq), ("ineq", ineq, sig_ineq)):
+        if sys_ is None:
+            continue
+        data[name] = {
+            k: put_sharded(sys_[k])
+            for k in ("vals", "cols", "vals_t", "rows_t", "b", "row_mask")
+        }
+        data[name]["sigma"] = put_sharded(sig)
+        data[name + "_m"] = sys_["m"]
+        data[name + "_m_pad"] = sys_["m_pad"]
+
+    state = dict(
+        x=put_rep(np.zeros(n)),
+        x3=put_rep(np.zeros(n)),
+    )
+    if eq is not None:
+        state["y_eq"] = put_sharded(np.zeros((ndev, eq["rows_loc"])))
+    if ineq is not None:
+        state["y_ineq"] = put_sharded(np.zeros((ndev, ineq["rows_loc"])))
+    return data, state
+
+
+def _local_matvec(vals, cols, x):
+    return jnp.sum(vals * jnp.take(x, cols, axis=0), axis=1)
+
+
+def _local_rmatvec(vals_t, rows_t, y):
+    return jnp.sum(vals_t * jnp.take(y, rows_t, axis=0), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "nsteps"))
+def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
+    """Run ``nsteps`` row-sharded CP-PPD iterations; returns (state, metrics)."""
+    axis = mesh.axis_names[0]
+    has_eq = "eq" in data
+    has_ineq = "ineq" in data
+
+    in_specs_data = jax.tree.map(lambda _: P(), data)
+    for name in ("eq", "ineq"):
+        if name in data:
+            in_specs_data[name] = jax.tree.map(lambda _: P(axis), data[name])
+    in_specs_state = {"x": P(), "x3": P()}
+    if has_eq:
+        in_specs_state["y_eq"] = P(axis)
+    if has_ineq:
+        in_specs_state["y_ineq"] = P(axis)
+
+    out_specs = (
+        dict(in_specs_state),
+        {"energy1": P(), "max_violated_equality": P(),
+         "max_violated_inequality": P()},
+    )
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(in_specs_data, in_specs_state),
+        out_specs=out_specs,
+    )
+    def run(d, s):
+        c, lb, ub, diag_t = d["c"], d["lb"], d["ub"], d["diag_t"]
+        theta = d["theta"]
+        eq = d.get("eq")
+        ineq = d.get("ineq")
+
+        def squeeze(t):
+            return jax.tree.map(lambda v: v[0], t)
+
+        eq_l = squeeze(eq) if has_eq else None
+        in_l = squeeze(ineq) if has_ineq else None
+
+        def body(_, carry):
+            x, x3, y_eq, y_ineq = carry
+            d_part = jnp.zeros_like(c)
+            if has_eq:
+                d_part = d_part + _local_rmatvec(
+                    eq_l["vals_t"], eq_l["rows_t"], y_eq
+                )
+            if has_ineq:
+                d_part = d_part + _local_rmatvec(
+                    in_l["vals_t"], in_l["rows_t"], y_ineq
+                )
+            dd = c + jax.lax.psum(d_part, axis)  # one all-reduce per iteration
+            x2 = jnp.clip(x - diag_t * dd, lb, ub)
+            x3 = (1.0 + theta) * x2 - theta * x
+            x = x2
+            if has_eq:
+                r = _local_matvec(eq_l["vals"], eq_l["cols"], x3) - eq_l["b"]
+                y_eq = y_eq + eq_l["sigma"] * r
+            if has_ineq:
+                r = _local_matvec(in_l["vals"], in_l["cols"], x3) - in_l["b"]
+                y_ineq = jnp.maximum(y_ineq + in_l["sigma"] * r, 0.0)
+            return (x, x3, y_eq, y_ineq)
+
+        y_eq0 = s["y_eq"][0] if has_eq else jnp.zeros((0,), c.dtype)
+        y_in0 = s["y_ineq"][0] if has_ineq else jnp.zeros((0,), c.dtype)
+        x, x3, y_eq, y_ineq = jax.lax.fori_loop(
+            0, nsteps, body, (s["x"], s["x3"], y_eq0, y_in0)
+        )
+
+        # metrics: psum/pmax over the mesh
+        energy1 = jnp.dot(c, x)
+        max_v_eq = jnp.asarray(0.0, c.dtype)
+        max_v_ineq = jnp.asarray(0.0, c.dtype)
+        if has_eq:
+            r = (_local_matvec(eq_l["vals"], eq_l["cols"], x) - eq_l["b"])
+            r = r * eq_l["row_mask"]
+            energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
+            max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
+        if has_ineq:
+            r = (_local_matvec(in_l["vals"], in_l["cols"], x) - in_l["b"])
+            r = r * in_l["row_mask"]
+            energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
+            max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
+
+        out_state = {"x": x, "x3": x3}
+        if has_eq:
+            out_state["y_eq"] = y_eq[None, :]
+        if has_ineq:
+            out_state["y_ineq"] = y_ineq[None, :]
+        metrics = {
+            "energy1": energy1,
+            "max_violated_equality": max_v_eq,
+            "max_violated_inequality": max_v_ineq,
+        }
+        return out_state, metrics
+
+    return run(data, state)
+
+
+def chambolle_pock_ppd_sharded(
+    c, a_eq, beq, a_ineq, b_lower, b_upper, lb, ub, mesh,
+    nb_max_iter=1000, nb_iter_plot=100, callback_func=None, max_time=None,
+    dtype=np.float32, alpha=1.0,
+):
+    """Mesh-parallel CP-PPD with the standard solver contract; returns x."""
+    import time
+
+    from ..solvers.base import chunk_schedule, emit_callback
+    from ..solvers.chambolle_pock import _fold_one_sided
+
+    a_one, b_ineq = _fold_one_sided(a_ineq, b_lower, b_upper)
+    data, state = build_sharded_cp_data(
+        np.asarray(c, float), a_eq, beq, a_one, b_ineq,
+        np.asarray(lb, float), np.asarray(ub, float), mesh,
+        alpha=alpha, dtype=dtype,
+    )
+    start = time.perf_counter()
+    niter = 0
+    for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
+        state, metrics = sharded_cp_chunk(data, state, mesh, nsteps)
+        niter += nsteps
+        elapsed = time.perf_counter() - start
+        emit_callback(
+            callback_func, niter, np.asarray(state["x"]),
+            metrics["energy1"], metrics["energy1"], elapsed,
+            metrics["max_violated_equality"],
+            metrics["max_violated_inequality"],
+        )
+        if max_time is not None and elapsed > max_time:
+            break
+    return np.asarray(state["x"], np.float64)

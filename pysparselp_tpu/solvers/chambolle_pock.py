@@ -45,9 +45,12 @@ def _fold_one_sided(a_ineq, b_lower, b_upper):
     return a, b
 
 
-@functools.partial(jax.jit, static_argnames=("nsteps",))
-def _cp_chunk(prob: LPProblem, pre, state, nsteps: int):
-    """Run ``nsteps`` CP-PPD iterations then evaluate metrics on device."""
+def cp_chunk_impl(prob: LPProblem, pre, state, nsteps: int):
+    """Run ``nsteps`` CP-PPD iterations then evaluate metrics on device.
+
+    Pure function (jitted as ``_cp_chunk``); also the compile-check entry
+    point exposed through ``__graft_entry__.entry``.
+    """
     theta = pre["theta"]
 
     def body(_, s):
@@ -111,6 +114,9 @@ def _cp_chunk(prob: LPProblem, pre, state, nsteps: int):
         rounded_feasible=rounded_feasible,
     )
     return state, metrics
+
+
+_cp_chunk = functools.partial(jax.jit, static_argnames=("nsteps",))(cp_chunk_impl)
 
 
 def chambolle_pock_ppd(
