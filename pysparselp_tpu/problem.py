@@ -297,6 +297,10 @@ class DenseMatrix:
 
 # dense-backend auto-selection cap (entries); ~256 MB of f32 on TPU HBM
 DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024
+# block-ELL auto-selection caps: padded tile storage must stay under this
+# budget AND under this fraction of the dense form to beat streaming dense
+BSR_AUTO_MAX_ENTRIES = 128 * 1024 * 1024
+BSR_AUTO_MAX_DENSE_FRACTION = 0.25
 
 
 def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
@@ -305,12 +309,17 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
 
     * on TPU, matrices whose dense form fits the HBM budget become
       :class:`DenseMatrix` (MXU matvec — measured >10× faster than gathers);
+    * on TPU, larger matrices with clustered sparsity become
+      :class:`~pysparselp_tpu.ops.bsr_pallas.BsrMatrix` (Pallas block-ELL:
+      MXU tile matvecs with scalar-prefetched tile indices);
     * otherwise a plain :class:`EllMatrix` when a single ELL width wastes
       less than ``waste_threshold``× the nnz;
     * else a width-bucketed :class:`SegmentedEllMatrix`.
 
-    ``prefer`` forces a backend: "dense", "ell", or "segmented".
+    ``prefer`` forces a backend: "dense", "bsr", "ell", or "segmented".
     """
+    from .ops.bsr_pallas import BsrMatrix, bsr_padded_entries
+
     dtype = dtype or default_dtype()
     csr = scipy.sparse.csr_matrix(a)
     m, n = csr.shape
@@ -322,6 +331,15 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
     ):
         return DenseMatrix(a=jnp.asarray(csr.toarray(), dtype), nrows=m,
                            ncols=n)
+    if prefer == "bsr":
+        return BsrMatrix.from_scipy(csr, dtype=dtype)
+    if prefer is None and jax.default_backend() == "tpu" and m * n > 0:
+        padded = bsr_padded_entries(csr)
+        if (
+            padded <= BSR_AUTO_MAX_ENTRIES
+            and padded <= BSR_AUTO_MAX_DENSE_FRACTION * m * n
+        ):
+            return BsrMatrix.from_scipy(csr, dtype=dtype)
 
     def _waste_ratio(indptr, n_major):
         cnt = np.diff(indptr)
