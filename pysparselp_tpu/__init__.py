@@ -10,9 +10,22 @@ device-resident problem on which JAX solvers run as compiled loops, sharded
 over ``jax.sharding`` meshes for multi-chip execution.
 """
 
+from .checkpoint import (
+    CheckpointingCallback,
+    load_checkpoint,
+    save_checkpoint,
+)
 from .modeling import SparseLP, solving_methods
 from .sparse_host import BlockedCSR, crd_matrix
 
-__all__ = ["SparseLP", "solving_methods", "BlockedCSR", "crd_matrix"]
+__all__ = [
+    "SparseLP",
+    "solving_methods",
+    "BlockedCSR",
+    "crd_matrix",
+    "save_checkpoint",
+    "load_checkpoint",
+    "CheckpointingCallback",
+]
 
 __version__ = "0.1.0"

@@ -1,0 +1,109 @@
+"""Checkpoint/resume, SolutionStat, debug mode, and the benchmark driver."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pysparselp_tpu import (
+    CheckpointingCallback,
+    SparseLP,
+    load_checkpoint,
+    save_checkpoint,
+)
+from pysparselp_tpu.benchmarks import plot_results, run_solvers
+from pysparselp_tpu.utils import (
+    SolutionStat,
+    assert_all_finite,
+    debug_mode,
+    load_arguments,
+    save_arguments,
+)
+from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+
+@pytest.fixture(scope="module")
+def lp():
+    lp, _ = generate_random_lp(nbvar=25, n_eq=2, n_ineq=25, sparsity=0.25,
+                               seed=2)
+    return lp
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = str(tmp_path / "state.npz")
+    x = np.arange(5.0)
+    save_checkpoint(p, x, y_eq=np.ones(2), niter=42, meta={"energy1": 3.5})
+    st = load_checkpoint(p)
+    np.testing.assert_array_equal(st["x"], x)
+    np.testing.assert_array_equal(st["y_eq"], np.ones(2))
+    assert st["y_ineq"] is None
+    assert st["niter"] == 42
+    assert float(st["meta"]["energy1"]) == 3.5
+
+
+def test_checkpointing_callback_and_resume(lp, tmp_path):
+    p = str(tmp_path / "cp.npz")
+    ckpt = CheckpointingCallback(p, every_sec=0.0)  # checkpoint every tick
+    x1, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=400,
+                     nb_iter_plot=100, callback_func=ckpt.wrap(None))
+    assert os.path.exists(p)
+    st = load_checkpoint(p)
+    assert st["niter"] == 400
+    # resume from the checkpoint: must pick up where it left off
+    x2, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=400,
+                     nb_iter_plot=400, x0=st["x"])
+    ref, _ = lp.solve(method="scipy_simplex")
+    assert abs(lp.cost(x2) - lp.cost(ref)) <= abs(lp.cost(x1) - lp.cost(ref)) + 1e-9
+
+
+def test_solution_stat_records(lp):
+    stat = SolutionStat(lp)
+    lp.solve(method="chambolle_pock_ppd", nb_iter=300, nb_iter_plot=100,
+             callback_func=stat)
+    assert stat.iterations == [100, 200, 300]
+    assert len(stat.costs) == 3
+    assert stat.summary()["niter"] == 300
+    assert np.isfinite(stat.summary()["final_cost"])
+
+
+def test_save_load_arguments(tmp_path):
+    p = str(tmp_path / "args.pkl")
+
+    def solver_entry(c, a, tol=1e-3):
+        save_arguments(p)
+        return c
+
+    solver_entry(np.ones(3), "matrix", tol=0.5)
+    st = load_arguments(p)
+    np.testing.assert_array_equal(st["c"], np.ones(3))
+    assert st["a"] == "matrix"
+    assert st["tol"] == 0.5
+
+
+def test_debug_mode_and_assert_finite():
+    import jax
+
+    with debug_mode(nans=True):
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans
+    assert_all_finite("ok", np.ones(3))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        assert_all_finite("bad", np.array([1.0, np.nan]))
+
+
+def test_benchmark_driver_and_plot(lp, tmp_path):
+    gt, _ = lp.solve(method="scipy_simplex")
+    results = run_solvers(
+        lp, ground_truth=gt,
+        methods=["chambolle_pock_ppd", "dual_gradient_ascent"],
+        nb_iter=300, nb_iter_plot=100, max_time=30.0, verbose=False,
+    )
+    assert set(results) == {"chambolle_pock_ppd", "dual_gradient_ascent"}
+    for r in results.values():
+        assert "error" not in r
+        assert len(r["itrn_curve"]) == 3
+        assert len(r["distance_to_ground_truth"]) == 3
+    fig = plot_results(results, show=False,
+                       save_path=str(tmp_path / "bench.png"))
+    assert fig is not None
+    assert (tmp_path / "bench.png").exists()
