@@ -110,8 +110,16 @@ def lp_admm(
     omega=1.0,
     dtype=None,
     start_time=None,
+    inner="jacobi",
 ):
-    """Penalized-equality ADMM; signature parity with ``ADMM.py:47``."""
+    """Penalized-equality ADMM; signature parity with ``ADMM.py:47``.
+
+    ``inner`` selects the x-subproblem solver: ``"jacobi"`` (default) is the
+    fused on-device damped projected Jacobi loop; ``"gauss_seidel"`` is the
+    sequential bounded Gauss-Seidel host mode (native C++ kernel,
+    :mod:`pysparselp_tpu.native.gauss_seidel`) — the algorithmic twin of the
+    reference's default inner solver, for parity runs on small problems.
+    """
     dtype = dtype or default_dtype()
     c = np.asarray(c, np.float64)
     n = c.size
@@ -134,6 +142,12 @@ def lp_admm(
     )
     if use_preconditioning:
         a, b = precondition_constraints(a, b, alpha=2)
+
+    if inner == "gauss_seidel":
+        return _lp_admm_host_gs(
+            c2, a, b, lb2, ub2, x02, n, gamma_eq, gamma_ineq, nb_iter,
+            nb_iter_plot, nb_inner, callback_func, start_time, max_time,
+        )
 
     ell = ell_from_scipy(a, dtype=dtype)
     diag_m = gamma_eq * np.asarray(ell.abs_power_colsum(2.0)) + gamma_ineq
@@ -194,6 +208,46 @@ def lp_admm(
         if loop.timed_out:
             break
     return to_np(state[0][:n])
+
+
+def _lp_admm_host_gs(c, a, b, lb, ub, x0, n, gamma_eq, gamma_ineq, nb_iter,
+                     nb_iter_plot, nb_inner, callback_func, start_time,
+                     max_time):
+    """Host-mode ADMM iterate with the native bounded Gauss-Seidel inner
+    solve — the sequential twin of the reference's default path
+    (``ADMM.py:143-268`` with ``gaussSiedel.pyx:95`` inside)."""
+    from ..native.gauss_seidel import BoundedGaussSeidel
+
+    a = scipy.sparse.csr_matrix(a)
+    m_mat = (
+        gamma_eq * (a.T @ a) + gamma_ineq * scipy.sparse.eye(a.shape[1])
+    ).tocsr()
+    bs = BoundedGaussSeidel(m_mat)
+    at = a.T.tocsr()
+    atb = at @ b
+    x = np.asarray(x0, np.float64).copy()
+    xp = np.clip(x, lb, ub)
+    lam = np.zeros(a.shape[0])
+    loop = HostLoop(start_time=start_time, max_time=max_time)
+    for i in range(1, nb_iter + 1):
+        y = -c + gamma_eq * atb + gamma_ineq * xp - at @ lam
+        x = bs.solve(y, lb, ub, x, maxiter=max(nb_inner, 1))
+        xp = x
+        r = a @ x - b
+        lam += gamma_eq * r
+        if i % nb_iter_plot == 0 or i == nb_iter:
+            energy = float(
+                c @ x + 0.5 * gamma_eq * (r @ r) + lam @ r
+            )
+            emit_callback(
+                callback_func, i, x[:n], energy, energy, loop.elapsed,
+                float(np.abs(r).max(initial=0.0)),
+                float(max(np.max(lb - x, initial=0.0),
+                          np.max(x - ub, initial=0.0))),
+            )
+            if loop.timed_out:
+                break
+    return x[:n]
 
 
 # ----------------------------------------------------------------------
