@@ -107,3 +107,32 @@ def test_benchmark_driver_and_plot(lp, tmp_path):
                        save_path=str(tmp_path / "bench.png"))
     assert fig is not None
     assert (tmp_path / "bench.png").exists()
+
+
+def test_linear_solve_wrappers():
+    import scipy.sparse
+
+    from pysparselp_tpu.ops.linear_solve import (
+        CgSolver,
+        DenseCholesky,
+        make_spd_solver,
+    )
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(30, 30)
+    m = a @ a.T + 30 * np.eye(30)
+    b = rng.randn(30)
+    ref = np.linalg.solve(m, b)
+
+    dc = DenseCholesky(m)
+    np.testing.assert_allclose(np.asarray(dc.solve(b)), ref, atol=1e-8)
+
+    sp = scipy.sparse.csr_matrix(m)
+    s = make_spd_solver(sp)
+    np.testing.assert_allclose(np.asarray(s.solve(b)), ref, atol=1e-8)
+
+    cg = CgSolver(lambda v: m @ v, diag=np.diag(m), maxiter=300)
+    np.testing.assert_allclose(np.asarray(cg.solve(b)), ref, atol=1e-6)
+
+    big = make_spd_solver(sp, dense_max_dim=10, diag=np.diag(m))
+    np.testing.assert_allclose(np.asarray(big.solve(b)), ref, atol=1e-6)
