@@ -13,6 +13,11 @@ reference solver driven through its own API): 3716 iters/s
 This script runs on the default JAX device (the real TPU chip under the
 driver) in float32, which also converges to distance 0 (the diagonal
 preconditioner makes CP-PPD robust to f32 on this problem).
+
+Backend note: the lowering's bytes-streamed cost model picks the Pallas
+block-ELL backend with bf16-exact tile storage for this matrix (entries are
+±1); measured ~56 µs per CP iteration on a v5e-1 in isolation, ~14.8k
+iters/s through the full solve loop (~4× the reference on this host's CPU).
 """
 
 import json

@@ -94,69 +94,85 @@ _VMEM_TILE_BUDGET = 12 * 1024 * 1024  # double-buffered tile blocks
 _VMEM_X_BUDGET = 4 * 1024 * 1024      # whole x resident in VMEM
 
 
-def _make_spmv_kernel(r_group, k, tm, dtype):
+def _make_spmv_kernel(r_group, k, tm, acc_dtype, n_planes, bf16):
+    # HIGHEST on f32: the MXU's native f32 multiply is bf16-split; anything
+    # less loses ~3 digits.  On bf16 tiles the product is a single native
+    # pass (and Mosaic rejects an fp32 contract precision on bf16 vectors).
+    precision = None if bf16 else jax.lax.Precision.HIGHEST
+
     def kernel(cols_ref, x_ref, tiles_ref, o_ref):
         r0 = pl.program_id(0) * r_group
         # fully unrolled (the VMEM budget bounds r_group*k to ≤ ~100 dots):
         # Mosaic compiles static dot chains far better than dynamic-indexed
         # fori_loops over block dims
         for ri in range(r_group):
-            acc = jnp.zeros((1, tm), dtype)
+            acc = jnp.zeros((1, tm), acc_dtype)
             for kk in range(k):
                 c = cols_ref[r0 + ri, kk]
-                xb = x_ref[pl.ds(c, 1), :]  # (1, TN) slice of VMEM-resident x
-                # HIGHEST precision: the MXU's native f32 multiply is
-                # bf16-split; anything less loses ~3 digits, which
-                # first-order LP solvers cannot afford.  SpMV is HBM-bound,
-                # so the extra MXU passes are free (measured: none).
-                acc = acc + jnp.dot(
-                    xb, tiles_ref[ri, kk], preferred_element_type=dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                # (n_planes, TN) slice of VMEM-resident x: one plane for f32
+                # tiles, hi/lo split planes for bf16 tiles
+                xb = x_ref[pl.ds(c, 1)]
+                for p in range(n_planes):
+                    acc = acc + jnp.dot(
+                        xb[:, p], tiles_ref[ri, kk],
+                        preferred_element_type=acc_dtype,
+                        precision=precision,
+                    )
             o_ref[ri] = acc[0]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _pallas_spmv(tiles, cols, x2d, interpret=False):
-    """(T_rows, K, TN, TM) tiles × (T_cols, TN) x → (T_rows, TM).
+def _pallas_spmv(tiles, cols, x3d, interpret=False):
+    """(T_rows, K, TN, TM) tiles × (T_cols, P, TN) x → (T_rows, TM).
 
     Grid over groups of ROW_GROUP tile-rows: each step streams the group's
     dense tiles HBM→VMEM through the Pallas pipeline while ``x`` stays
     resident in VMEM; tile-column ids live in SMEM (scalar prefetch) and
     select ``x`` slices with one dynamic slice per 128×128 tile.  Matches
-    XLA's best batched-contraction schedule (~340 GB/s on v5e) while staying
+    XLA's best batched-contraction schedule (~600 GB/s on v5e) while staying
     scatter/gather-free.
+
+    ``x3d`` carries P planes: one for f32 tiles; for bf16 tile storage
+    (exact-representable matrices, half the HBM traffic) two planes hold the
+    hi/lo bf16 split of x, accumulated in f32 — full f32-grade products at
+    bf16 streaming cost.
     """
     t_rows, k, tn, tm = tiles.shape
+    acc_dtype = jnp.float32 if tiles.dtype == jnp.bfloat16 else tiles.dtype
+    n_planes = x3d.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_rows // ROW_GROUP,),
         in_specs=[
-            pl.BlockSpec((x2d.shape[0], tn), lambda g, cols: (0, 0)),
+            pl.BlockSpec((x3d.shape[0], n_planes, tn),
+                         lambda g, cols: (0, 0, 0)),
             pl.BlockSpec((ROW_GROUP, k, tn, tm),
                          lambda g, cols: (g, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((ROW_GROUP, tm), lambda g, cols: (g, 0)),
     )
     return pl.pallas_call(
-        _make_spmv_kernel(ROW_GROUP, k, tm, tiles.dtype),
+        _make_spmv_kernel(ROW_GROUP, k, tm, acc_dtype, n_planes,
+                          tiles.dtype == jnp.bfloat16),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_rows, tm), tiles.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_rows, tm), acc_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * tiles.size,
+            flops=2 * tiles.size * n_planes,
             bytes_accessed=tiles.size * tiles.dtype.itemsize
-            + x2d.size * x2d.dtype.itemsize,
+            + x3d.size * x3d.dtype.itemsize,
             transcendentals=0,
         ),
-    )(cols, x2d, tiles)
+    )(cols, x3d, tiles)
 
 
 def _einsum_spmv(tiles, cols, x2d):
     """Reference contraction (identical tiling math, no Pallas)."""
-    xg = jnp.take(x2d, cols, axis=0)  # (T_rows, K, TN)
+    if tiles.dtype == jnp.bfloat16:
+        tiles = tiles.astype(jnp.float32)  # exact by construction
+    xg = jnp.take(x2d.astype(tiles.dtype), cols, axis=0)  # (T_rows, K, TN)
     return jnp.einsum(
         "rktm,rkt->rm", tiles, xg,
         preferred_element_type=tiles.dtype,
@@ -167,9 +183,10 @@ def _einsum_spmv(tiles, cols, x2d):
 def _use_pallas(tiles, x2d) -> bool:
     t_rows, k, tn, tm = tiles.shape
     itemsize = tiles.dtype.itemsize
+    planes = 2 if tiles.dtype == jnp.bfloat16 else 1
     fits = (
         2 * ROW_GROUP * k * tn * tm * itemsize <= _VMEM_TILE_BUDGET
-        and x2d.size * itemsize <= _VMEM_X_BUDGET
+        and planes * x2d.size * itemsize <= _VMEM_X_BUDGET
     )
     if _FORCE_INTERPRET:
         return fits
@@ -182,16 +199,24 @@ def _use_pallas(tiles, x2d) -> bool:
 
 def _tiled_apply(tiles, cols, x, n_in, n_out, tn):
     t_cols_needed = -(-n_in // tn)
-    x2d = jnp.zeros((t_cols_needed * tn,), tiles.dtype).at[:n_in].set(
-        x.astype(tiles.dtype)
-    ).reshape(t_cols_needed, tn)
-    if _use_pallas(tiles, x2d):
+    bf16 = tiles.dtype == jnp.bfloat16
+    xf = jnp.zeros((t_cols_needed * tn,),
+                   jnp.float32 if bf16 else tiles.dtype)
+    xf = xf.at[:n_in].set(x.astype(xf.dtype)).reshape(t_cols_needed, tn)
+    if _use_pallas(tiles, xf):
+        if bf16:
+            # hi/lo bf16 split of x: Σ tiles·(xh + xl) recovers ~f32 products
+            xh = xf.astype(jnp.bfloat16)
+            xl = (xf - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            x3d = jnp.stack([xh, xl], axis=1)  # (T_cols, 2, TN)
+        else:
+            x3d = xf[:, None, :]
         y2d = _pallas_spmv(
-            tiles, cols, x2d,
+            tiles, cols, x3d,
             interpret=jax.default_backend() != "tpu",
         )
     else:
-        y2d = _einsum_spmv(tiles, cols, x2d)
+        y2d = _einsum_spmv(tiles, cols, xf)
     return y2d.reshape(-1)[:n_out]
 
 
@@ -229,31 +254,42 @@ class BsrMatrix:
         return _tiled_apply(self.tiles_t, self.cols_t, y, self.nrows,
                             self.ncols, self.tm)
 
+    def _tiles_f(self):
+        """Tiles widened for setup-time reductions (bf16 storage is exact)."""
+        t = self.tiles
+        return t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t
+
+    def _tiles_t_f(self):
+        t = self.tiles_t
+        return t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t
+
     def abs_power_rowsum(self, p: float) -> jax.Array:
-        s = jnp.einsum("rktm->rm", jnp.abs(self.tiles) ** p)
+        s = jnp.einsum("rktm->rm", jnp.abs(self._tiles_f()) ** p)
         return s.reshape(-1)[: self.nrows]
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        s = jnp.einsum("rktm->rm", jnp.abs(self.tiles_t) ** p)
+        s = jnp.einsum("rktm->rm", jnp.abs(self._tiles_t_f()) ** p)
         return s.reshape(-1)[: self.ncols]
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
+        tiles = self._tiles_f()
         t_cols = -(-self.ncols // self.tn)
-        d2d = jnp.zeros((t_cols * self.tn,), self.tiles.dtype).at[
+        d2d = jnp.zeros((t_cols * self.tn,), tiles.dtype).at[
             : self.ncols
-        ].set(d.astype(self.tiles.dtype)).reshape(t_cols, self.tn)
+        ].set(d.astype(tiles.dtype)).reshape(t_cols, self.tn)
         dg = jnp.take(d2d, self.cols, axis=0)  # (T_rows, K, TN)
-        s = jnp.einsum("rktm,rkt->rm", self.tiles**2, dg)
+        s = jnp.einsum("rktm,rkt->rm", tiles**2, dg)
         return s.reshape(-1)[: self.nrows]
 
     def to_dense(self) -> jax.Array:
-        t_rows, k, tn, tm = self.tiles.shape
+        tiles = self._tiles_f()
+        t_rows, k, tn, tm = tiles.shape
         t_cols = -(-self.ncols // self.tn)
-        out = jnp.zeros((t_rows * tm, t_cols * tn), self.tiles.dtype)
+        out = jnp.zeros((t_rows * tm, t_cols * tn), tiles.dtype)
         # scatter tiles: out[r*tm:(r+1)*tm, c*tn:(c+1)*tn] += tiles[r,k].T
         r_idx = jnp.repeat(jnp.arange(t_rows), k)
         c_idx = self.cols.reshape(-1)
-        blocks = jnp.swapaxes(self.tiles.reshape(-1, tn, tm), 1, 2)
+        blocks = jnp.swapaxes(tiles.reshape(-1, tn, tm), 1, 2)
         out = out.reshape(t_rows, tm, t_cols, tn)
         out = out.at[r_idx, :, c_idx, :].add(blocks)
         return out.reshape(t_rows * tm, t_cols * tn)[: self.nrows,
@@ -261,14 +297,32 @@ class BsrMatrix:
 
     @staticmethod
     def from_scipy(a, dtype=None, tm: int = DEFAULT_TM,
-                   tn: int = DEFAULT_TN) -> "BsrMatrix":
+                   tn: int = DEFAULT_TN,
+                   allow_bf16: str = "exact") -> "BsrMatrix":
+        """Lower to block-ELL.  With ``allow_bf16="exact"`` (default), f32
+        matrices whose every entry is exactly bf16-representable (±1, ±0.5,
+        small integers — common for combinatorial LPs) are stored as bf16
+        tiles: half the HBM traffic per SpMV with zero value error (x keeps
+        f32-grade precision through the hi/lo split in the kernel).
+        ``allow_bf16=False`` disables; ``"always"`` forces bf16."""
         from ..problem import default_dtype
 
         dtype = dtype or default_dtype()
         csr = scipy.sparse.csr_matrix(a)
-        tiles, cols, _, _, _ = _build_tile_ell(csr, tm, tn, dtype)
+        store = dtype
+        if dtype == jnp.float32 and allow_bf16:
+            import ml_dtypes
+
+            d32 = csr.data.astype(np.float32)
+            exact = bool(
+                np.all(d32.astype(ml_dtypes.bfloat16).astype(np.float32)
+                       == d32)
+            )
+            if allow_bf16 == "always" or exact:
+                store = jnp.bfloat16
+        tiles, cols, _, _, _ = _build_tile_ell(csr, tm, tn, store)
         tiles_t, cols_t, _, _, _ = _build_tile_ell(csr.T.tocsr(), tn, tm,
-                                                   dtype)
+                                                   store)
         return BsrMatrix(
             tiles=tiles, cols=cols, tiles_t=tiles_t, cols_t=cols_t,
             nrows=csr.shape[0], ncols=csr.shape[1], tm=tm, tn=tn,

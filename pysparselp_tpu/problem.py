@@ -295,12 +295,160 @@ class DenseMatrix:
         return self.a
 
 
-# dense-backend auto-selection cap (entries); ~256 MB of f32 on TPU HBM
-DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024
-# block-ELL auto-selection caps: padded tile storage must stay under this
-# budget AND under this fraction of the dense form to beat streaming dense
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("vals", "vals_t"),
+    meta_fields=("offsets", "offsets_t", "nrows", "ncols"),
+)
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """Diagonal (DIA) operator: SpMV as statically-shifted multiply-adds.
+
+    LPs built from structured variable arrays (image grids, batched
+    differences — e.g. the Potts segmentation model) produce constraint
+    matrices whose every batch has *constant column offsets per row*: the
+    nonzeros lie on a handful of (col − row) diagonals.  Storing one dense
+    vector per diagonal turns SpMV into
+
+        y[r] = Σ_d vals[d, r] · x[r + off_d]
+
+    — pure VPU multiply-adds over contiguous, statically-shifted slices:
+    no index arrays in memory, no gathers, traffic ≈ ndiag·nrows·4 bytes
+    (within ~4× of the raw nnz).  On the Potts benchmark this is ~350×
+    less HBM traffic per iteration than the tile-streaming backends.
+    The transpose direction stores its own diagonal set (offsets negated).
+    """
+
+    vals: jax.Array       # (ndiag, nrows); vals[d, r] = A[r, r + off_d]
+    vals_t: jax.Array     # (ndiag_t, ncols) for Aᵀ
+    offsets: tuple        # static ints, ascending
+    offsets_t: tuple
+    nrows: int
+    ncols: int
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nnz_padded(self):
+        return self.vals.size + self.vals_t.size
+
+    @staticmethod
+    def _apply(vals, offsets, x, n_in, n_out):
+        # bf16-exact storage halves the HBM read; the VPU upcasts in
+        # registers, so unlike the MXU path x needs no hi/lo split
+        compute = (jnp.float32 if vals.dtype == jnp.bfloat16
+                   else vals.dtype)
+        if not offsets:
+            return jnp.zeros((n_out,), compute)
+        left = max(0, -min(offsets))
+        right = max(0, max(offsets) + n_out - n_in)
+        xp = jnp.pad(x.astype(compute), (left, right))
+        y = jnp.zeros((n_out,), compute)
+        for d, off in enumerate(offsets):
+            y = y + vals[d].astype(compute) * jax.lax.dynamic_slice(
+                xp, (left + off,), (n_out,))
+        return y
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return self._apply(self.vals, self.offsets, x, self.ncols,
+                           self.nrows)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        return self._apply(self.vals_t, self.offsets_t, y, self.nrows,
+                           self.ncols)
+
+    def _vals_f(self):
+        v = self.vals
+        return v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
+
+    def _vals_t_f(self):
+        v = self.vals_t
+        return v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
+
+    def abs_power_rowsum(self, p: float) -> jax.Array:
+        return jnp.sum(jnp.abs(self._vals_f()) ** p, axis=0)
+
+    def abs_power_colsum(self, p: float) -> jax.Array:
+        return jnp.sum(jnp.abs(self._vals_t_f()) ** p, axis=0)
+
+    def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
+        return self._apply(self._vals_f() ** 2, self.offsets, d, self.ncols,
+                           self.nrows)
+
+    def to_dense(self) -> jax.Array:
+        vals = self._vals_f()
+        out = jnp.zeros((self.nrows, self.ncols), vals.dtype)
+        rows = jnp.arange(self.nrows)
+        for di, off in enumerate(self.offsets):
+            cols = rows + off
+            ok = (cols >= 0) & (cols < self.ncols)
+            out = out.at[rows, jnp.clip(cols, 0, self.ncols - 1)].add(
+                jnp.where(ok, vals[di], 0.0)
+            )
+        return out
+
+    @staticmethod
+    def _build_dia(coo, n_major, n_minor, dtype):
+        off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+        offsets = np.unique(off)
+        vals = np.zeros((offsets.size, n_major))
+        d_idx = np.searchsorted(offsets, off)
+        np.add.at(vals, (d_idx, coo.row), coo.data)
+        return jnp.asarray(vals, dtype), tuple(int(o) for o in offsets)
+
+    @staticmethod
+    def from_scipy(a, dtype=None, allow_bf16: str = "exact") -> "DiaMatrix":
+        dtype = dtype or default_dtype()
+        coo = scipy.sparse.coo_matrix(a)
+        coo.sum_duplicates()
+        m, n = coo.shape
+        store = dtype
+        if dtype == jnp.float32 and allow_bf16 and coo.nnz:
+            import ml_dtypes
+
+            d32 = coo.data.astype(np.float32)
+            if allow_bf16 == "always" or bool(
+                np.all(d32.astype(ml_dtypes.bfloat16).astype(np.float32)
+                       == d32)
+            ):
+                store = jnp.bfloat16
+        vals, offsets = DiaMatrix._build_dia(coo, m, n, store)
+        coo_t = coo.T.tocoo()
+        vals_t, offsets_t = DiaMatrix._build_dia(coo_t, n, m, store)
+        return DiaMatrix(vals=vals, vals_t=vals_t, offsets=offsets,
+                         offsets_t=offsets_t, nrows=m, ncols=n)
+
+
+def dia_offset_count(a) -> int:
+    """Number of distinct (col − row) diagonals in the matrix."""
+    coo = scipy.sparse.coo_matrix(a)
+    if coo.nnz == 0:
+        return 0
+    off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+    return int(np.unique(off).size)
+
+
+# Backend auto-selection cost model, calibrated on a v5e: the streaming
+# backends (DIA shifts on the VPU, dense matvec on the MXU, Pallas BSR tile
+# dots) all run HBM-bound at ~600 GB/s, so cost ≈ bytes streamed per SpMV
+# direction pair, PLUS a fixed per-vector-op charge for DIA (each diagonal
+# is one shifted multiply-add; measured ~0.3 µs ≈ 180 KB-equivalent).
+# Matrices whose every entry is bf16-exact stream at half the bytes
+# (bf16 tile/diagonal storage).
+DIA_AUTO_MAX_OFFSETS = 512
+DIA_OP_OVERHEAD_BYTES = 180_000
+DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024   # ~256 MB f32
 BSR_AUTO_MAX_ENTRIES = 128 * 1024 * 1024
-BSR_AUTO_MAX_DENSE_FRACTION = 0.25
+
+
+def _bf16_exact(csr) -> bool:
+    import ml_dtypes
+
+    d32 = csr.data.astype(np.float32)
+    return bool(np.all(d32.astype(ml_dtypes.bfloat16).astype(np.float32)
+                       == d32))
 
 
 def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
@@ -316,29 +464,43 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
       less than ``waste_threshold``× the nnz;
     * else a width-bucketed :class:`SegmentedEllMatrix`.
 
-    ``prefer`` forces a backend: "dense", "bsr", "ell", or "segmented".
+    ``prefer`` forces a backend: "dia", "dense", "bsr", "ell", or
+    "segmented".
     """
     from .ops.bsr_pallas import BsrMatrix, bsr_padded_entries
 
     dtype = dtype or default_dtype()
     csr = scipy.sparse.csr_matrix(a)
     m, n = csr.shape
-    if prefer == "dense" or (
-        prefer is None
-        and jax.default_backend() == "tpu"
-        and m * n <= DENSE_AUTO_MAX_ENTRIES
-        and m * n > 0
-    ):
+    if prefer == "dia":
+        return DiaMatrix.from_scipy(csr, dtype=dtype)
+    if prefer == "dense":
         return DenseMatrix(a=jnp.asarray(csr.toarray(), dtype), nrows=m,
                            ncols=n)
     if prefer == "bsr":
         return BsrMatrix.from_scipy(csr, dtype=dtype)
-    if prefer is None and jax.default_backend() == "tpu" and m * n > 0:
+    if prefer is None and jax.default_backend() == "tpu" and csr.nnz > 0:
+        # bytes-streamed-per-iteration cost model (see constants above)
+        itemsize = 2 if (dtype == jnp.float32 and _bf16_exact(csr)) else 4
+        candidates = {}
+        ndiag = dia_offset_count(csr)
+        if ndiag <= DIA_AUTO_MAX_OFFSETS:
+            candidates["dia"] = (
+                ndiag * (m + n) * itemsize
+                + 2 * ndiag * DIA_OP_OVERHEAD_BYTES
+            )
+        if 0 < m * n <= DENSE_AUTO_MAX_ENTRIES:
+            candidates["dense"] = 2 * m * n * 4  # read in both directions
         padded = bsr_padded_entries(csr)
-        if (
-            padded <= BSR_AUTO_MAX_ENTRIES
-            and padded <= BSR_AUTO_MAX_DENSE_FRACTION * m * n
-        ):
+        if padded <= BSR_AUTO_MAX_ENTRIES:
+            candidates["bsr"] = padded * itemsize
+        if candidates:
+            best = min(candidates, key=candidates.get)
+            if best == "dia":
+                return DiaMatrix.from_scipy(csr, dtype=dtype)
+            if best == "dense":
+                return DenseMatrix(a=jnp.asarray(csr.toarray(), dtype),
+                                   nrows=m, ncols=n)
             return BsrMatrix.from_scipy(csr, dtype=dtype)
 
     def _waste_ratio(indptr, n_major):

@@ -122,3 +122,27 @@ def test_bsr_solver_end_to_end():
     x_bsr = solve("bsr")
     x_ell = solve("ell")
     np.testing.assert_allclose(x_bsr, x_ell, atol=1e-9)
+
+
+def test_bsr_bf16_exact_storage(monkeypatch):
+    """f32 matrices with bf16-exact entries store bf16 tiles; the hi/lo
+    split keeps matvec at f32-grade accuracy."""
+    monkeypatch.setattr(bsr_pallas, "_FORCE_INTERPRET", True)
+    rng = np.random.RandomState(0)
+    a = _random_sparse(200, 150, 0.05, seed=9)
+    a.data = np.sign(a.data) * 0.5  # exactly representable
+    b = BsrMatrix.from_scipy(a, dtype=jnp.float32, tm=64, tn=64)
+    assert b.tiles.dtype == jnp.bfloat16
+    x = rng.randn(150).astype(np.float32)
+    y = np.asarray(b.matvec(jnp.asarray(x)), np.float64)
+    ref = a @ x.astype(np.float64)
+    assert np.abs(y - ref).max() < 1e-5 * max(np.abs(ref).max(), 1.0)
+    z = np.asarray(b.rmatvec(jnp.asarray(rng.randn(200).astype(np.float32))))
+    assert z.shape == (150,)
+    # reductions stay exact
+    np.testing.assert_allclose(np.asarray(b.abs_power_rowsum(1.0)),
+                               np.abs(a.toarray()).sum(1), rtol=1e-6)
+    # non-exact data stays f32
+    a2 = _random_sparse(64, 64, 0.1, seed=10)
+    b2 = BsrMatrix.from_scipy(a2, dtype=jnp.float32)
+    assert b2.tiles.dtype == jnp.float32
