@@ -111,3 +111,20 @@ def test_mps_writer_roundtrip(sc105, tmp_path):
     assert lp3.check_solution(gt, tol=1e-5)
     np.testing.assert_allclose(lp3.costsvector @ gt, lp.costsvector @ gt,
                                rtol=1e-9)
+
+
+def test_sc105_restart_acceleration(sc105):
+    """PDLP-style primal weight + adaptive restart: reaches in 40k
+    iterations a tolerance the reference-faithful trajectory needs ~600k
+    for (see test_sc105_chambolle_pock_reaches_optimum)."""
+    lp, gt = sc105
+    x, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=40000,
+                    nb_iter_plot=2000, restart="average")
+    assert _dist(x, gt) < 1e-3
+    # averaged iterates carry a small residual; still far below the plain
+    # trajectory's violation at this budget
+    assert lp.max_constraint_violation(x) < 1e-4
+    # omega alone must already help by orders of magnitude
+    x2, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=40000,
+                     nb_iter_plot=40000, omega="auto")
+    assert _dist(x2, gt) < 1.0
