@@ -1,23 +1,20 @@
-"""Benchmark driver: Potts 50×50 segmentation LP, CP-PPD iterations/second.
+"""Benchmark driver. Prints ONE JSON line {metric, value, unit, vs_baseline}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline metric (BASELINE.md north star #1): **netlib SC105 time-to-tolerance**
+— wall-clock seconds for the flagship first-order solver to reach mean-abs
+distance < 1e-3 from the perPlex-certified exact optimum, on the real TPU
+chip, using the accelerated CP-PPD (PDLP-style primal weight + adaptive
+restarts; reference-faithful mode stays default elsewhere).
 
-This is the reference's headline qualitative benchmark
-(``readme.md:90-93``: Potts convergence curves, 15 s per solver) made
-quantitative per BASELINE.md's north star ("Potts segmentation LP iters/sec
-per chip").  The baseline is the reference implementation's CP-PPD iteration
-rate measured on THIS container's host CPU (same machine, same problem,
-reference solver driven through its own API): 3716 iters/s
-(56000 iterations / 15.1 s, converged to distance 0 from the graph cut).
+Baseline: the reference implementation's CP-PPD driven through its own API on
+THIS container's host CPU (pysparselp/ChambollePockPPD.py with py3.12 shims
+``time.clock = time.perf_counter``): reaches dist<1e-3 at **19.28 s**
+(280k iterations; re-measure with the snippet in bench_details.json).
+``vs_baseline`` = baseline_seconds / our_seconds (higher is better).
 
-This script runs on the default JAX device (the real TPU chip under the
-driver) in float32, which also converges to distance 0 (the diagonal
-preconditioner makes CP-PPD robust to f32 on this problem).
-
-Backend note: the lowering's bytes-streamed cost model picks the Pallas
-block-ELL backend with bf16-exact tile storage for this matrix (entries are
-±1); measured ~56 µs per CP iteration on a v5e-1 in isolation, ~14.8k
-iters/s through the full solve loop (~4× the reference on this host's CPU).
+Also measured and written to ``bench_details.json``: the Potts 50×50
+segmentation CP-PPD iteration rate (north star #2), vs the reference's rate
+on this host CPU (3716 iters/s, converged to the graph-cut optimum).
 """
 
 import json
@@ -25,36 +22,89 @@ import time
 
 import numpy as np
 
+REF_SC105_TIME_TO_1E3 = 19.28   # seconds, reference CP-PPD on this host CPU
+REF_POTTS_ITERS_PER_SEC = 3716.4  # reference CP-PPD on this host CPU
 
-REFERENCE_CPU_ITERS_PER_SEC = 3716.4  # measured on this host, see docstring
+
+def _sc105_lp():
+    import copy
+
+    from pysparselp_tpu import SparseLP
+    from pysparselp_tpu.io.netlib import get_problem
+
+    d = get_problem("SC105")
+    gt = d["solution"]
+    lp = SparseLP()
+    lp.add_variables_array(
+        len(d["cost_vector"]), lower_bounds=d["lower_bounds"],
+        upper_bounds=np.minimum(d["upper_bounds"], np.max(gt) * 2),
+        costs=d["cost_vector"],
+    )
+    lp.add_equality_constraints_sparse(d["a_eq"], d["b_eq"])
+    lp.add_inequality_constraints_sparse(d["a_ineq"], d["b_lower"],
+                                         d["b_upper"])
+    lp2 = copy.deepcopy(lp)
+    lp2.convert_to_one_sided_inequality_system()
+    return lp2, gt
 
 
-def main():
+def measure_sc105(tol=1e-3):
+    lp, gt = _sc105_lp()
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=120000,
+                  nb_iter_plot=2000, restart="average", dtype=np.float32,
+                  ground_truth=gt,
+                  ground_truth_indices=np.arange(len(gt)))
+    lp.solve(**kwargs)  # warmup: compile every chunk shape
+    lp.solve(**kwargs)
+    dists = np.asarray(lp.distance_to_ground_truth)
+    below = np.nonzero(dists < tol)[0]
+    assert below.size, f"did not reach tol={tol}; best {dists.min()}"
+    t = float(lp.opttime_curve[below[0]])
+    return t, int(lp.itrn_curve[below[0]])
+
+
+def measure_potts():
     from pysparselp_tpu.examples.potts import build_linear_program
 
     lp, gt, idx, _ = build_linear_program(50, 0.5, 500)
-
-    # warmup: compile both chunk shapes
     lp.solve(method="chambolle_pock_ppd", nb_iter=2000, nb_iter_plot=2000,
-             dtype=np.float32)
-
+             dtype=np.float32)  # warmup
     nb_iter = 200_000
     t0 = time.perf_counter()
     x, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=nb_iter,
                     nb_iter_plot=nb_iter, dtype=np.float32)
     elapsed = time.perf_counter() - t0
-    rate = nb_iter / elapsed
-
     dist = float(np.mean(np.abs(gt - x[idx])))
-    assert dist < 1e-2, f"benchmark run did not converge (dist={dist})"
+    assert dist < 1e-2, f"Potts run did not converge (dist={dist})"
+    return nb_iter / elapsed
 
+
+def main():
+    sc105_t, sc105_iters = measure_sc105()
+    potts_rate = measure_potts()
+    details = {
+        "sc105_time_to_dist1e-3_s": round(sc105_t, 3),
+        "sc105_iterations": sc105_iters,
+        "sc105_ref_cpu_s": REF_SC105_TIME_TO_1E3,
+        "potts50_iters_per_sec": round(potts_rate, 1),
+        "potts50_ref_cpu_iters_per_sec": REF_POTTS_ITERS_PER_SEC,
+        "potts50_speedup": round(potts_rate / REF_POTTS_ITERS_PER_SEC, 2),
+        "reference_remeasure": (
+            "sys.path.insert(0,'/root/reference'); "
+            "time.clock=time.perf_counter; np.float=float; "
+            "run pysparselp.ChambollePockPPD.chambolle_pock_ppd on the same "
+            "SC105 system with a distance-tracking callback"
+        ),
+    }
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=1)
     print(
         json.dumps(
             {
-                "metric": "potts50_cp_ppd_iters_per_sec",
-                "value": round(rate, 1),
-                "unit": "iters/s",
-                "vs_baseline": round(rate / REFERENCE_CPU_ITERS_PER_SEC, 2),
+                "metric": "netlib_sc105_time_to_dist1e-3",
+                "value": round(sc105_t, 3),
+                "unit": "s",
+                "vs_baseline": round(REF_SC105_TIME_TO_1E3 / sc105_t, 2),
             }
         )
     )

@@ -69,6 +69,25 @@ def dispatch(
 
         a_ineq_r, _ = _csr_with_blocks(lp_reduced.a_inequalities)
         a_eq_r, _ = _csr_with_blocks(lp_reduced.a_equalities)
+
+        mesh = solver_kwargs.pop("mesh", None)
+        if mesh is not None:
+            # multi-chip path: row-shard the constraint systems over the mesh
+            from ..parallel.sharded_cp import chambolle_pock_ppd_sharded
+
+            x = chambolle_pock_ppd_sharded(
+                lp_reduced.costsvector, a_eq_r,
+                lp_reduced.b_equalities if a_eq_r is not None else None,
+                a_ineq_r,
+                lp_reduced.b_lower if a_ineq_r is not None else None,
+                lp_reduced.b_upper if a_ineq_r is not None else None,
+                lp_reduced.lower_bounds, lp_reduced.upper_bounds, mesh,
+                nb_max_iter=nb_iter, nb_iter_plot=nb_iter_plot,
+                callback_func=back, max_time=max_time,
+                **({"dtype": dtype} if dtype is not None else {}),
+                **solver_kwargs,
+            )
+            return m_change @ x + shift
         x, _best = chambolle_pock_ppd(
             lp_reduced.costsvector,
             a_eq_r if a_eq_r is not None else None,

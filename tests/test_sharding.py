@@ -86,3 +86,16 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_solve_dispatch_with_mesh(problem):
+    """lp.solve(method='chambolle_pock_ppd', mesh=...) routes to the
+    row-sharded multi-chip solver and matches the single-device result."""
+    lp = problem
+    x1, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=3000,
+                     nb_iter_plot=3000)
+    mesh = default_mesh(8)
+    x8, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=3000,
+                     nb_iter_plot=3000, mesh=mesh, dtype=np.float64)
+    np.testing.assert_allclose(x8, x1, atol=1e-10)
+    assert len(lp.itrn_curve) == 1
