@@ -50,8 +50,10 @@ def _sc105_lp():
 
 def measure_sc105(tol=1e-3):
     lp, gt = _sc105_lp()
+    # nb_iter_plot doubles as the restart-check period; 4000 balances
+    # restart cadence against host round-trips (tuned on the tunneled v5e)
     kwargs = dict(method="chambolle_pock_ppd", nb_iter=120000,
-                  nb_iter_plot=2000, restart="average", dtype=np.float32,
+                  nb_iter_plot=4000, restart="average", dtype=np.float32,
                   ground_truth=gt,
                   ground_truth_indices=np.arange(len(gt)))
     lp.solve(**kwargs)  # warmup: compile every chunk shape

@@ -286,27 +286,193 @@ def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
     return run(data, state)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "nsteps"))
+def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
+    """Restart-capable chunk: also returns the epoch-average state and the
+    KKT scores of the current and average points (multi-chip mirror of
+    ``solvers.chambolle_pock._cp_chunk_restart``; scores reduce with psum)."""
+    axis = mesh.axis_names[0]
+    has_eq = "eq" in data
+    has_ineq = "ineq" in data
+
+    in_specs_data = jax.tree.map(lambda _: P(), data)
+    for name in ("eq", "ineq"):
+        if name in data:
+            in_specs_data[name] = jax.tree.map(lambda _: P(axis), data[name])
+    in_specs_state = {"x": P(), "x3": P()}
+    if has_eq:
+        in_specs_state["y_eq"] = P(axis)
+    if has_ineq:
+        in_specs_state["y_ineq"] = P(axis)
+    out_specs = (dict(in_specs_state), dict(in_specs_state), P(), P())
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(in_specs_data, in_specs_state),
+        out_specs=out_specs,
+    )
+    def run(d, s):
+        c, lb, ub, diag_t = d["c"], d["lb"], d["ub"], d["diag_t"]
+        theta = d["theta"]
+
+        def squeeze(t):
+            return jax.tree.map(lambda v: v[0], t)
+
+        eq_l = squeeze(d["eq"]) if has_eq else None
+        in_l = squeeze(d["ineq"]) if has_ineq else None
+
+        def one_iter(carry):
+            x, x3, y_eq, y_ineq = carry
+            d_part = jnp.zeros_like(c)
+            if has_eq:
+                d_part = d_part + _local_rmatvec(
+                    eq_l["vals_t"], eq_l["rows_t"], y_eq)
+            if has_ineq:
+                d_part = d_part + _local_rmatvec(
+                    in_l["vals_t"], in_l["rows_t"], y_ineq)
+            dd = c + jax.lax.psum(d_part, axis)
+            x2 = jnp.clip(x - diag_t * dd, lb, ub)
+            x3 = (1.0 + theta) * x2 - theta * x
+            x = x2
+            if has_eq:
+                r = _local_matvec(eq_l["vals"], eq_l["cols"], x3) - eq_l["b"]
+                y_eq = y_eq + eq_l["sigma"] * r
+            if has_ineq:
+                r = _local_matvec(in_l["vals"], in_l["cols"], x3) - in_l["b"]
+                y_ineq = jnp.maximum(y_ineq + in_l["sigma"] * r, 0.0)
+            return (x, x3, y_eq, y_ineq)
+
+        def body(_, carry):
+            s, (sx, se, si) = carry
+            s = one_iter(s)
+            return s, (sx + s[0], se + s[2], si + s[3])
+
+        y_eq0 = s["y_eq"][0] if has_eq else jnp.zeros((0,), c.dtype)
+        y_in0 = s["y_ineq"][0] if has_ineq else jnp.zeros((0,), c.dtype)
+        s0 = (s["x"], s["x3"], y_eq0, y_in0)
+        sums0 = (jnp.zeros_like(c), jnp.zeros_like(y_eq0),
+                 jnp.zeros_like(y_in0))
+        (x, x3, y_eq, y_ineq), (sx, se, si) = jax.lax.fori_loop(
+            0, nsteps, body, (s0, sums0))
+        inv = 1.0 / max(nsteps, 1)  # nsteps=0 = score-only call
+        ax, ae, ai = sx * inv, se * inv, si * inv
+
+        def kkt(x, y_eq, y_ineq):
+            d_part = jnp.zeros_like(c)
+            pviol = jnp.asarray(0.0, c.dtype)
+            dual_loc = jnp.asarray(0.0, c.dtype)
+            if has_eq:
+                d_part = d_part + _local_rmatvec(
+                    eq_l["vals_t"], eq_l["rows_t"], y_eq)
+                r = (_local_matvec(eq_l["vals"], eq_l["cols"], x)
+                     - eq_l["b"]) * eq_l["row_mask"]
+                pviol = pviol + jnp.sum(r * r)
+                dual_loc = dual_loc - jnp.dot(y_eq, eq_l["b"])
+            if has_ineq:
+                d_part = d_part + _local_rmatvec(
+                    in_l["vals_t"], in_l["rows_t"], y_ineq)
+                r = jnp.maximum(
+                    _local_matvec(in_l["vals"], in_l["cols"], x)
+                    - in_l["b"], 0.0) * in_l["row_mask"]
+                pviol = pviol + jnp.sum(r * r)
+                dual_loc = dual_loc - jnp.dot(y_ineq, in_l["b"])
+            dd = c + jax.lax.psum(d_part, axis)
+            pviol = jax.lax.psum(pviol, axis)
+            dual = jax.lax.psum(dual_loc, axis) + jnp.sum(
+                jnp.where(dd < 0, dd * ub, dd * lb))
+            pobj = jnp.dot(c, x)
+            gap = jnp.abs(pobj - dual) / (1.0 + jnp.abs(pobj)
+                                          + jnp.abs(dual))
+            return jnp.sqrt(pviol + gap * gap)
+
+        s_cur = kkt(x, y_eq, y_ineq)
+        s_avg = kkt(ax, ae, ai)
+
+        def pack(x, x3, y_eq, y_ineq):
+            out = {"x": x, "x3": x3}
+            if has_eq:
+                out["y_eq"] = y_eq[None, :]
+            if has_ineq:
+                out["y_ineq"] = y_ineq[None, :]
+            return out
+
+        return (pack(x, x3, y_eq, y_ineq), pack(ax, ax, ae, ai),
+                s_cur, s_avg)
+
+    return run(data, state)
+
+
 def chambolle_pock_ppd_sharded(
     c, a_eq, beq, a_ineq, b_lower, b_upper, lb, ub, mesh,
     nb_max_iter=1000, nb_iter_plot=100, callback_func=None, max_time=None,
-    dtype=np.float32, alpha=1.0,
+    dtype=np.float32, alpha=1.0, restart=None, omega=None,
 ):
-    """Mesh-parallel CP-PPD with the standard solver contract; returns x."""
+    """Mesh-parallel CP-PPD with the standard solver contract; returns x.
+
+    ``restart``/``omega`` mirror the single-chip solver's PDLP-style
+    acceleration (restart decisions and primal-weight updates run on host
+    between chunks; all scoring reduces over the mesh with psum)."""
     import time
 
     from ..solvers.base import chunk_schedule, emit_callback
-    from ..solvers.chambolle_pock import _fold_one_sided
+    from ..solvers.chambolle_pock import _fold_one_sided, estimate_omega
 
+    if restart is not None and omega is None:
+        omega = "auto"
     a_one, b_ineq = _fold_one_sided(a_ineq, b_lower, b_upper)
+    if omega == "auto":
+        omega = estimate_omega(c, beq if a_eq is not None else None, b_ineq)
+    omega = float(omega) if omega is not None else 1.0
     data, state = build_sharded_cp_data(
         np.asarray(c, float), a_eq, beq, a_one, b_ineq,
         np.asarray(lb, float), np.asarray(ub, float), mesh,
         alpha=alpha, dtype=dtype,
     )
+    if omega != 1.0:
+        data = _rescale_steps(data, omega)
+
+    BETA_SUF, BETA_NEC = 0.2, 0.8
+    mu_restart = None
+    mu_last = np.inf
+    z_restart = None
+
     start = time.perf_counter()
     niter = 0
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
-        state, metrics = sharded_cp_chunk(data, state, mesh, nsteps)
+        if restart == "average":
+            if mu_restart is None:
+                # score of the initial point (0-step call), matching the
+                # single-chip solver's trigger seeding
+                _s, _a, s0c, _sa = sharded_cp_chunk_restart(
+                    data, state, mesh, 0)
+                mu_restart = float(s0c)
+                z_restart = _host_point(state)
+            state, avg, s_cur, s_avg = sharded_cp_chunk_restart(
+                data, state, mesh, nsteps)
+            s_cur, s_avg = float(s_cur), float(s_avg)
+            mu_c = min(s_cur, s_avg)
+            do_restart = mu_c <= BETA_SUF * mu_restart or (
+                mu_c <= BETA_NEC * mu_restart and mu_c > mu_last
+            )
+            mu_last = mu_c
+            if do_restart:
+                z = avg if s_avg < s_cur else state
+                zh = _host_point(z)
+                dx = float(np.linalg.norm(zh[0] - z_restart[0]))
+                dy = float(np.linalg.norm(zh[1] - z_restart[1]))
+                if dx > 1e-30 and dy > 1e-30:
+                    new = float(np.exp(0.5 * np.log(dy / dx)
+                                       + 0.5 * np.log(omega)))
+                    data = _rescale_steps(data, new / omega)
+                    omega = new
+                state = {k: (v if k != "x3" else z["x"]) for k, v in
+                         z.items()}
+                mu_restart = mu_c
+                mu_last = np.inf
+                z_restart = zh
+            _st, metrics = sharded_cp_chunk(data, state, mesh, 0)
+        else:
+            state, metrics = sharded_cp_chunk(data, state, mesh, nsteps)
         niter += nsteps
         elapsed = time.perf_counter() - start
         emit_callback(
@@ -318,3 +484,21 @@ def chambolle_pock_ppd_sharded(
         if max_time is not None and elapsed > max_time:
             break
     return np.asarray(state["x"], np.float64)
+
+
+def _rescale_steps(data, ratio):
+    data = dict(data)
+    data["diag_t"] = data["diag_t"] * ratio
+    for name in ("eq", "ineq"):
+        if name in data:
+            sys_ = dict(data[name])
+            sys_["sigma"] = sys_["sigma"] / ratio
+            data[name] = sys_
+    return data
+
+
+def _host_point(state):
+    ys = [np.asarray(state[k]).ravel() for k in ("y_eq", "y_ineq")
+          if k in state]
+    return (np.asarray(state["x"]),
+            np.concatenate(ys) if ys else np.zeros(0))

@@ -122,6 +122,24 @@ def cp_chunk_impl(prob: LPProblem, pre, state, nsteps: int):
 _cp_chunk = functools.partial(jax.jit, static_argnames=("nsteps",))(cp_chunk_impl)
 
 
+def estimate_omega(c, beq=None, b_ineq=None):
+    """Primal-weight estimate: ratio of the primal scale (finite nonzero rhs
+    magnitudes) to the dual scale (nonzero cost magnitudes)."""
+    prim = []
+    if beq is not None:
+        prim.append(np.abs(np.asarray(beq, np.float64)))
+    if b_ineq is not None:
+        b = np.asarray(b_ineq, np.float64)
+        prim.append(np.abs(b[np.isfinite(b)]))
+    prim = np.concatenate(prim) if prim else np.zeros(0)
+    prim = prim[prim > 0]
+    c = np.asarray(c, np.float64)
+    dual = np.abs(c[c != 0])
+    if prim.size and dual.size:
+        return float(np.clip(np.median(prim) / np.median(dual), 1e-4, 1e4))
+    return 1.0
+
+
 @jax.jit
 def _kkt_score(prob: LPProblem, x, y_eq, y_ineq):
     """KKT progress metric for restart decisions (PDLP-style): l2 primal
@@ -261,18 +279,8 @@ def chambolle_pock_ppd(
     # diagonal preconditioners (``ChambollePockPPD.py:122-179``):
     #   T_jj = 1 / sum_i |a_ij|^{2-alpha},  Σ_ii = 1 / sum_j |a_ij|^{alpha}
     if omega == "auto":
-        # primal scale from finite rhs/bound magnitudes, dual scale from
-        # the nonzero cost magnitudes
-        prim = [np.abs(beq)] if a_eq is not None else []
-        if in_m is not None:
-            prim.append(np.abs(b_ineq[np.isfinite(b_ineq)]))
-        prim = np.concatenate(prim) if prim else np.zeros(0)
-        prim = prim[prim > 0]
-        dual = np.abs(c[c != 0])
-        omega = 1.0
-        if prim.size and dual.size:
-            omega = float(np.clip(np.median(prim) / np.median(dual),
-                                  1e-4, 1e4))
+        omega = estimate_omega(c, beq if a_eq is not None else None,
+                               b_ineq if in_m is not None else None)
     omega = float(omega) if omega is not None else 1.0
 
     col_sum = jnp.zeros(n, dtype)

@@ -99,3 +99,26 @@ def test_solve_dispatch_with_mesh(problem):
                      nb_iter_plot=3000, mesh=mesh, dtype=np.float64)
     np.testing.assert_allclose(x8, x1, atol=1e-10)
     assert len(lp.itrn_curve) == 1
+
+
+def test_sharded_restart_accelerates(problem):
+    """Multi-chip restart+omega mirrors the single-chip acceleration.
+
+    The trajectories are not bitwise comparable (different operator
+    layouts → different rounding → threshold-based restart decisions can
+    flip), so both are held to the same solution-quality bar instead.
+    """
+    lp = problem
+    mesh = default_mesh(8)
+    x8 = chambolle_pock_ppd_sharded(
+        lp.costsvector, lp.a_equalities.tocsr(), lp.b_equalities,
+        lp.a_inequalities.tocsr(), lp.b_lower, lp.b_upper,
+        lp.lower_bounds, lp.upper_bounds, mesh,
+        nb_max_iter=3000, nb_iter_plot=500, dtype=np.float64,
+        restart="average",
+    )
+    x1, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=3000,
+                     nb_iter_plot=500, restart="average")
+    ref, _ = lp.solve(method="scipy_simplex")
+    assert np.mean(np.abs(x8 - ref)) < 1e-2
+    assert np.mean(np.abs(x1 - ref)) < 1e-2
