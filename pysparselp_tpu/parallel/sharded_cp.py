@@ -304,7 +304,11 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
         in_specs_state["y_eq"] = P(axis)
     if has_ineq:
         in_specs_state["y_ineq"] = P(axis)
-    out_specs = (dict(in_specs_state), dict(in_specs_state), P(), P())
+    out_specs = (
+        dict(in_specs_state), dict(in_specs_state), P(), P(),
+        {"energy1": P(), "max_violated_equality": P(),
+         "max_violated_inequality": P()},
+    )
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -388,6 +392,26 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
         s_cur = kkt(x, y_eq, y_ineq)
         s_avg = kkt(ax, ae, ai)
 
+        # standard chunk metrics for the callback contract
+        energy1 = jnp.dot(c, x)
+        max_v_eq = jnp.asarray(0.0, c.dtype)
+        max_v_ineq = jnp.asarray(0.0, c.dtype)
+        if has_eq:
+            r = (_local_matvec(eq_l["vals"], eq_l["cols"], x)
+                 - eq_l["b"]) * eq_l["row_mask"]
+            energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
+            max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
+        if has_ineq:
+            r = (_local_matvec(in_l["vals"], in_l["cols"], x)
+                 - in_l["b"]) * in_l["row_mask"]
+            energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
+            max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
+        metrics = {
+            "energy1": energy1,
+            "max_violated_equality": max_v_eq,
+            "max_violated_inequality": max_v_ineq,
+        }
+
         def pack(x, x3, y_eq, y_ineq):
             out = {"x": x, "x3": x3}
             if has_eq:
@@ -397,7 +421,7 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
             return out
 
         return (pack(x, x3, y_eq, y_ineq), pack(ax, ax, ae, ai),
-                s_cur, s_avg)
+                s_cur, s_avg, metrics)
 
     return run(data, state)
 
@@ -443,11 +467,11 @@ def chambolle_pock_ppd_sharded(
             if mu_restart is None:
                 # score of the initial point (0-step call), matching the
                 # single-chip solver's trigger seeding
-                _s, _a, s0c, _sa = sharded_cp_chunk_restart(
+                _s, _a, s0c, _sa, _m = sharded_cp_chunk_restart(
                     data, state, mesh, 0)
                 mu_restart = float(s0c)
                 z_restart = _host_point(state)
-            state, avg, s_cur, s_avg = sharded_cp_chunk_restart(
+            state, avg, s_cur, s_avg, metrics = sharded_cp_chunk_restart(
                 data, state, mesh, nsteps)
             s_cur, s_avg = float(s_cur), float(s_avg)
             mu_c = min(s_cur, s_avg)
@@ -470,7 +494,6 @@ def chambolle_pock_ppd_sharded(
                 mu_restart = mu_c
                 mu_last = np.inf
                 z_restart = zh
-            _st, metrics = sharded_cp_chunk(data, state, mesh, 0)
         else:
             state, metrics = sharded_cp_chunk(data, state, mesh, nsteps)
         niter += nsteps

@@ -170,11 +170,12 @@ def _kkt_score(prob: LPProblem, x, y_eq, y_ineq):
 
 @functools.partial(jax.jit, static_argnames=("nsteps",))
 def _cp_chunk_restart(prob: LPProblem, pre, state, nsteps: int):
-    """Chunk that also accumulates the epoch average iterate and scores both
+    """Chunk that also accumulates the epoch average iterate, scores both
     the current and the average point (adaptive restart-to-average; see
     Applegate et al., "Practical Large-Scale Linear Programming using
     Primal-Dual Hybrid Gradient" — the PDLP restart scheme, adapted to the
-    diagonal-preconditioned iteration)."""
+    diagonal-preconditioned iteration), and evaluates the standard metrics —
+    one device dispatch per chunk."""
     x, x3, y_eq, y_ineq = state
     sums = (jnp.zeros_like(x), jnp.zeros_like(y_eq), jnp.zeros_like(y_ineq))
 
@@ -184,17 +185,12 @@ def _cp_chunk_restart(prob: LPProblem, pre, state, nsteps: int):
         return s, (sx + s[0], se + s[2], si + s[3])
 
     state, (sx, se, si) = jax.lax.fori_loop(0, nsteps, body, (state, sums))
-    inv = 1.0 / nsteps
+    inv = 1.0 / max(nsteps, 1)
     avg = (sx * inv, se * inv, si * inv)
     score_cur = _kkt_score(prob, state[0], state[2], state[3])
     score_avg = _kkt_score(prob, *avg)
-    return state, avg, score_cur, score_avg
-
-
-@jax.jit
-def _cp_metrics_only(prob: LPProblem, pre, state):
     _, metrics = cp_chunk_impl(prob, pre, state, 0)
-    return metrics
+    return state, avg, score_cur, score_avg, metrics
 
 
 def chambolle_pock_ppd(
@@ -327,7 +323,7 @@ def chambolle_pock_ppd(
                                               state[3]))
                 z_restart = (to_np(state[0]), to_np(state[2]),
                              to_np(state[3]))
-            state, avg, s_cur, s_avg = _cp_chunk_restart(
+            state, avg, s_cur, s_avg, metrics = _cp_chunk_restart(
                 prob, pre, state, nsteps
             )
             s_cur, s_avg = float(s_cur), float(s_avg)
@@ -362,7 +358,6 @@ def chambolle_pock_ppd(
                 mu_restart = mu_c
                 mu_last_cand = np.inf
                 z_restart = (zx, zeq, zineq)
-            metrics = _cp_metrics_only(prob, pre, state)
         else:
             state, metrics = _cp_chunk(prob, pre, state, nsteps)
         niter += nsteps

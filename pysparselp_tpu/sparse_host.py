@@ -97,6 +97,32 @@ class BlockedCSR:
             self.set_ncols(a.shape[1])
         self.append_rows(a.data, a.indices, np.diff(a.indptr))
 
+    def check(self) -> bool:
+        """Validate internal consistency (equivalent of the reference's
+        ``check_csr_matrix``, ``SparseLP.py:86-91``): per-row nnz counts
+        match the stored data, column indices are in range, and the blocks
+        metadata exactly tiles the appended rows."""
+        total = 0
+        for data, idx, cnt in zip(self._data_chunks, self._indices_chunks,
+                                  self._row_nnz_chunks):
+            assert data.size == idx.size == int(cnt.sum()), (
+                "chunk nnz bookkeeping is inconsistent"
+            )
+            if idx.size:
+                assert idx.min() >= 0 and idx.max() < self.ncols, (
+                    "column index out of range"
+                )
+            total += int(cnt.size)
+        assert total == self.nrows, "row count mismatch"
+        prev_end = 0
+        for start, end in self.blocks:
+            assert start == prev_end and end >= start, (
+                f"blocks must tile the rows contiguously, got {self.blocks}"
+            )
+            prev_end = end
+        assert prev_end == self.nrows, "blocks do not cover all rows"
+        return True
+
     # -- views ------------------------------------------------------------
 
     @property

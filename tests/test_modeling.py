@@ -187,3 +187,21 @@ def test_blocks_tracked_per_batch():
     lp.add_equality_constraints(idx[None, :3], np.ones((1, 3)), b=np.array([1.0]))
     lp.add_equality_constraints(idx[None, 3:], np.ones((1, 3)), b=np.array([1.0]))
     assert lp.a_equalities.blocks == [(0, 1), (1, 2)]
+
+
+def test_blocked_csr_check():
+    import scipy.sparse
+
+    from pysparselp_tpu.sparse_host import BlockedCSR
+
+    b = BlockedCSR(5)
+    b.append_scipy(scipy.sparse.random(3, 5, density=0.5, random_state=0))
+    b.append_scipy(scipy.sparse.random(2, 5, density=0.5, random_state=1))
+    assert b.check()
+    assert b.blocks == [(0, 3), (3, 5)]
+    # corrupt the blocks metadata -> check must fail
+    b.blocks[-1] = (3, 7)
+    import pytest
+
+    with pytest.raises(AssertionError):
+        b.check()
