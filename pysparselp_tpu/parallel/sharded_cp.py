@@ -485,7 +485,9 @@ def chambolle_pock_ppd_sharded(
                 dx = float(np.linalg.norm(zh[0] - z_restart[0]))
                 dy = float(np.linalg.norm(zh[1] - z_restart[1]))
                 if dx > 1e-30 and dy > 1e-30:
-                    new = float(np.exp(0.5 * np.log(dy / dx)
+                    # ω is the primal weight (diag_t scales with ω):
+                    # movement update uses Δx/Δy
+                    new = float(np.exp(0.5 * np.log(dx / dy)
                                        + 0.5 * np.log(omega)))
                     data = _rescale_steps(data, new / omega)
                     omega = new

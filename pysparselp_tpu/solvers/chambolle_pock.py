@@ -122,6 +122,101 @@ def cp_chunk_impl(prob: LPProblem, pre, state, nsteps: int):
 _cp_chunk = functools.partial(jax.jit, static_argnames=("nsteps",))(cp_chunk_impl)
 
 
+def _scale_pre(pre, omega):
+    """Apply the primal weight to the diagonal step sizes (τσ invariant)."""
+    out = dict(pre)
+    out["diag_t"] = pre["diag_t"] * omega
+    if "sigma_eq" in pre:
+        out["sigma_eq"] = pre["sigma_eq"] / omega
+    if "sigma_ineq" in pre:
+        out["sigma_ineq"] = pre["sigma_ineq"] / omega
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "period"))
+def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
+                             period: int):
+    """Device-resident restart controller: runs ``nsteps`` iterations with a
+    PDLP restart check every ``period`` iterations entirely on device (one
+    dispatch per chunk, no host synchronization for scores or the
+    primal-weight update).  ``rstate`` carries the solver state plus the
+    controller scalars (ω, score at last restart, last candidate score) and
+    the last restart point.  Semantics match the host controller in
+    :func:`chambolle_pock_ppd` when ``period == nb_iter_plot``."""
+    beta_suf, beta_nec = 0.2, 0.8
+    nblocks = max(nsteps // period, 0)
+    rem = nsteps - nblocks * period
+
+    def run_block(rs):
+        state = rs["state"]
+        pre = _scale_pre(pre_base, rs["omega"])
+        x0 = state[0]
+        sums = (jnp.zeros_like(state[0]), jnp.zeros_like(state[2]),
+                jnp.zeros_like(state[3]))
+
+        def body(_, carry):
+            s, (sx, se, si) = carry
+            s = _cp_iteration(prob, pre, s)
+            return s, (sx + s[0], se + s[2], si + s[3])
+
+        (state, (sx, se, si)) = jax.lax.fori_loop(0, period, body,
+                                                  (state, sums))
+        inv = 1.0 / period
+        avg = (sx * inv, se * inv, si * inv)
+        s_cur = _kkt_score(prob, state[0], state[2], state[3])
+        s_avg = _kkt_score(prob, *avg)
+        mu_c = jnp.minimum(s_cur, s_avg)
+        do = (mu_c <= beta_suf * rs["mu_restart"]) | (
+            (mu_c <= beta_nec * rs["mu_restart"]) & (mu_c > rs["mu_last"])
+        )
+        use_avg = s_avg < s_cur
+        zx = jnp.where(use_avg, avg[0], state[0])
+        zeq = jnp.where(use_avg, avg[1], state[2])
+        zineq = jnp.where(use_avg, avg[2], state[3])
+        dx = jnp.linalg.norm(zx - rs["zx"])
+        dy = jnp.sqrt(jnp.sum((zeq - rs["zeq"]) ** 2)
+                      + jnp.sum((zineq - rs["zineq"]) ** 2))
+        valid = (dx > 1e-30) & (dy > 1e-30)
+        # ω here is the PRIMAL weight (diag_t scales with ω), so the PDLP
+        # movement update uses Δx/Δy: when the primal iterate moves farther
+        # than the dual, primal steps should grow
+        om_new = jnp.where(
+            do & valid,
+            jnp.exp(0.5 * jnp.log(dx / jnp.maximum(dy, 1e-30))
+                    + 0.5 * jnp.log(rs["omega"])),
+            rs["omega"],
+        )
+        new_state = (
+            jnp.where(do, zx, state[0]),
+            jnp.where(do, zx, state[1]),
+            jnp.where(do, zeq, state[2]),
+            jnp.where(do, zineq, state[3]),
+        )
+        del x0
+        return {
+            "state": new_state,
+            "omega": om_new,
+            "mu_restart": jnp.where(do, mu_c, rs["mu_restart"]),
+            "mu_last": jnp.where(do, jnp.asarray(jnp.inf, mu_c.dtype),
+                                 mu_c),
+            "zx": jnp.where(do, zx, rs["zx"]),
+            "zeq": jnp.where(do, zeq, rs["zeq"]),
+            "zineq": jnp.where(do, zineq, rs["zineq"]),
+        }
+
+    rstate = jax.lax.fori_loop(0, nblocks, lambda _, rs: run_block(rs),
+                               rstate)
+    if rem:
+        pre = _scale_pre(pre_base, rstate["omega"])
+        state = jax.lax.fori_loop(
+            0, rem, lambda _, s: _cp_iteration(prob, pre, s),
+            rstate["state"])
+        rstate = dict(rstate, state=state)
+    _, metrics = cp_chunk_impl(prob, _scale_pre(pre_base, rstate["omega"]),
+                               rstate["state"], 0)
+    return rstate, metrics
+
+
 def estimate_omega(c, beq=None, b_ineq=None):
     """Primal-weight estimate: ratio of the primal scale (finite nonzero rhs
     magnitudes) to the dual scale (nonzero cost magnitudes)."""
@@ -168,31 +263,6 @@ def _kkt_score(prob: LPProblem, x, y_eq, y_ineq):
     return jnp.sqrt(pviol + gap * gap)
 
 
-@functools.partial(jax.jit, static_argnames=("nsteps",))
-def _cp_chunk_restart(prob: LPProblem, pre, state, nsteps: int):
-    """Chunk that also accumulates the epoch average iterate, scores both
-    the current and the average point (adaptive restart-to-average; see
-    Applegate et al., "Practical Large-Scale Linear Programming using
-    Primal-Dual Hybrid Gradient" — the PDLP restart scheme, adapted to the
-    diagonal-preconditioned iteration), and evaluates the standard metrics —
-    one device dispatch per chunk."""
-    x, x3, y_eq, y_ineq = state
-    sums = (jnp.zeros_like(x), jnp.zeros_like(y_eq), jnp.zeros_like(y_ineq))
-
-    def body(_, carry):
-        s, (sx, se, si) = carry
-        s = _cp_iteration(prob, pre, s)
-        return s, (sx + s[0], se + s[2], si + s[3])
-
-    state, (sx, se, si) = jax.lax.fori_loop(0, nsteps, body, (state, sums))
-    inv = 1.0 / max(nsteps, 1)
-    avg = (sx * inv, se * inv, si * inv)
-    score_cur = _kkt_score(prob, state[0], state[2], state[3])
-    score_avg = _kkt_score(prob, *avg)
-    _, metrics = cp_chunk_impl(prob, pre, state, 0)
-    return state, avg, score_cur, score_avg, metrics
-
-
 def chambolle_pock_ppd(
     c,
     a_eq,
@@ -215,6 +285,7 @@ def chambolle_pock_ppd(
     start_time=None,
     restart=None,
     omega=None,
+    restart_period=None,
 ):
     """Solve the LP with preconditioned CP-PPD; returns ``(x, best_integer_solution)``.
 
@@ -284,14 +355,15 @@ def chambolle_pock_ppd(
         col_sum = col_sum + eq_m.abs_power_colsum(2.0 - alpha)
     if in_m is not None:
         col_sum = col_sum + in_m.abs_power_colsum(2.0 - alpha)
-    diag_t = omega / jnp.where(col_sum == 0, 1.0, col_sum)
+    diag_t = 1.0 / jnp.where(col_sum == 0, 1.0, col_sum)
     pre = dict(diag_t=diag_t, theta=jnp.asarray(theta, dtype))
     if eq_m is not None:
         rs = eq_m.abs_power_rowsum(alpha)
-        pre["sigma_eq"] = (1.0 / omega) / jnp.where(rs == 0, 1.0, rs)
+        pre["sigma_eq"] = 1.0 / jnp.where(rs == 0, 1.0, rs)
     if in_m is not None:
         rs = in_m.abs_power_rowsum(alpha)
-        pre["sigma_ineq"] = (1.0 / omega) / jnp.where(rs == 0, 1.0, rs)
+        pre["sigma_ineq"] = 1.0 / jnp.where(rs == 0, 1.0, rs)
+    pre_eff = _scale_pre(pre, omega) if omega != 1.0 else pre
 
     x = jnp.asarray(x0 if x0 is not None else np.zeros(n), dtype)
     state = (
@@ -305,61 +377,31 @@ def chambolle_pock_ppd(
     best_integer_solution = None
     best_integer_energy = np.inf
     niter = 0
-    # PDLP-style adaptive restart state (Applegate et al. 2021, §3.2-3.3):
-    # restart when the candidate's KKT score has decayed sufficiently
-    # (β_suf) since the last restart, or decayed necessarily (β_nec) and
-    # stalled; on restart, rebalance the primal weight ω from the observed
-    # primal/dual movement and rescale the diagonal step sizes.
-    BETA_SUF, BETA_NEC = 0.2, 0.8
-    mu_restart = None
-    mu_last_cand = np.inf
-    omega = 1.0
-    z_restart = None
+    # device-resident PDLP restart controller state (restart="average"):
+    # seeded with the KKT score of the initial point; checks run on device
+    # every restart_period iterations with no host synchronization
+    rstate = None
+    if restart == "average":
+        period = int(min(restart_period or nb_iter_plot, nb_iter_plot))
+        rstate = {
+            "state": state,
+            "omega": jnp.asarray(omega, dtype),
+            "mu_restart": _kkt_score(prob, state[0], state[2],
+                                     state[3]).astype(dtype),
+            "mu_last": jnp.asarray(np.inf, dtype),
+            "zx": state[0],
+            "zeq": state[2],
+            "zineq": state[3],
+        }
 
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
         if restart == "average":
-            if mu_restart is None:
-                mu_restart = float(_kkt_score(prob, state[0], state[2],
-                                              state[3]))
-                z_restart = (to_np(state[0]), to_np(state[2]),
-                             to_np(state[3]))
-            state, avg, s_cur, s_avg, metrics = _cp_chunk_restart(
-                prob, pre, state, nsteps
+            rstate, metrics = _cp_chunk_restart_device(
+                prob, pre, rstate, nsteps, period
             )
-            s_cur, s_avg = float(s_cur), float(s_avg)
-            cand_avg = s_avg < s_cur
-            mu_c = min(s_avg, s_cur)
-            do_restart = mu_c <= BETA_SUF * mu_restart or (
-                mu_c <= BETA_NEC * mu_restart and mu_c > mu_last_cand
-            )
-            mu_last_cand = mu_c
-            if do_restart:
-                z = avg if cand_avg else (state[0], state[2], state[3])
-                zx, zeq, zineq = (to_np(z[0]), to_np(z[1]), to_np(z[2]))
-                dx = float(np.linalg.norm(zx - z_restart[0]))
-                dy = float(np.linalg.norm(
-                    np.concatenate([zeq - z_restart[1],
-                                    zineq - z_restart[2]])
-                ))
-                if dx > 1e-30 and dy > 1e-30:
-                    omega_new = float(
-                        np.exp(0.5 * np.log(dy / dx) + 0.5 * np.log(omega))
-                    )
-                    ratio = jnp.asarray(omega_new / omega, dtype)
-                    pre = dict(pre)
-                    pre["diag_t"] = pre["diag_t"] / ratio
-                    if "sigma_eq" in pre:
-                        pre["sigma_eq"] = pre["sigma_eq"] * ratio
-                    if "sigma_ineq" in pre:
-                        pre["sigma_ineq"] = pre["sigma_ineq"] * ratio
-                    omega = omega_new
-                state = (jnp.asarray(zx, dtype), jnp.asarray(zx, dtype),
-                         jnp.asarray(zeq, dtype), jnp.asarray(zineq, dtype))
-                mu_restart = mu_c
-                mu_last_cand = np.inf
-                z_restart = (zx, zeq, zineq)
+            state = rstate["state"]
         else:
-            state, metrics = _cp_chunk(prob, pre, state, nsteps)
+            state, metrics = _cp_chunk(prob, pre_eff, state, nsteps)
         niter += nsteps
         if force_integer and bool(metrics["rounded_feasible"]):
             er = float(metrics["energy_rounded"])
