@@ -20,7 +20,13 @@ on this host CPU (3716 iters/s, converged to the graph-cut optimum).
 import json
 import time
 
+import jax
 import numpy as np
+
+# SC105 runs in f64 (emulated on TPU, but this tiny problem is
+# dispatch/overhead-bound, and f64 restart dynamics converge in ~2.5x fewer
+# iterations than f32); Potts below explicitly requests float32.
+jax.config.update("jax_enable_x64", True)
 
 REF_SC105_TIME_TO_1E3 = 19.28   # seconds, reference CP-PPD on this host CPU
 REF_POTTS_ITERS_PER_SEC = 3716.4  # reference CP-PPD on this host CPU
@@ -52,8 +58,8 @@ def measure_sc105(tol=1e-3):
     lp, gt = _sc105_lp()
     # nb_iter_plot doubles as the restart-check period; 4000 balances
     # restart cadence against host round-trips (tuned on the tunneled v5e)
-    kwargs = dict(method="chambolle_pock_ppd", nb_iter=120000,
-                  nb_iter_plot=4000, restart="average", dtype=np.float32,
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=40000,
+                  nb_iter_plot=4000, restart="average", dtype=np.float64,
                   ground_truth=gt,
                   ground_truth_indices=np.arange(len(gt)))
     lp.solve(**kwargs)  # warmup: compile every chunk shape

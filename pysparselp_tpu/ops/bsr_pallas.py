@@ -142,16 +142,20 @@ def _pallas_spmv(tiles, cols, x3d, interpret=False):
     t_rows, k, tn, tm = tiles.shape
     acc_dtype = jnp.float32 if tiles.dtype == jnp.bfloat16 else tiles.dtype
     n_planes = x3d.shape[1]
+    # index maps must stay i32 — under jax_enable_x64, bare python-int
+    # returns trace to i64 block indices, which Mosaic cannot legalize
+    i32 = jnp.int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_rows // ROW_GROUP,),
         in_specs=[
             pl.BlockSpec((x3d.shape[0], n_planes, tn),
-                         lambda g, cols: (0, 0, 0)),
+                         lambda g, cols: (i32(0), i32(0), i32(0))),
             pl.BlockSpec((ROW_GROUP, k, tn, tm),
-                         lambda g, cols: (g, 0, 0, 0)),
+                         lambda g, cols: (i32(g), i32(0), i32(0), i32(0))),
         ],
-        out_specs=pl.BlockSpec((ROW_GROUP, tm), lambda g, cols: (g, 0)),
+        out_specs=pl.BlockSpec((ROW_GROUP, tm),
+                               lambda g, cols: (i32(g), i32(0))),
     )
     return pl.pallas_call(
         _make_spmv_kernel(ROW_GROUP, k, tm, acc_dtype, n_planes,

@@ -5,10 +5,14 @@ Same algorithm as the reference's flagship first-order solver
 "Diagonal preconditioning for first order primal-dual algorithms"), rebuilt
 TPU-first: the hot loop — two transpose-SpMVs, a box-projected primal step,
 over-relaxation, two SpMVs and the dual ascent — is a single fused
-``lax.fori_loop`` body compiled once per problem shape.  All SpMVs are
-gathers on the dual-ELL layout (:class:`~pysparselp_tpu.problem.EllMatrix`),
-so one iteration is pure VPU work with no host round-trips; metrics are
+``lax.fori_loop`` body compiled once per problem shape.  SpMVs run on the
+auto-selected operator backend (:func:`~pysparselp_tpu.problem.ell_from_scipy`:
+MXU dense / Pallas block-ELL / DIA shifts / gather-ELL); metrics are
 evaluated on device once per ``nb_iter_plot`` chunk.
+
+Beyond the reference, an opt-in PDLP-style acceleration (primal weight +
+adaptive restart-to-average, Applegate et al. 2021) runs as a
+device-resident controller — see :func:`_cp_chunk_restart_device`.
 """
 
 from __future__ import annotations
@@ -286,6 +290,7 @@ def chambolle_pock_ppd(
     restart=None,
     omega=None,
     restart_period=None,
+    stop_tol=None,
 ):
     """Solve the LP with preconditioned CP-PPD; returns ``(x, best_integer_solution)``.
 
@@ -420,5 +425,15 @@ def chambolle_pock_ppd(
         )
         if loop.timed_out:
             break
+        if stop_tol is not None:
+            # tolerance termination (beyond the reference, which only has
+            # iteration/time budgets): feasibility + relative gap of the
+            # chunk metrics below stop_tol
+            e1, e2 = float(metrics["energy1"]), float(metrics["energy2"])
+            gap = abs(e1 - e2) / (1.0 + abs(e1) + abs(e2))
+            feas = max(float(metrics["max_violated_equality"]),
+                       float(metrics["max_violated_inequality"]))
+            if feas < stop_tol and gap < stop_tol:
+                break
 
     return to_np(state[0]), best_integer_solution

@@ -128,3 +128,12 @@ def test_sc105_restart_acceleration(sc105):
     x2, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=40000,
                      nb_iter_plot=40000, omega="auto")
     assert _dist(x2, gt) < 1.0
+
+
+def test_sc105_stop_tol_terminates_early(sc105):
+    lp, gt = sc105
+    x, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=200000,
+                    nb_iter_plot=2000, restart="average", stop_tol=1e-6)
+    # terminated well before the iteration budget, at the tolerance
+    assert lp.itrn_curve[-1] < 200000
+    assert _dist(x, gt) < 1e-3
