@@ -433,12 +433,16 @@ def dia_offset_count(a) -> int:
 # Backend auto-selection cost model, calibrated on a v5e: the streaming
 # backends (DIA shifts on the VPU, dense matvec on the MXU, Pallas BSR tile
 # dots) all run HBM-bound at ~600 GB/s, so cost ≈ bytes streamed per SpMV
-# direction pair, PLUS a fixed per-vector-op charge for DIA (each diagonal
-# is one shifted multiply-add; measured ~0.3 µs ≈ 180 KB-equivalent).
-# Matrices whose every entry is bf16-exact stream at half the bytes
-# (bf16 tile/diagonal storage).
+# direction pair.  DIA's true traffic is dominated by the accumulator and
+# x-slice RE-READS: each diagonal re-reads the n-vector slice and
+# read-modify-writes the m-vector accumulator, so per direction pair
+# bytes ≈ ndiag·(m+n)·(itemsize + 12), plus a small per-op launch charge
+# (~0.13 µs ≈ 80 KB).  Model validated against measured 73 µs (Potts-50,
+# 107 diagonals) and 3.25 ms (Potts-200, 407 diagonals).
+# Matrices whose every entry is bf16-exact stream at half the value bytes.
 DIA_AUTO_MAX_OFFSETS = 512
-DIA_OP_OVERHEAD_BYTES = 180_000
+DIA_REREAD_BYTES = 12                 # accumulator rmw + x slice, per entry
+DIA_OP_OVERHEAD_BYTES = 80_000
 DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024   # ~256 MB f32
 BSR_AUTO_MAX_ENTRIES = 128 * 1024 * 1024
 
@@ -486,7 +490,7 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
         ndiag = dia_offset_count(csr)
         if ndiag <= DIA_AUTO_MAX_OFFSETS:
             candidates["dia"] = (
-                ndiag * (m + n) * itemsize
+                ndiag * (m + n) * (itemsize + DIA_REREAD_BYTES)
                 + 2 * ndiag * DIA_OP_OVERHEAD_BYTES
             )
         if 0 < m * n <= DENSE_AUTO_MAX_ENTRIES:

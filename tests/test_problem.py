@@ -36,3 +36,36 @@ def test_lower_lp_roundtrip():
     np.testing.assert_allclose(r_eq, 0.0, atol=1e-9)
     r = np.asarray(prob.a_ineq.matvec(x))
     assert np.all(r <= np.asarray(prob.b_upper) + 1e-9)
+
+
+def test_backend_cost_model_selection(monkeypatch):
+    """Auto-selection (TPU-only) picks by calibrated bytes-streamed cost."""
+    import scipy.sparse
+
+    import pysparselp_tpu.problem as pm
+    from pysparselp_tpu.ops.bsr_pallas import BsrMatrix
+
+    monkeypatch.setattr(pm.jax, "default_backend", lambda: "tpu")
+
+    # tiny dense-friendly matrix -> dense
+    rng = np.random.RandomState(0)
+    a = scipy.sparse.csr_matrix(rng.rand(40, 30))
+    assert isinstance(pm.ell_from_scipy(a), pm.DenseMatrix)
+
+    # few-diagonal banded system, too large to densify -> DIA
+    n = 3000
+    diags = [np.ones(n), 2 * np.ones(n - 1)]
+    band = scipy.sparse.diags(diags, [0, 1], shape=(n, n)).tocsr()
+    monkeypatch.setattr(pm, "DENSE_AUTO_MAX_ENTRIES", 1000)
+    assert isinstance(pm.ell_from_scipy(band), pm.DiaMatrix)
+
+    # many-staircase-diagonal structured matrix (Potts-like) -> BSR beats
+    # DIA once the per-diagonal re-read traffic is accounted for
+    rows = np.arange(20000).repeat(3)
+    cols_ = np.stack([rows[::3], rows[::3] // 7 + 9000,
+                      rows[::3] // 3 + 14000], 1).ravel()
+    m2 = scipy.sparse.coo_matrix(
+        (np.ones(rows.size), (rows, np.clip(cols_, 0, 19999))),
+        shape=(20000, 20000)).tocsr()
+    sel = pm.ell_from_scipy(m2)
+    assert isinstance(sel, BsrMatrix)
