@@ -84,12 +84,23 @@ def measure_potts():
     elapsed = time.perf_counter() - t0
     dist = float(np.mean(np.abs(gt - x[idx])))
     assert dist < 1e-2, f"Potts run did not converge (dist={dist})"
-    return nb_iter / elapsed
+
+    # secondary: wall-clock to reach the graph-cut optimum with the
+    # accelerated mode (reference: 15.1 s / 56k iterations on this host CPU)
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=40000,
+                  nb_iter_plot=4000, restart="average", dtype=np.float32,
+                  ground_truth=gt, ground_truth_indices=idx)
+    lp.solve(**kwargs)
+    lp.solve(**kwargs)
+    dists = np.asarray(lp.distance_to_ground_truth)
+    below = np.nonzero(dists < 1e-2)[0]
+    t_conv = float(lp.opttime_curve[below[0]]) if below.size else None
+    return nb_iter / elapsed, t_conv
 
 
 def main():
     sc105_t, sc105_iters = measure_sc105()
-    potts_rate = measure_potts()
+    potts_rate, potts_t_conv = measure_potts()
     details = {
         "sc105_time_to_dist1e-3_s": round(sc105_t, 3),
         "sc105_iterations": sc105_iters,
@@ -97,6 +108,10 @@ def main():
         "potts50_iters_per_sec": round(potts_rate, 1),
         "potts50_ref_cpu_iters_per_sec": REF_POTTS_ITERS_PER_SEC,
         "potts50_speedup": round(potts_rate / REF_POTTS_ITERS_PER_SEC, 2),
+        "potts50_time_to_graphcut_restart_s": (
+            None if potts_t_conv is None else round(potts_t_conv, 3)
+        ),
+        "potts50_ref_cpu_time_to_graphcut_s": 15.1,
         "reference_remeasure": (
             "sys.path.insert(0,'/root/reference'); "
             "time.clock=time.perf_counter; np.float=float; "
