@@ -100,25 +100,34 @@ def measure_potts():
 
 def main():
     sc105_t, sc105_iters = measure_sc105()
-    potts_rate, potts_t_conv = measure_potts()
     details = {
         "sc105_time_to_dist1e-3_s": round(sc105_t, 3),
         "sc105_iterations": sc105_iters,
         "sc105_ref_cpu_s": REF_SC105_TIME_TO_1E3,
-        "potts50_iters_per_sec": round(potts_rate, 1),
         "potts50_ref_cpu_iters_per_sec": REF_POTTS_ITERS_PER_SEC,
-        "potts50_speedup": round(potts_rate / REF_POTTS_ITERS_PER_SEC, 2),
-        "potts50_time_to_graphcut_restart_s": (
-            None if potts_t_conv is None else round(potts_t_conv, 3)
-        ),
         "potts50_ref_cpu_time_to_graphcut_s": 15.1,
+    }
+    # secondary measurements must not kill the primary metric
+    try:
+        potts_rate, potts_t_conv = measure_potts()
+        details.update({
+            "potts50_iters_per_sec": round(potts_rate, 1),
+            "potts50_speedup": round(potts_rate / REF_POTTS_ITERS_PER_SEC,
+                                     2),
+            "potts50_time_to_graphcut_restart_s": (
+                None if potts_t_conv is None else round(potts_t_conv, 3)
+            ),
+        })
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["potts50_error"] = repr(e)
+    details.update({
         "reference_remeasure": (
             "sys.path.insert(0,'/root/reference'); "
             "time.clock=time.perf_counter; np.float=float; "
             "run pysparselp.ChambollePockPPD.chambolle_pock_ppd on the same "
             "SC105 system with a distance-tracking callback"
         ),
-    }
+    })
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=1)
     print(

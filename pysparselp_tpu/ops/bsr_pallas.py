@@ -66,7 +66,15 @@ def _build_tile_ell(a, tm: int, tn: int, dtype):
     ur = (uniq // t_cols).astype(np.int32)
     per_row = np.bincount(ur, minlength=t_rows)
     k = max(int(per_row.max()) if per_row.size else 0, 1)
-    tiles = np.zeros((t_rows, k, tn, tm), dtype=np.float64)
+    # build directly in the storage dtype: huge matrices would blow host
+    # memory 4x if staged through float64
+    np_dtype = np.dtype(jnp.dtype(dtype).name if jnp.dtype(dtype).name
+                        != "bfloat16" else "float32")
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        import ml_dtypes
+
+        np_dtype = ml_dtypes.bfloat16
+    tiles = np.zeros((t_rows, k, tn, tm), dtype=np_dtype)
     cols = np.zeros((t_rows, k), dtype=np.int32)
     # slot of each unique tile within its row
     slot_of = np.zeros(uniq.size, np.int64)
