@@ -36,7 +36,8 @@ from ..preconditioning import (
     precondition_constraints,
 )
 from ..problem import default_dtype, ell_from_scipy
-from .base import HostLoop, chunk_schedule, emit_callback, to_np
+from .base import (HostLoop, ToleranceStop, chunk_schedule,
+                   emit_callback, to_np)
 
 
 # ----------------------------------------------------------------------
@@ -111,6 +112,7 @@ def lp_admm(
     dtype=None,
     start_time=None,
     inner="jacobi",
+    stop_tol=None,
 ):
     """Penalized-equality ADMM; signature parity with ``ADMM.py:47``.
 
@@ -147,6 +149,7 @@ def lp_admm(
         return _lp_admm_host_gs(
             c2, a, b, lb2, ub2, x02, n, gamma_eq, gamma_ineq, nb_iter,
             nb_iter_plot, nb_inner, callback_func, start_time, max_time,
+            stop_tol,
         )
 
     ell = ell_from_scipy(a, dtype=dtype)
@@ -196,6 +199,7 @@ def lp_admm(
     state = (x, xp, jnp.zeros(a.shape[0], dtype))
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
+    tstop = ToleranceStop(stop_tol)
     niter = 0
     for nsteps in chunk_schedule(nb_iter, nb_iter_plot):
         state, metrics = _admm_chunk(data, state, nsteps, nb_inner)
@@ -205,14 +209,17 @@ def lp_admm(
             metrics["energy1"], metrics["energy1"], loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
-        if loop.timed_out:
+        if loop.timed_out or tstop.check(
+            metrics["energy1"], metrics["max_violated_equality"],
+            metrics["max_violated_inequality"],
+        ):
             break
     return to_np(state[0][:n])
 
 
 def _lp_admm_host_gs(c, a, b, lb, ub, x0, n, gamma_eq, gamma_ineq, nb_iter,
                      nb_iter_plot, nb_inner, callback_func, start_time,
-                     max_time):
+                     max_time, stop_tol=None):
     """Host-mode ADMM iterate with the native bounded Gauss-Seidel inner
     solve — the sequential twin of the reference's default path
     (``ADMM.py:143-268`` with ``gaussSiedel.pyx:95`` inside)."""
@@ -229,6 +236,7 @@ def _lp_admm_host_gs(c, a, b, lb, ub, x0, n, gamma_eq, gamma_ineq, nb_iter,
     xp = np.clip(x, lb, ub)
     lam = np.zeros(a.shape[0])
     loop = HostLoop(start_time=start_time, max_time=max_time)
+    tstop = ToleranceStop(stop_tol)
     for i in range(1, nb_iter + 1):
         y = -c + gamma_eq * atb + gamma_ineq * xp - at @ lam
         x = bs.solve(y, lb, ub, x, maxiter=max(nb_inner, 1))
@@ -245,7 +253,11 @@ def _lp_admm_host_gs(c, a, b, lb, ub, x0, n, gamma_eq, gamma_ineq, nb_iter,
                 float(max(np.max(lb - x, initial=0.0),
                           np.max(x - ub, initial=0.0))),
             )
-            if loop.timed_out:
+            if loop.timed_out or tstop.check(
+                energy, np.abs(r).max(initial=0.0),
+                max(np.max(lb - x, initial=0.0),
+                    np.max(x - ub, initial=0.0)),
+            ):
                 break
     return x[:n]
 
@@ -326,6 +338,7 @@ def lp_admm2(
     dense_threshold=4096,
     dtype=None,
     start_time=None,
+    stop_tol=None,
 ):
     """ADMM with exact equality subproblem; signature parity with ``ADMM.py:272``."""
     dtype = dtype or default_dtype()
@@ -380,6 +393,7 @@ def lp_admm2(
     state = (x, xp, jnp.zeros(x.shape, dtype))
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
+    tstop = ToleranceStop(stop_tol)
     niter = 0
     for nsteps in chunk_schedule(nb_iter, nb_iter_plot):
         state, metrics = _admm2_chunk(data, state, nsteps, use_dense)
@@ -389,6 +403,9 @@ def lp_admm2(
             metrics["energy1"], metrics["energy1"], loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
-        if loop.timed_out:
+        if loop.timed_out or tstop.check(
+            metrics["energy1"], metrics["max_violated_equality"],
+            metrics["max_violated_inequality"],
+        ):
             break
     return to_np(state[0][:n])

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..preconditioning import convert_to_standard_form_with_bounds
-from .base import HostLoop, chunk_schedule, emit_callback, to_np
+from .base import (HostLoop, ToleranceStop, chunk_schedule,
+                   emit_callback, to_np)
 
 
 def _build_blocks(a, beq):
@@ -175,6 +176,7 @@ def lp_admm_block_decomposition(
     dtype=None,
     start_time=None,
     mesh=None,
+    stop_tol=None,
 ):
     """Consensus ADMM over the model's block structure; signature parity with
     ``ADMMBlocks.py:45``.  Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to
@@ -250,6 +252,7 @@ def lp_admm_block_decomposition(
         )
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
+    tstop = ToleranceStop(stop_tol)
     niter = 0
     for nsteps in chunk_schedule(nb_iter, nb_iter_plot):
         state, metrics = _admm_blocks_chunk(data, state, nsteps)
@@ -259,6 +262,8 @@ def lp_admm_block_decomposition(
             metrics["energy1"], metrics["energy1"], loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
-        if loop.timed_out:
+        if loop.timed_out or tstop.check(
+            metrics["energy1"], metrics["max_violated_equality"],
+        ):
             break
     return to_np(state[2][:n0])

@@ -58,3 +58,30 @@ def emit_callback(callback_func, niter, x, energy1, energy2, elapsed,
             float(max_violated_eq),
             float(max_violated_ineq),
         )
+
+
+class ToleranceStop:
+    """Host-side tolerance termination on chunk metrics.
+
+    Stops when the worst constraint violation AND the relative objective
+    change between consecutive checks both fall below ``stop_tol`` (the
+    first-order analogue of a solver's convergence test; the reference only
+    has iteration/time budgets).  Stateless no-op when ``stop_tol`` is None.
+    """
+
+    def __init__(self, stop_tol=None):
+        self.tol = stop_tol
+        self._last = None
+
+    def check(self, energy, *violations) -> bool:
+        if self.tol is None:
+            return False
+        feas = max((float(v) for v in violations), default=0.0)
+        e = float(energy)
+        rel = (
+            abs(e - self._last) / (1.0 + abs(e))
+            if self._last is not None
+            else np.inf
+        )
+        self._last = e
+        return feas < self.tol and rel < self.tol

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..ops.linesearch import exact_dual_line_search
 from ..problem import EllMatrix, default_dtype, ell_from_scipy
-from .base import HostLoop, chunk_schedule, emit_callback, to_np
+from .base import (HostLoop, ToleranceStop, chunk_schedule,
+                   emit_callback, to_np)
 
 
 # ----------------------------------------------------------------------
@@ -158,6 +159,7 @@ def dual_gradient_ascent(
     dtype=None,
     start_time=None,
     seed=0,
+    stop_tol=None,
 ):
     """Gradient ascent in the dual with exact line search; returns ``(x, y_eq, y_ineq)``.
 
@@ -198,6 +200,7 @@ def dual_gradient_ascent(
     state = (y_eq0, y_in0, jax.random.PRNGKey(seed))
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
+    tstop = ToleranceStop(stop_tol)
     niter = 0
     x_out = np.zeros(lp.nb_variables)
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
@@ -209,7 +212,10 @@ def dual_gradient_ascent(
             metrics["primal"], metrics["energy"], loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
-        if loop.timed_out:
+        if loop.timed_out or tstop.check(
+            metrics["energy"], metrics["max_violated_equality"],
+            metrics["max_violated_inequality"],
+        ):
             break
     return to_np(x_out), to_np(state[0]), to_np(state[1])
 

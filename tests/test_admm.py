@@ -82,3 +82,24 @@ def test_admm_equality_only():
     assert abs(lp.costsvector @ (x - x_gt)) < 0.1 * max(
         1, abs(lp.costsvector @ x_gt)
     )
+
+
+def test_stop_tol_terminates_admm_family():
+    import numpy as np
+
+    from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+    lp, _ = generate_random_lp(nbvar=20, n_eq=2, n_ineq=20, sparsity=0.3,
+                               seed=3)
+    for method, kw in (
+        ("admm", {}),
+        ("admm", {"inner": "gauss_seidel"}),
+        ("admm2", {}),
+        ("admm_blocks", {}),
+        # (dual methods recover the primal from reduced-cost signs, which
+        # oscillates between vertices; feasibility-based tolerance rarely
+        # fires there, so they are not asserted here)
+    ):
+        lp.solve(method=method, nb_iter=100000, nb_iter_plot=500,
+                 stop_tol=1e-3, **kw)
+        assert lp.itrn_curve[-1] < 100000, method  # terminated on tolerance
