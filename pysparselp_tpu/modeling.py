@@ -682,6 +682,18 @@ class SparseLP:
         ``dopttime_curve``, ``pobj_curve``, ``dobj_curve``, ``pobjbound``,
         ``max_violated_inequality``, ``max_violated_equality``,
         ``max_violated_constraint``, ``itrn_curve``.
+
+        Extra keyword arguments are forwarded to the solver.  Notable ones
+        beyond the reference's API:
+
+        * ``stop_tol`` — tolerance-based termination (first-order family);
+        * ``restart="average"`` / ``omega="auto"`` — PDLP-style acceleration
+          for ``chambolle_pock_ppd``;
+        * ``mesh`` — a ``jax.sharding.Mesh`` routing ``chambolle_pock_ppd``
+          (row sharding) or ``admm_blocks`` (block sharding) to the
+          multi-chip implementations;
+        * ``inner="gauss_seidel"`` — the native sequential host mode for
+          ``admm``.
         """
         from .solvers import dispatch  # lazy: keeps pure modeling JAX-free
 

@@ -154,7 +154,6 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
     def run_block(rs):
         state = rs["state"]
         pre = _scale_pre(pre_base, rs["omega"])
-        x0 = state[0]
         sums = (jnp.zeros_like(state[0]), jnp.zeros_like(state[2]),
                 jnp.zeros_like(state[3]))
 
@@ -196,7 +195,6 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
             jnp.where(do, zeq, state[2]),
             jnp.where(do, zineq, state[3]),
         )
-        del x0
         return {
             "state": new_state,
             "omega": om_new,
