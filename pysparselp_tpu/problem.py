@@ -421,6 +421,21 @@ class DiaMatrix:
                          offsets_t=offsets_t, nrows=m, ncols=n)
 
 
+def rcm_permutation(a):
+    """Bandwidth-reducing row/col permutation of a sparse matrix via
+    reverse Cuthill-McKee on the symmetrized bipartite pattern; returns
+    ``(rows, cols)`` index arrays (permuted -> original)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    a = scipy.sparse.csr_matrix(a)
+    m = a.shape[0]
+    bip = scipy.sparse.bmat([[None, a], [a.T, None]], format="csr")
+    perm = np.asarray(reverse_cuthill_mckee(bip, symmetric_mode=True))
+    rows = perm[perm < m]
+    cols = perm[perm >= m] - m
+    return rows.astype(np.int64), cols.astype(np.int64)
+
+
 def dia_offset_count(a) -> int:
     """Number of distinct (col − row) diagonals in the matrix."""
     coo = scipy.sparse.coo_matrix(a)

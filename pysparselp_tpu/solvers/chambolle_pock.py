@@ -25,7 +25,8 @@ import scipy.sparse
 import jax
 import jax.numpy as jnp
 
-from ..problem import LPProblem, default_dtype, ell_from_scipy
+from ..problem import (LPProblem, default_dtype, ell_from_scipy,
+                       rcm_permutation)
 from .base import HostLoop, chunk_schedule, emit_callback, to_np
 
 
@@ -289,6 +290,7 @@ def chambolle_pock_ppd(
     omega=None,
     restart_period=None,
     stop_tol=None,
+    permute="auto",
 ):
     """Solve the LP with preconditioned CP-PPD; returns ``(x, best_integer_solution)``.
 
@@ -323,6 +325,43 @@ def chambolle_pock_ppd(
 
     lb = np.asarray(lb, np.float64)
     ub = np.asarray(ub, np.float64)
+
+    # Bandwidth-reducing presolve (TPU only; measured ~2x less padded tile
+    # traffic on grid models): permute variables and constraint rows by
+    # reverse Cuthill-McKee ONCE at lowering, solve in permuted coordinates,
+    # and un-permute x at the boundary.  Zero per-iteration cost — unlike an
+    # operator-level permutation, whose per-SpMV gathers cost more on TPU
+    # than the padding they save.
+    if permute == "auto":
+        permute = jax.default_backend() == "tpu"
+    inv_cols = None
+    if permute and (a_eq is not None or a_one is not None):
+        m_e = a_eq.shape[0] if a_eq is not None else 0
+        parts = [p for p in (a_eq, a_one) if p is not None]
+        joint = parts[0] if len(parts) == 1 else scipy.sparse.vstack(parts).tocsr()
+        rows, cols = rcm_permutation(joint)
+        rows_eq = rows[rows < m_e]
+        rows_in = rows[rows >= m_e] - m_e
+        if a_eq is not None:
+            a_eq = a_eq[rows_eq, :][:, cols]
+            beq = np.asarray(beq)[rows_eq]
+        if a_one is not None:
+            a_one = a_one[rows_in, :][:, cols]
+            b_ineq = np.asarray(b_ineq)[rows_in]
+        c = c[cols]
+        lb = lb[cols]
+        ub = ub[cols]
+        if x0 is not None:
+            x0 = np.asarray(x0, np.float64)[cols]
+        # x_orig[j] = x_perm[pos(j)] where cols[pos(j)] = j
+        inv_cols = np.empty(c.size, np.int64)
+        inv_cols[cols] = np.arange(c.size)
+        if callback_func is not None:
+            user_cb = callback_func
+
+            def callback_func(niter, xp, *rest):
+                user_cb(niter, np.asarray(xp)[inv_cols], *rest)
+
     if a_eq is None and a_one is None:
         # unconstrained: minimize cᵀx over the box (``ChambollePockPPD.py:147-151``)
         x = np.zeros_like(lb)
@@ -434,4 +473,9 @@ def chambolle_pock_ppd(
             if feas < stop_tol and gap < stop_tol:
                 break
 
-    return to_np(state[0]), best_integer_solution
+    x_final = to_np(state[0])
+    if inv_cols is not None:
+        x_final = x_final[inv_cols]
+        if best_integer_solution is not None:
+            best_integer_solution = best_integer_solution[inv_cols]
+    return x_final, best_integer_solution

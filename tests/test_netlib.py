@@ -137,3 +137,19 @@ def test_sc105_stop_tol_terminates_early(sc105):
     # terminated well before the iteration budget, at the tolerance
     assert lp.itrn_curve[-1] < 200000
     assert _dist(x, gt) < 1e-3
+
+
+def test_cp_rcm_permute_matches_unpermuted(sc105):
+    """The RCM presolve changes only coordinates, not the solution."""
+    lp, gt = sc105
+    x_p, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=40000,
+                      nb_iter_plot=40000, permute=True)
+    x_n, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=40000,
+                      nb_iter_plot=40000, permute=False)
+    # identical math in a different variable order: tiny float divergence
+    np.testing.assert_allclose(x_p, x_n, atol=1e-6)
+    # callback/curve contract sees original-order solutions
+    lp.solve(method="chambolle_pock_ppd", nb_iter=2000, nb_iter_plot=1000,
+             permute=True, ground_truth=gt,
+             ground_truth_indices=np.arange(len(gt)))
+    assert len(lp.distance_to_ground_truth) == 2

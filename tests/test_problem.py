@@ -69,3 +69,32 @@ def test_backend_cost_model_selection(monkeypatch):
         shape=(20000, 20000)).tocsr()
     sel = pm.ell_from_scipy(m2)
     assert isinstance(sel, BsrMatrix)
+
+
+def test_rcm_permutation_is_a_permutation():
+    import scipy.sparse
+
+    from pysparselp_tpu.problem import rcm_permutation
+
+    a = scipy.sparse.random(60, 45, density=0.1,
+                            random_state=np.random.RandomState(0),
+                            format="csr")
+    rows, cols = rcm_permutation(a)
+    assert sorted(rows) == list(range(60))
+    assert sorted(cols) == list(range(45))
+    # permuted matrix holds the same entries
+    a2 = a[rows, :][:, cols]
+    assert a2.nnz == a.nnz
+    np.testing.assert_allclose(np.sort(a2.data), np.sort(a.data))
+
+
+def test_rcm_reduces_potts_padding():
+    from pysparselp_tpu.examples.potts import build_linear_program
+    from pysparselp_tpu.ops.bsr_pallas import bsr_padded_entries
+    from pysparselp_tpu.problem import rcm_permutation
+    from pysparselp_tpu.solvers.chambolle_pock import _fold_one_sided
+
+    lp, _, _, _ = build_linear_program(30, 0.5, 500)
+    a, _ = _fold_one_sided(lp.a_inequalities.tocsr(), lp.b_lower, lp.b_upper)
+    rows, cols = rcm_permutation(a)
+    assert bsr_padded_entries(a[rows, :][:, cols]) < 0.7 * bsr_padded_entries(a)
