@@ -429,15 +429,17 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
 def chambolle_pock_ppd_sharded(
     c, a_eq, beq, a_ineq, b_lower, b_upper, lb, ub, mesh,
     nb_max_iter=1000, nb_iter_plot=100, callback_func=None, max_time=None,
-    dtype=np.float32, alpha=1.0, restart=None, omega=None,
+    dtype=np.float32, alpha=1.0, restart=None, omega=None, permute="auto",
 ):
     """Mesh-parallel CP-PPD with the standard solver contract; returns x.
 
     ``restart``/``omega`` mirror the single-chip solver's PDLP-style
     acceleration (restart decisions and primal-weight updates run on host
-    between chunks; all scoring reduces over the mesh with psum)."""
+    between chunks; all scoring reduces over the mesh with psum);
+    ``permute`` mirrors its RCM bandwidth-reducing presolve (TPU only)."""
     import time
 
+    from ..problem import rcm_permutation
     from ..solvers.base import chunk_schedule, emit_callback
     from ..solvers.chambolle_pock import _fold_one_sided, estimate_omega
 
@@ -447,9 +449,37 @@ def chambolle_pock_ppd_sharded(
     if omega == "auto":
         omega = estimate_omega(c, beq if a_eq is not None else None, b_ineq)
     omega = float(omega) if omega is not None else 1.0
+
+    if permute == "auto":
+        permute = jax.default_backend() == "tpu"
+    c = np.asarray(c, np.float64)
+    lb = np.asarray(lb, np.float64)
+    ub = np.asarray(ub, np.float64)
+    inv_cols = None
+    if permute and (a_eq is not None or a_one is not None):
+        m_e = a_eq.shape[0] if a_eq is not None else 0
+        parts = [p for p in (a_eq, a_one) if p is not None]
+        joint = (parts[0] if len(parts) == 1
+                 else scipy.sparse.vstack(parts).tocsr())
+        rows, cols = rcm_permutation(joint)
+        rows_eq = rows[rows < m_e]
+        rows_in = rows[rows >= m_e] - m_e
+        if a_eq is not None:
+            a_eq = a_eq[rows_eq, :][:, cols]
+            beq = np.asarray(beq)[rows_eq]
+        if a_one is not None:
+            a_one = a_one[rows_in, :][:, cols]
+            b_ineq = np.asarray(b_ineq)[rows_in]
+        c, lb, ub = c[cols], lb[cols], ub[cols]
+        inv_cols = np.empty(c.size, np.int64)
+        inv_cols[cols] = np.arange(c.size)
+        if callback_func is not None:
+            user_cb = callback_func
+
+            def callback_func(niter, xp, *rest):
+                user_cb(niter, np.asarray(xp)[inv_cols], *rest)
     data, state = build_sharded_cp_data(
-        np.asarray(c, float), a_eq, beq, a_one, b_ineq,
-        np.asarray(lb, float), np.asarray(ub, float), mesh,
+        c, a_eq, beq, a_one, b_ineq, lb, ub, mesh,
         alpha=alpha, dtype=dtype,
     )
     if omega != 1.0:
@@ -508,7 +538,10 @@ def chambolle_pock_ppd_sharded(
         )
         if max_time is not None and elapsed > max_time:
             break
-    return np.asarray(state["x"], np.float64)
+    x_final = np.asarray(state["x"], np.float64)
+    if inv_cols is not None:
+        x_final = x_final[inv_cols]
+    return x_final
 
 
 def _rescale_steps(data, ratio):

@@ -144,3 +144,15 @@ def test_sharded_cp_moderate_scale():
     assert len(stats) == 4
     viol_eq = np.abs(lp2.a_equalities.tocsr() @ x - lp2.b_equalities).max()
     assert viol_eq < 1e-2
+
+
+def test_sharded_cp_permute_matches(problem):
+    lp = problem
+    mesh = default_mesh(8)
+    common = dict(nb_max_iter=3000, nb_iter_plot=3000, dtype=np.float64)
+    args = (lp.costsvector, lp.a_equalities.tocsr(), lp.b_equalities,
+            lp.a_inequalities.tocsr(), lp.b_lower, lp.b_upper,
+            lp.lower_bounds, lp.upper_bounds, mesh)
+    x_p = chambolle_pock_ppd_sharded(*args, permute=True, **common)
+    x_n = chambolle_pock_ppd_sharded(*args, permute=False, **common)
+    np.testing.assert_allclose(x_p, x_n, atol=1e-6)
