@@ -256,7 +256,7 @@ class BsrMatrix:
 
     @property
     def nnz_padded(self):
-        return self.tiles.size
+        return self.tiles.size + self.tiles_t.size
 
     def matvec(self, x: jax.Array) -> jax.Array:
         return _tiled_apply(self.tiles, self.cols, x, self.ncols, self.nrows,
