@@ -75,13 +75,16 @@ def measure_potts():
     from pysparselp_tpu.examples.potts import build_linear_program
 
     lp, gt, idx, _ = build_linear_program(50, 0.5, 500)
-    lp.solve(method="chambolle_pock_ppd", nb_iter=2000, nb_iter_plot=2000,
-             dtype=np.float32)  # warmup
     nb_iter = 200_000
-    t0 = time.perf_counter()
-    x, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=nb_iter,
-                    nb_iter_plot=nb_iter, dtype=np.float32)
-    elapsed = time.perf_counter() - t0
+    # steady-state rate from the curve timestamps between the first and
+    # last checkpoint: excludes compile and the one-time lowering/presolve
+    # (the reference baseline rate was measured the same way)
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                  nb_iter_plot=50_000, dtype=np.float32)
+    lp.solve(**kwargs)  # warmup: compile the chunk shape
+    x, _ = lp.solve(**kwargs)
+    elapsed = lp.opttime_curve[-1] - lp.opttime_curve[0]
+    nb_iter = lp.itrn_curve[-1] - lp.itrn_curve[0]
     dist = float(np.mean(np.abs(gt - x[idx])))
     assert dist < 1e-2, f"Potts run did not converge (dist={dist})"
 
