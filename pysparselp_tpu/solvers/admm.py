@@ -291,17 +291,21 @@ def _admm2_chunk(data, state, nsteps: int, use_dense: bool):
             )
 
     def one_iter(_, s):
-        x, xp, lam = s
+        x, xp, lam, _ = s
+        xp_prev = xp
         y1 = -c + gamma * xp - lam
         nu = schur_solve(a.matvec(y1) - gamma * b)
         x = (y1 - a.rmatvec(nu)) / gamma
         x = alpha * x + (1.0 - alpha) * xp
         xp = jnp.clip(x + lam / gamma, lb, ub)
         lam = lam + gamma * (x - xp)
-        return (x, xp, lam)
+        return (x, xp, lam, xp_prev)
 
-    state = jax.lax.fori_loop(0, nsteps, one_iter, state)
-    x, xp, lam = state
+    x0_, xp0_, lam0_ = state
+    x, xp, lam, xp_prev = jax.lax.fori_loop(
+        0, nsteps, one_iter, (x0_, xp0_, lam0_, xp0_)
+    )
+    state = (x, xp, lam)
     energy1 = (
         jnp.dot(c, x)
         + 0.5 * gamma * jnp.sum((x - xp) ** 2)
@@ -311,6 +315,9 @@ def _admm2_chunk(data, state, nsteps: int, use_dense: bool):
         energy1=energy1,
         max_violated_equality=jnp.max(jnp.abs(a.matvec(xp) - b)),
         max_violated_inequality=jnp.asarray(0.0, x.dtype),
+        # Boyd §3.4.1 residuals for adaptive-penalty balancing
+        r_primal=jnp.linalg.norm(x - xp),
+        r_dual=gamma * jnp.linalg.norm(xp - xp_prev),
     )
     return state, metrics
 
@@ -339,8 +346,15 @@ def lp_admm2(
     dtype=None,
     start_time=None,
     stop_tol=None,
+    adaptive_rho=False,
 ):
-    """ADMM with exact equality subproblem; signature parity with ``ADMM.py:272``."""
+    """ADMM with exact equality subproblem; signature parity with ``ADMM.py:272``.
+
+    ``adaptive_rho=True`` enables Boyd §3.4.1 residual balancing: the penalty
+    doubles when the primal residual dominates the dual residual by 10x and
+    halves in the opposite case, checked once per chunk.  Free here: the
+    factored Schur complement ``A Aᵀ`` does not depend on the penalty.
+    """
     dtype = dtype or default_dtype()
     c = np.asarray(c, np.float64)
     n = c.size
@@ -394,10 +408,19 @@ def lp_admm2(
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
     tstop = ToleranceStop(stop_tol)
+    gamma = float(gamma_ineq)
     niter = 0
     for nsteps in chunk_schedule(nb_iter, nb_iter_plot):
         state, metrics = _admm2_chunk(data, state, nsteps, use_dense)
         niter += nsteps
+        if adaptive_rho:
+            rp, rd = float(metrics["r_primal"]), float(metrics["r_dual"])
+            if rp > 10.0 * rd and rd > 0:
+                gamma *= 2.0
+                data = dict(data, gamma=jnp.asarray(gamma, dtype))
+            elif rd > 10.0 * rp and rp > 0:
+                gamma *= 0.5
+                data = dict(data, gamma=jnp.asarray(gamma, dtype))
         emit_callback(
             callback_func, niter, state[0][:n],
             metrics["energy1"], metrics["energy1"], loop.elapsed,

@@ -103,3 +103,21 @@ def test_stop_tol_terminates_admm_family():
         lp.solve(method=method, nb_iter=100000, nb_iter_plot=500,
                  stop_tol=1e-3, **kw)
         assert lp.itrn_curve[-1] < 100000, method  # terminated on tolerance
+
+
+def test_admm2_adaptive_rho():
+    import numpy as np
+
+    from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+    lp, _ = generate_random_lp(nbvar=25, n_eq=2, n_ineq=25, sparsity=0.25,
+                               seed=8)
+    ref, _ = lp.solve(method="scipy_simplex")
+    x, _ = lp.solve(method="admm2", nb_iter=3000, nb_iter_plot=300,
+                    adaptive_rho=True)
+    assert abs(lp.cost(x) - lp.cost(ref)) < 5e-2
+    assert lp.max_constraint_violation(x) < 1e-2
+    # adaptive run must not be worse than the fixed-penalty run
+    x_fixed, _ = lp.solve(method="admm2", nb_iter=3000, nb_iter_plot=300)
+    assert (abs(lp.cost(x) - lp.cost(ref))
+            <= abs(lp.cost(x_fixed) - lp.cost(ref)) * 3 + 1e-6)
