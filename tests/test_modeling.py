@@ -205,3 +205,33 @@ def test_blocked_csr_check():
 
     with pytest.raises(AssertionError):
         b.check()
+
+
+def test_solve_rejects_unknown_method():
+    from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+    lp, _ = generate_random_lp(nbvar=10, n_eq=1, n_ineq=10, sparsity=0.4,
+                               seed=9)
+    with pytest.raises(ValueError, match="not valid"):
+        lp.solve(method="no_such_solver")
+
+
+def test_solve_max_time_zero_returns_after_first_chunk():
+    from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+    lp, _ = generate_random_lp(nbvar=10, n_eq=1, n_ineq=10, sparsity=0.4,
+                               seed=9)
+    x, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=100000,
+                    nb_iter_plot=100, max_time=0)
+    assert lp.itrn_curve == [100]
+    assert np.all(np.isfinite(x))
+
+
+def test_nb_iter_plot_larger_than_nb_iter():
+    from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+    lp, _ = generate_random_lp(nbvar=10, n_eq=1, n_ineq=10, sparsity=0.4,
+                               seed=9)
+    x, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=50,
+                    nb_iter_plot=1000)
+    assert lp.itrn_curve == [50]
