@@ -109,6 +109,10 @@ def dispatch(
             start_time=start_time,
             **solver_kwargs,
         )
+        if force_integer and _best is not None:
+            # return the best feasible integer-rounded iterate the solver
+            # tracked (``ChambollePockPPD.py:274-291``)
+            x = _best
         return m_change @ x + shift
 
     if method == "mehrotra":

@@ -114,3 +114,28 @@ def test_greedy_fix_reaches_feasibility():
     xf = greedy_fix(x_bad, lp, nb_max_iter=500)
     viol = np.maximum(lp.a_inequalities.matvec(xf) - lp.b_upper, 0).sum()
     assert viol == 0.0
+
+
+def test_force_integer_returns_feasible_integer_solution():
+    """solve(force_integer=True) returns the best feasible integer-rounded
+    iterate tracked inside the CP loop (an integral-polytope matching LP)."""
+    import numpy as np
+
+    from pysparselp_tpu import SparseLP
+
+    rng = np.random.RandomState(0)
+    nb = 6
+    cost = rng.rand(nb, nb)
+    lp = SparseLP()
+    ids = lp.add_variables_array((nb, nb), 0.0, 1.0, costs=cost)
+    lp.add_equality_constraints(ids, np.ones_like(cost), b=np.ones(nb))
+    lp.add_equality_constraints(ids.T, np.ones_like(cost), b=np.ones(nb))
+    x, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=20000,
+                    nb_iter_plot=1000, force_integer=True)
+    assert np.allclose(x, np.round(x))          # integral
+    assert lp.max_constraint_violation(x) < 1e-9  # a perfect matching
+    # and it is the optimal assignment (LP over an integral polytope)
+    import scipy.optimize
+
+    r, c = scipy.optimize.linear_sum_assignment(cost)
+    assert abs(lp.cost(x) - cost[r, c].sum()) < 1e-6
