@@ -153,3 +153,30 @@ def test_cp_rcm_permute_matches_unpermuted(sc105):
              permute=True, ground_truth=gt,
              ground_truth_indices=np.arange(len(gt)))
     assert len(lp.distance_to_ground_truth) == 2
+
+
+@pytest.mark.parametrize("name", ["AFIRO", "KB2", "SC50A", "SC50B"])
+def test_all_vendored_netlib_problems_solve(name):
+    """Every vendored netlib problem parses and solves to its certified
+    perPlex optimum with the interior-point solver."""
+    d = get_problem(name)
+    gt = d["solution"]
+    lp = SparseLP()
+    lp.add_variables_array(
+        len(d["cost_vector"]), lower_bounds=d["lower_bounds"],
+        upper_bounds=np.minimum(d["upper_bounds"], max(np.max(gt), 1) * 10),
+        costs=d["cost_vector"],
+    )
+    lp.add_equality_constraints_sparse(d["a_eq"], d["b_eq"])
+    lp.add_inequality_constraints_sparse(d["a_ineq"], d["b_lower"],
+                                         d["b_upper"])
+    lp2 = copy.deepcopy(lp)
+    lp2.convert_to_one_sided_inequality_system()
+    assert lp2.check_solution(gt, tol=1e-5)
+    x, _ = lp2.solve(method="mehrotra", nb_iter=100)
+    # some problems (AFIRO) have non-unique optima: the interior point
+    # converges to the optimal face's center, not the perPlex vertex —
+    # assert the certified objective value and feasibility instead
+    gt_cost = float(lp2.cost(gt))
+    assert abs(lp2.cost(x) - gt_cost) < 1e-5 * (1 + abs(gt_cost)), name
+    assert lp2.max_constraint_violation(x) < 1e-5, name
