@@ -34,34 +34,41 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
-def _chunk_ell(a, row_lo, row_hi, k_pad, dtype):
-    """Local row block as ELL (rows padded) + its local transpose ELL."""
+def _chunk_tiles(a, row_lo, row_hi, dtype):
+    """Local row block lowered to block-ELL tiles in both orientations.
+
+    Gather-free SpMV matters even more per-shard than single-chip: on a real
+    multi-chip TPU each device would otherwise pay the (measured ~6x) gather
+    penalty on its local rows every iteration.  Uses the same tiling builder
+    as :class:`~pysparselp_tpu.ops.bsr_pallas.BsrMatrix` (einsum contraction
+    inside shard_map; per-row reductions, so results are independent of the
+    mesh size).
+    """
+    from ..ops.bsr_pallas import _build_tile_ell
+
     sub = scipy.sparse.csr_matrix(a[row_lo:row_hi, :])
-    rows_loc = row_hi - row_lo
-    cnt = np.diff(sub.indptr)
-    vals = np.zeros((rows_loc, k_pad))
-    cols = np.zeros((rows_loc, k_pad), np.int32)
-    if sub.nnz:
-        row_of = np.repeat(np.arange(sub.shape[0]), cnt)
-        pos = np.arange(sub.nnz) - sub.indptr[row_of]
-        vals[row_of, pos] = sub.data
-        cols[row_of, pos] = sub.indices
-    return vals.astype(dtype), cols
+    tiles, cols, _, _, _ = _build_tile_ell(sub, 128, 128, dtype)
+    tiles_t, rows_t, _, _, _ = _build_tile_ell(sub.T.tocsr(), 128, 128,
+                                               dtype)
+    return (np.asarray(tiles), np.asarray(cols), np.asarray(tiles_t),
+            np.asarray(rows_t))
 
 
-def _chunk_ell_t(a, row_lo, row_hi, kt_pad, dtype):
-    """Local transpose ELL: per column, this block's (row, val) entries."""
-    sub = scipy.sparse.csc_matrix(a[row_lo:row_hi, :])
-    n = sub.shape[1]
-    cnt = np.diff(sub.indptr)
-    vals = np.zeros((n, kt_pad))
-    rows = np.zeros((n, kt_pad), np.int32)
-    if sub.nnz:
-        col_of = np.repeat(np.arange(n), cnt)
-        pos = np.arange(sub.nnz) - sub.indptr[col_of]
-        vals[col_of, pos] = sub.data
-        rows[col_of, pos] = sub.indices
-    return vals.astype(dtype), rows
+def _pad_k(arrs_vals, arrs_idx, k_max):
+    """Pad each device's tile count K to the max (zero tiles, col 0)."""
+    out_v, out_i = [], []
+    for v, i in zip(arrs_vals, arrs_idx):
+        pad = k_max - v.shape[1]
+        if pad:
+            v = np.concatenate(
+                [v, np.zeros((v.shape[0], pad) + v.shape[2:], v.dtype)], 1
+            )
+            i = np.concatenate(
+                [i, np.zeros((i.shape[0], pad), i.dtype)], 1
+            )
+        out_v.append(v)
+        out_i.append(i)
+    return np.stack(out_v), np.stack(out_i)
 
 
 def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
@@ -88,27 +95,27 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
                 [a, scipy.sparse.csr_matrix((m_pad - m, n))]
             ).tocsr()
             b = np.concatenate([b, np.zeros(m_pad - m)])
-        cnt = np.diff(a.indptr)
-        k_pad = max(int(cnt.max()) if cnt.size else 0, 1)
-        kt_pad = 1
-        for d in range(ndev):
-            sub = scipy.sparse.csc_matrix(a[d * rows_loc:(d + 1) * rows_loc, :])
-            kt_pad = max(kt_pad, int(np.diff(sub.indptr).max()))
-        vals, cols, vals_t, rows_t, bs = [], [], [], [], []
+        tiles_l, cols_l, tiles_tl, rows_tl, bs = [], [], [], [], []
         for d in range(ndev):
             lo, hi = d * rows_loc, (d + 1) * rows_loc
-            v, cidx = _chunk_ell(a, lo, hi, k_pad, np.float64)
-            vt, ridx = _chunk_ell_t(a, lo, hi, kt_pad, np.float64)
-            vals.append(v)
-            cols.append(cidx)
-            vals_t.append(vt)
-            rows_t.append(ridx)
+            tv, ci, tvt, ri = _chunk_tiles(a, lo, hi, np.float64)
+            tiles_l.append(tv)
+            cols_l.append(ci)
+            tiles_tl.append(tvt)
+            rows_tl.append(ri)
             bs.append(b[lo:hi])
-        row_mask = (np.abs(np.stack(vals)).sum(2) > 0).astype(np.float64)
+        tiles, cols = _pad_k(tiles_l, cols_l,
+                             max(t.shape[1] for t in tiles_l))
+        tiles_t, rows_t = _pad_k(tiles_tl, rows_tl,
+                                 max(t.shape[1] for t in tiles_tl))
+        # per-row mask of real (non-padding) rows, from the csr structure
+        rm = np.zeros((ndev, rows_loc))
+        cnt = np.diff(a.indptr)
+        for d in range(ndev):
+            rm[d] = (cnt[d * rows_loc:(d + 1) * rows_loc] > 0)
         return dict(
-            vals=np.stack(vals), cols=np.stack(cols),
-            vals_t=np.stack(vals_t), rows_t=np.stack(rows_t),
-            b=np.stack(bs), row_mask=row_mask, m=m, m_pad=m_pad,
+            tiles=tiles, cols=cols, tiles_t=tiles_t, rows_t=rows_t,
+            b=np.stack(bs), row_mask=rm, m=m, m_pad=m_pad,
             rows_loc=rows_loc,
         )
 
@@ -162,7 +169,7 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
             continue
         data[name] = {
             k: put_sharded(sys_[k])
-            for k in ("vals", "cols", "vals_t", "rows_t", "b", "row_mask")
+            for k in ("tiles", "cols", "tiles_t", "rows_t", "b", "row_mask")
         }
         data[name]["sigma"] = put_sharded(sig)
         data[name + "_m"] = sys_["m"]
@@ -179,12 +186,28 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
     return data, state
 
 
-def _local_matvec(vals, cols, x):
-    return jnp.sum(vals * jnp.take(x, cols, axis=0), axis=1)
+def _tiled_mv(tiles, cols, x, n_in, n_out):
+    """Local block-ELL SpMV: (T,K,128,128) tiles x (n_in,) -> (n_out,)."""
+    t_in = -(-n_in // 128)
+    x2d = jnp.zeros((t_in * 128,), tiles.dtype).at[:n_in].set(
+        x.astype(tiles.dtype)).reshape(t_in, 128)
+    y = jnp.einsum(
+        "rktm,rkt->rm", tiles, jnp.take(x2d, cols, axis=0),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.reshape(-1)[:n_out]
 
 
-def _local_rmatvec(vals_t, rows_t, y):
-    return jnp.sum(vals_t * jnp.take(y, rows_t, axis=0), axis=1)
+def _local_matvec(sys_l, x, n):
+    """A_local @ x for one shard's row block."""
+    return _tiled_mv(sys_l["tiles"], sys_l["cols"], x, n,
+                     sys_l["b"].shape[0])
+
+
+def _local_rmatvec(sys_l, y, n):
+    """A_localT @ y for one shard's row block."""
+    return _tiled_mv(sys_l["tiles_t"], sys_l["rows_t"], y,
+                     sys_l["b"].shape[0], n)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "nsteps"))
@@ -218,6 +241,7 @@ def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
     def run(d, s):
         c, lb, ub, diag_t = d["c"], d["lb"], d["ub"], d["diag_t"]
         theta = d["theta"]
+        n = c.shape[0]
         eq = d.get("eq")
         ineq = d.get("ineq")
 
@@ -231,22 +255,18 @@ def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
             x, x3, y_eq, y_ineq = carry
             d_part = jnp.zeros_like(c)
             if has_eq:
-                d_part = d_part + _local_rmatvec(
-                    eq_l["vals_t"], eq_l["rows_t"], y_eq
-                )
+                d_part = d_part + _local_rmatvec(eq_l, y_eq, n)
             if has_ineq:
-                d_part = d_part + _local_rmatvec(
-                    in_l["vals_t"], in_l["rows_t"], y_ineq
-                )
+                d_part = d_part + _local_rmatvec(in_l, y_ineq, n)
             dd = c + jax.lax.psum(d_part, axis)  # one all-reduce per iteration
             x2 = jnp.clip(x - diag_t * dd, lb, ub)
             x3 = (1.0 + theta) * x2 - theta * x
             x = x2
             if has_eq:
-                r = _local_matvec(eq_l["vals"], eq_l["cols"], x3) - eq_l["b"]
+                r = _local_matvec(eq_l, x3, n) - eq_l["b"]
                 y_eq = y_eq + eq_l["sigma"] * r
             if has_ineq:
-                r = _local_matvec(in_l["vals"], in_l["cols"], x3) - in_l["b"]
+                r = _local_matvec(in_l, x3, n) - in_l["b"]
                 y_ineq = jnp.maximum(y_ineq + in_l["sigma"] * r, 0.0)
             return (x, x3, y_eq, y_ineq)
 
@@ -261,12 +281,12 @@ def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
         max_v_eq = jnp.asarray(0.0, c.dtype)
         max_v_ineq = jnp.asarray(0.0, c.dtype)
         if has_eq:
-            r = (_local_matvec(eq_l["vals"], eq_l["cols"], x) - eq_l["b"])
+            r = (_local_matvec(eq_l, x, n) - eq_l["b"])
             r = r * eq_l["row_mask"]
             energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
             max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
         if has_ineq:
-            r = (_local_matvec(in_l["vals"], in_l["cols"], x) - in_l["b"])
+            r = (_local_matvec(in_l, x, n) - in_l["b"])
             r = r * in_l["row_mask"]
             energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
             max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
@@ -318,6 +338,7 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
     def run(d, s):
         c, lb, ub, diag_t = d["c"], d["lb"], d["ub"], d["diag_t"]
         theta = d["theta"]
+        n = c.shape[0]
 
         def squeeze(t):
             return jax.tree.map(lambda v: v[0], t)
@@ -329,20 +350,18 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
             x, x3, y_eq, y_ineq = carry
             d_part = jnp.zeros_like(c)
             if has_eq:
-                d_part = d_part + _local_rmatvec(
-                    eq_l["vals_t"], eq_l["rows_t"], y_eq)
+                d_part = d_part + _local_rmatvec(eq_l, y_eq, n)
             if has_ineq:
-                d_part = d_part + _local_rmatvec(
-                    in_l["vals_t"], in_l["rows_t"], y_ineq)
+                d_part = d_part + _local_rmatvec(in_l, y_ineq, n)
             dd = c + jax.lax.psum(d_part, axis)
             x2 = jnp.clip(x - diag_t * dd, lb, ub)
             x3 = (1.0 + theta) * x2 - theta * x
             x = x2
             if has_eq:
-                r = _local_matvec(eq_l["vals"], eq_l["cols"], x3) - eq_l["b"]
+                r = _local_matvec(eq_l, x3, n) - eq_l["b"]
                 y_eq = y_eq + eq_l["sigma"] * r
             if has_ineq:
-                r = _local_matvec(in_l["vals"], in_l["cols"], x3) - in_l["b"]
+                r = _local_matvec(in_l, x3, n) - in_l["b"]
                 y_ineq = jnp.maximum(y_ineq + in_l["sigma"] * r, 0.0)
             return (x, x3, y_eq, y_ineq)
 
@@ -366,17 +385,15 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
             pviol = jnp.asarray(0.0, c.dtype)
             dual_loc = jnp.asarray(0.0, c.dtype)
             if has_eq:
-                d_part = d_part + _local_rmatvec(
-                    eq_l["vals_t"], eq_l["rows_t"], y_eq)
-                r = (_local_matvec(eq_l["vals"], eq_l["cols"], x)
+                d_part = d_part + _local_rmatvec(eq_l, y_eq, n)
+                r = (_local_matvec(eq_l, x, n)
                      - eq_l["b"]) * eq_l["row_mask"]
                 pviol = pviol + jnp.sum(r * r)
                 dual_loc = dual_loc - jnp.dot(y_eq, eq_l["b"])
             if has_ineq:
-                d_part = d_part + _local_rmatvec(
-                    in_l["vals_t"], in_l["rows_t"], y_ineq)
+                d_part = d_part + _local_rmatvec(in_l, y_ineq, n)
                 r = jnp.maximum(
-                    _local_matvec(in_l["vals"], in_l["cols"], x)
+                    _local_matvec(in_l, x, n)
                     - in_l["b"], 0.0) * in_l["row_mask"]
                 pviol = pviol + jnp.sum(r * r)
                 dual_loc = dual_loc - jnp.dot(y_ineq, in_l["b"])
@@ -397,12 +414,12 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
         max_v_eq = jnp.asarray(0.0, c.dtype)
         max_v_ineq = jnp.asarray(0.0, c.dtype)
         if has_eq:
-            r = (_local_matvec(eq_l["vals"], eq_l["cols"], x)
+            r = (_local_matvec(eq_l, x, n)
                  - eq_l["b"]) * eq_l["row_mask"]
             energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
             max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
         if has_ineq:
-            r = (_local_matvec(in_l["vals"], in_l["cols"], x)
+            r = (_local_matvec(in_l, x, n)
                  - in_l["b"]) * in_l["row_mask"]
             energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
             max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
