@@ -6,8 +6,9 @@ primal vector ``x`` is replicated, and the dual vectors live with their rows:
 
 * forward SpMV ``A x₃`` — purely local (x replicated): no collective;
 * transpose SpMV ``yᵀA`` — each device reduces its local rows' contribution
-  through its local column-oriented ELL, then one ``psum`` over ICI merges
-  the reduced-cost update;
+  through its local block-ELL tiles (gather-free, same 128×128 tiling as the
+  single-chip backend), then one ``psum`` over ICI merges the reduced-cost
+  update;
 * the primal update runs replicated on every device (identical inputs →
   identical outputs, no collective needed);
 * residual norms for metrics reduce with ``psum``/``pmax``.
@@ -76,8 +77,8 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
     """Partition the (one-sided) LP by constraint rows over ``mesh``.
 
     Returns a dict of arrays placed with their shardings: per-device stacked
-    ELL blocks (leading axis sharded over the mesh axis), replicated primal
-    data and preconditioners, and the sharded dual state.
+    block-ELL tiles (leading axis sharded over the mesh axis), replicated
+    primal data and preconditioners, and the sharded dual state.
     """
     axis = mesh.axis_names[0]
     ndev = int(np.prod(list(mesh.shape.values())))
