@@ -99,7 +99,7 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
         tiles_l, cols_l, tiles_tl, rows_tl, bs = [], [], [], [], []
         for d in range(ndev):
             lo, hi = d * rows_loc, (d + 1) * rows_loc
-            tv, ci, tvt, ri = _chunk_tiles(a, lo, hi, np.float64)
+            tv, ci, tvt, ri = _chunk_tiles(a, lo, hi, dtype)
             tiles_l.append(tv)
             cols_l.append(ci)
             tiles_tl.append(tvt)
