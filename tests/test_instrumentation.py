@@ -136,3 +136,17 @@ def test_linear_solve_wrappers():
 
     big = make_spd_solver(sp, dense_max_dim=10, diag=np.diag(m))
     np.testing.assert_allclose(np.asarray(big.solve(b)), ref, atol=1e-6)
+
+
+def test_benchmark_random_lp_harness():
+    from pysparselp_tpu.benchmarks import benchmark_random_lp
+
+    results, lp = benchmark_random_lp(
+        nbvar=20, n_eq=2, n_ineq=20, sparsity=0.3, seed=2,
+        methods=["chambolle_pock_ppd", "admm2"],
+        nb_iter=400, nb_iter_plot=200, max_time=30.0, verbose=False,
+    )
+    assert set(results) == {"chambolle_pock_ppd", "admm2"}
+    for r in results.values():
+        assert np.isfinite(r["cost"]) and len(r["itrn_curve"]) == 2
+        assert r["distance_to_ground_truth"][-1] < 10.0
