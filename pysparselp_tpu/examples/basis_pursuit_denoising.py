@@ -5,6 +5,10 @@ min ‖y − M x‖₁ + λ‖x‖₁ via soft constraints.  (The reference exam
 method that does not exist there, ``add_soft_linear_constraint_rows`` at
 ``example_basis_pursuit_denoising.py:28`` — this framework provides it as an
 alias of ``add_soft_inequality_constraints``, so the example actually runs.)
+
+Provenance: the BPDN model definition is transcribed from the reference
+example (fixed as described above) to preserve the benchmark fixture; the
+solver stack underneath is original.
 """
 
 from __future__ import annotations

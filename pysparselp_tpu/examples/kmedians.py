@@ -2,6 +2,12 @@
 
 Reference: ``pysparselp/examples/example_kmedians.py`` (formulation after the
 facility-location LP relaxation of k-median).
+
+Provenance: the LP formulation block and data generation are transcribed
+from the reference example (``example_kmedians.py:24-44,68-75``) so the
+benchmark stays bit-identical — ``tests/test_examples.py`` asserts the
+reference's exact cost constant, which requires the same problem instance.
+The solver stack underneath is original.
 """
 
 from __future__ import annotations

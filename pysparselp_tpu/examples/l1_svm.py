@@ -2,6 +2,10 @@
 
 Reference: ``pysparselp/examples/example_l1_svm.py`` (Zhu, Rosset, Hastie,
 Tibshirani, "1-norm support vector machines", NIPS 2004).
+
+Provenance: the problem construction is transcribed from the reference
+example so its accuracy constants stay meaningful as fixtures
+(``tests/test_examples.py``); the solver stack underneath is original.
 """
 
 from __future__ import annotations

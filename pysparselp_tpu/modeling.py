@@ -654,6 +654,12 @@ class SparseLP:
 
         save_ian_e_h_yen(self, folder)
 
+    def convert_to_cvxpy(self):
+        """Return ``(cvxpy.Problem, x)`` (reference ``SparseLP.py:930-988``)."""
+        from .solvers.cvxpy_bridge import convert_to_cvxpy
+
+        return convert_to_cvxpy(self)
+
     # ------------------------------------------------------------------
     # solve dispatch (``SparseLP.py:990-1383``)
     # ------------------------------------------------------------------

@@ -210,7 +210,7 @@ def dispatch(
     if method in ("ECOS", "SCS", "CVXOPT"):  # pragma: no cover - optional
         from .cvxpy_bridge import solve_cvxpy
 
-        return solve_cvxpy(lp, method, callback_func=callback_func,
-                           start_time=start_time)
+        return solve_cvxpy(lp, method, nb_iter=nb_iter,
+                           callback_func=callback_func, start_time=start_time)
 
     raise ValueError(f"unknown LP solver method {method}")

@@ -1,0 +1,151 @@
+"""Bridges + exporters: no phantom imports, ian_yen roundtrip, fake-dep bridges.
+
+Guards against the round-1 defect class where dispatch advertised modules
+that did not exist (``solvers/osqp_bridge``, ``solvers/cvxpy_bridge``,
+``io/ian_yen``).
+"""
+
+import importlib
+import pkgutil
+import sys
+import types
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+import pysparselp_tpu
+from pysparselp_tpu import SparseLP
+
+
+def _small_lp(seed=4):
+    rng = np.random.RandomState(seed)
+    cost = rng.rand(6, 6)
+    lp = SparseLP()
+    x = lp.add_variables_array(cost.shape, 0, 1, costs=cost)
+    lp.add_equality_constraints(x, np.ones_like(cost), b=np.ones(6))
+    lp.add_inequality_constraints(x.T, np.ones_like(cost), upper_bounds=np.ones(6))
+    return lp
+
+
+def test_every_package_module_imports():
+    """No module in the package may raise on import (phantom-import guard)."""
+    # raw ctypes shared objects (loaded via ctypes.CDLL, not importable as
+    # CPython extension modules) — pkgutil still lists them
+    ctypes_libs = {
+        "pysparselp_tpu.integer._propagate",
+        "pysparselp_tpu.native._gauss_seidel",
+    }
+    failures = []
+    for info in pkgutil.walk_packages(
+        pysparselp_tpu.__path__, prefix="pysparselp_tpu."
+    ):
+        if info.name in ctypes_libs:
+            continue
+        try:
+            importlib.import_module(info.name)
+        except Exception as e:  # noqa: BLE001 - collect all failures
+            failures.append((info.name, repr(e)))
+    assert not failures, f"modules failed to import: {failures}"
+
+
+def test_dispatchable_methods_execute():
+    """Every advertised built-in method runs end-to-end on a tiny LP."""
+    from pysparselp_tpu.modeling import solving_methods
+
+    lp = _small_lp()
+    ref, _ = lp.solve(method="scipy_simplex")
+    for method in solving_methods:
+        sol, _ = lp.solve(method=method, nb_iter=300, nb_iter_plot=100)
+        assert np.all(np.isfinite(sol)), method
+
+
+def test_save_ian_e_h_yen_roundtrip(tmp_path):
+    lp = _small_lp()
+    lp.save_ian_e_h_yen(str(tmp_path))
+
+    for name in ("a_eq", "beq", "c", "A", "b", "meta"):
+        assert (tmp_path / name).exists(), name
+
+    c = np.loadtxt(tmp_path / "c")
+    np.testing.assert_allclose(c, lp.costsvector, atol=1e-6)
+
+    def read_coo(path):
+        raw = np.loadtxt(path)
+        m, n = int(raw[0, 0]), int(raw[0, 1])
+        rows = raw[1:, 0].astype(int) - 1
+        cols = raw[1:, 1].astype(int) - 1
+        return scipy.sparse.coo_matrix((raw[1:, 2], (rows, cols)), (m, n))
+
+    a_eq = read_coo(tmp_path / "a_eq")
+    np.testing.assert_allclose(
+        a_eq.toarray(), lp.a_equalities.tocsr().toarray(), atol=1e-6
+    )
+    beq = np.loadtxt(tmp_path / "beq")
+    np.testing.assert_allclose(beq, lp.b_equalities, atol=1e-6)
+
+    # A must contain the original inequalities plus one row per finite ub
+    a_ineq = read_coo(tmp_path / "A")
+    n_orig = lp.a_inequalities.shape[0]
+    n_bounded = int(np.sum(~np.isinf(lp.upper_bounds)))
+    assert a_ineq.shape == (n_orig + n_bounded, lp.nb_variables)
+    b = np.loadtxt(tmp_path / "b")
+    np.testing.assert_allclose(b[:n_orig], lp.b_upper, atol=1e-6)
+
+    meta = dict(
+        line.split("\t") for line in (tmp_path / "meta").read_text().splitlines()
+    )
+    assert int(meta["nb"]) == lp.nb_variables
+    assert int(meta["mE"]) == lp.a_equalities.shape[0]
+    assert int(meta["mI"]) == a_ineq.shape[0]
+
+
+def test_save_ian_e_h_yen_guards(tmp_path):
+    lp = _small_lp()
+    lp.lower_bounds[:] = -1.0
+    with pytest.raises(ValueError, match="lower bound"):
+        lp.save_ian_e_h_yen(str(tmp_path))
+
+
+def test_osqp_bridge_with_fake_solver(monkeypatch):
+    """Exercise the OSQP conversion path by injecting a fake osqp module."""
+    from pysparselp_tpu.solvers.osqp_bridge import solve_osqp
+
+    lp = _small_lp()
+    ref, _ = lp.solve(method="scipy_simplex")
+    captured = {}
+
+    class FakeModel:
+        def setup(self, p, q, a, lo, hi, **opts):
+            captured.update(p=p, q=q, a=a, lo=lo, hi=hi, opts=opts)
+
+        def solve(self):
+            # answer with the HiGHS optimum; the bridge only relays it
+            info = types.SimpleNamespace(iter=7)
+            return types.SimpleNamespace(x=ref, info=info)
+
+    fake = types.SimpleNamespace(OSQP=FakeModel)
+    monkeypatch.setitem(sys.modules, "osqp", fake)
+
+    points = []
+    x = solve_osqp(lp, nb_iter=50,
+                   callback_func=lambda *a: points.append(a))
+    np.testing.assert_allclose(x, ref)
+    assert len(points) == 1 and points[0][0] == 7
+    # conversion contract: P is the zero matrix, box bounds became rows
+    assert captured["p"].nnz == 0
+    assert captured["a"].shape[1] == lp.nb_variables
+    assert captured["a"].shape[0] >= lp.a_inequalities.shape[0]
+    assert np.all(captured["lo"] >= -1000) and np.all(captured["hi"] <= 1000)
+    assert captured["opts"]["max_iter"] == 50
+
+
+def test_cvxpy_bridge_requires_cvxpy():
+    """Without cvxpy the bridge raises ImportError, not ModuleNotFound crashes
+    at package import time."""
+    if "cvxpy" in sys.modules:
+        pytest.skip("cvxpy installed")
+    from pysparselp_tpu.solvers.cvxpy_bridge import solve_cvxpy
+
+    with pytest.raises(ImportError):
+        solve_cvxpy(_small_lp(), "ECOS")
