@@ -68,9 +68,19 @@ class CheckpointingCallback:
     """Callback-protocol adapter: checkpoint every ``every_sec`` seconds.
 
     Chain into ``lp.solve(..., callback_func=ckpt.wrap(user_cb))``; on each
-    callback tick past the interval, the current iterate is saved.  Resume
-    with ``lp.solve(..., x0=load_checkpoint(p)["x"])``.
+    callback tick past the interval, the current iterate is saved.  Solvers
+    that support full-state reporting (``wants_state`` protocol, e.g.
+    chambolle_pock_ppd) also persist their duals and extrapolation state, so
+    a resume continues the exact trajectory::
+
+        st = load_checkpoint(p)
+        lp.solve(..., x0=st["x"], y_eq0=st["y_eq"], y_ineq0=st["y_ineq"],
+                 x30=st["meta"].get("x3"))
+
+    For solvers without state reporting, resume with ``x0=st["x"]`` only.
     """
+
+    wants_state = True
 
     def __init__(self, path, every_sec=60.0):
         self.path = path
@@ -78,16 +88,26 @@ class CheckpointingCallback:
         self._last = -float("inf")
 
     def __call__(self, niter, solution, energy1, energy2, duration,
-                 max_violated_eq, max_violated_ineq, **_):
+                 max_violated_eq, max_violated_ineq, state=None, **_):
         if duration - self._last >= self.every_sec:
-            save_checkpoint(self.path, solution, niter=niter,
-                            meta={"energy1": energy1})
+            meta = {"energy1": energy1}
+            y_eq = y_ineq = None
+            if state is not None:
+                y_eq = state.get("y_eq")
+                y_ineq = state.get("y_ineq")
+                if state.get("x3") is not None:
+                    meta["x3"] = state["x3"]
+            save_checkpoint(self.path, solution, y_eq=y_eq, y_ineq=y_ineq,
+                            niter=niter, meta=meta)
             self._last = duration
 
     def wrap(self, callback):
         def chained(*args, **kw):
             self(*args, **kw)
             if callback is not None:
+                if not getattr(callback, "wants_state", False):
+                    kw.pop("state", None)
                 callback(*args, **kw)
 
+        chained.wants_state = True
         return chained

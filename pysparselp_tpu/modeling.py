@@ -438,13 +438,17 @@ class SparseLP:
         mapping_upper = np.concatenate(([0], np.cumsum(self.b_upper != np.inf)))
         mapping_lower = np.concatenate(([0], np.cumsum(self.b_lower != -np.inf)))
 
+        # Remap inclusive [start, end] name ranges: the new start of row s is
+        # the count of kept rows before it, and the new inclusive end of row e
+        # is mapping[e + 1] - 1 — correct even when the range's boundary rows
+        # themselves are dropped (inf bound).
         new_names = []
         for d in self.inequality_constraint_names:
             new_names.append(
                 {
                     "name": d["name"],
                     "start": int(mapping_upper[d["start"]]),
-                    "end": int(mapping_upper[d["end"]]),
+                    "end": int(mapping_upper[d["end"] + 1]) - 1,
                 }
             )
         for d in self.inequality_constraint_names:
@@ -452,7 +456,7 @@ class SparseLP:
                 {
                     "name": d["name"],
                     "start": int(keep_upper.size + mapping_lower[d["start"]]),
-                    "end": int(keep_upper.size + mapping_lower[d["end"]]),
+                    "end": int(keep_upper.size + mapping_lower[d["end"] + 1]) - 1,
                 }
             )
         self.inequality_constraint_names = new_names
@@ -727,6 +731,7 @@ class SparseLP:
             max_violated_equality,
             max_violated_inequality,
             is_active_variable=None,
+            state=None,
         ):
             if ground_truth is not None:
                 gt_idx = (
@@ -759,7 +764,16 @@ class SparseLP:
                     duration,
                     max_violated_equality,
                     max_violated_inequality,
+                    **(
+                        {"state": state}
+                        if getattr(user_callback, "wants_state", False)
+                        else {}
+                    ),
                 )
+
+        recording_callback.wants_state = getattr(
+            user_callback, "wants_state", False
+        )
 
         x = dispatch(
             self,

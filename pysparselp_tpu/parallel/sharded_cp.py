@@ -73,7 +73,7 @@ def _pad_k(arrs_vals, arrs_idx, k_max):
 
 
 def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
-                          alpha=1.0, dtype=np.float32):
+                          alpha=1.0, dtype=np.float32, x0=None):
     """Partition the (one-sided) LP by constraint rows over ``mesh``.
 
     Returns a dict of arrays placed with their shardings: per-device stacked
@@ -109,11 +109,10 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
                              max(t.shape[1] for t in tiles_l))
         tiles_t, rows_t = _pad_k(tiles_tl, rows_tl,
                                  max(t.shape[1] for t in tiles_tl))
-        # per-row mask of real (non-padding) rows, from the csr structure
-        rm = np.zeros((ndev, rows_loc))
-        cnt = np.diff(a.indptr)
-        for d in range(ndev):
-            rm[d] = (cnt[d * rows_loc:(d + 1) * rows_loc] > 0)
+        # per-row mask of real (non-padding) rows: exactly the global rows
+        # < m.  (A genuine all-zero-coefficient row with nonzero b is still a
+        # real constraint and must count in the violation metrics.)
+        rm = (np.arange(m_pad) < m).astype(np.float64).reshape(ndev, rows_loc)
         return dict(
             tiles=tiles, cols=cols, tiles_t=tiles_t, rows_t=rows_t,
             b=np.stack(bs), row_mask=rm, m=m, m_pad=m_pad,
@@ -176,9 +175,10 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
         data[name + "_m"] = sys_["m"]
         data[name + "_m_pad"] = sys_["m_pad"]
 
+    x_init = np.zeros(n) if x0 is None else np.asarray(x0, np.float64)
     state = dict(
-        x=put_rep(np.zeros(n)),
-        x3=put_rep(np.zeros(n)),
+        x=put_rep(x_init),
+        x3=put_rep(x_init),
     )
     if eq is not None:
         state["y_eq"] = put_sharded(np.zeros((ndev, eq["rows_loc"])))
@@ -448,6 +448,7 @@ def chambolle_pock_ppd_sharded(
     c, a_eq, beq, a_ineq, b_lower, b_upper, lb, ub, mesh,
     nb_max_iter=1000, nb_iter_plot=100, callback_func=None, max_time=None,
     dtype=np.float32, alpha=1.0, restart=None, omega=None, permute="auto",
+    x0=None,
 ):
     """Mesh-parallel CP-PPD with the standard solver contract; returns x.
 
@@ -489,6 +490,8 @@ def chambolle_pock_ppd_sharded(
             a_one = a_one[rows_in, :][:, cols]
             b_ineq = np.asarray(b_ineq)[rows_in]
         c, lb, ub = c[cols], lb[cols], ub[cols]
+        if x0 is not None:
+            x0 = np.asarray(x0, np.float64)[cols]
         inv_cols = np.empty(c.size, np.int64)
         inv_cols[cols] = np.arange(c.size)
         if callback_func is not None:
@@ -498,7 +501,7 @@ def chambolle_pock_ppd_sharded(
                 user_cb(niter, np.asarray(xp)[inv_cols], *rest)
     data, state = build_sharded_cp_data(
         c, a_eq, beq, a_one, b_ineq, lb, ub, mesh,
-        alpha=alpha, dtype=dtype,
+        alpha=alpha, dtype=dtype, x0=x0,
     )
     if omega != 1.0:
         data = _rescale_steps(data, omega)

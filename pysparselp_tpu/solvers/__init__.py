@@ -63,9 +63,30 @@ def dispatch(
 
         lp_reduced = copy.deepcopy(lp)
         m_change, shift = lp_reduced.remove_fixed_variables()
+        # warm start: map into the reduced space (inverse of
+        # ``x = m_change @ x_r + shift``; m_change columns are unit vectors)
+        x0_r = None if x0 is None else m_change.T @ (np.asarray(x0) - shift)
+        x30 = solver_kwargs.pop("x30", None)
+        if x30 is not None:
+            solver_kwargs["x30"] = m_change.T @ (np.asarray(x30) - shift)
 
-        def back(niter, sol, e1, e2, dur, mveq, mvineq):
-            callback_func(niter, m_change @ sol + shift, e1, e2, dur, mveq, mvineq)
+        def back(niter, sol, e1, e2, dur, mveq, mvineq, state=None):
+            if state is not None:
+                state = dict(
+                    state,
+                    x=m_change @ state["x"] + shift,
+                    x3=m_change @ state["x3"] + shift,
+                )
+            callback_func(
+                niter, m_change @ sol + shift, e1, e2, dur, mveq, mvineq,
+                **(
+                    {"state": state}
+                    if getattr(callback_func, "wants_state", False)
+                    else {}
+                ),
+            )
+
+        back.wants_state = getattr(callback_func, "wants_state", False)
 
         a_ineq_r, _ = _csr_with_blocks(lp_reduced.a_inequalities)
         a_eq_r, _ = _csr_with_blocks(lp_reduced.a_equalities)
@@ -83,7 +104,7 @@ def dispatch(
                 lp_reduced.b_upper if a_ineq_r is not None else None,
                 lp_reduced.lower_bounds, lp_reduced.upper_bounds, mesh,
                 nb_max_iter=nb_iter, nb_iter_plot=nb_iter_plot,
-                callback_func=back, max_time=max_time,
+                callback_func=back, max_time=max_time, x0=x0_r,
                 **({"dtype": dtype} if dtype is not None else {}),
                 **solver_kwargs,
             )
@@ -97,7 +118,7 @@ def dispatch(
             lp_reduced.b_upper if a_ineq_r is not None else None,
             lp_reduced.lower_bounds,
             lp_reduced.upper_bounds,
-            x0=None,
+            x0=x0_r,
             alpha=solver_kwargs.pop("alpha", 1.0),
             theta=solver_kwargs.pop("theta", 1.0),
             nb_max_iter=nb_iter,
@@ -131,7 +152,7 @@ def dispatch(
             lp_slack.a_equalities.tocsr(),
             lp_slack.b_equalities,
             lp_slack.costsvector,
-            max_iter=min(nb_iter, 100),
+            max_iter=nb_iter,
             callback=mehrotra_cb,
             dtype=dtype,
             start_time=start_time,
@@ -178,7 +199,8 @@ def dispatch(
 
         x, _y_eq, _y_ineq = dual_gradient_ascent(
             x=x0, lp=lp, nb_max_iter=nb_iter, callback_func=callback_func,
-            y_eq=None, y_ineq=None, max_time=max_time,
+            y_eq=solver_kwargs.pop("y_eq", None),
+            y_ineq=solver_kwargs.pop("y_ineq", None), max_time=max_time,
             nb_iter_plot=nb_iter_plot, dtype=dtype, start_time=start_time,
             **solver_kwargs,
         )
@@ -189,13 +211,15 @@ def dispatch(
 
         lp_reduced = copy.deepcopy(lp)
         m_change, shift = lp_reduced.remove_fixed_variables()
+        x0_r = None if x0 is None else m_change.T @ (np.asarray(x0) - shift)
 
         def back(niter, sol, e1, e2, dur, mveq, mvineq):
             callback_func(niter, m_change @ sol + shift, e1, e2, dur, mveq, mvineq)
 
         x, _y_eq, _y_ineq = dual_coordinate_ascent(
-            x=None, lp=lp_reduced, nb_max_iter=nb_iter, callback_func=back,
-            y_eq=None, y_ineq=None, max_time=max_time,
+            x=x0_r, lp=lp_reduced, nb_max_iter=nb_iter, callback_func=back,
+            y_eq=solver_kwargs.pop("y_eq", None),
+            y_ineq=solver_kwargs.pop("y_ineq", None), max_time=max_time,
             nb_iter_plot=nb_iter_plot, dtype=dtype, start_time=start_time,
             **solver_kwargs,
         )

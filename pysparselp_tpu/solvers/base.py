@@ -47,17 +47,28 @@ class HostLoop:
 
 
 def emit_callback(callback_func, niter, x, energy1, energy2, elapsed,
-                  max_violated_eq, max_violated_ineq):
-    if callback_func is not None:
-        callback_func(
-            int(niter),
-            to_np(x),
-            float(energy1),
-            float(energy2),
-            float(elapsed),
-            float(max_violated_eq),
-            float(max_violated_ineq),
-        )
+                  max_violated_eq, max_violated_ineq, state=None):
+    """Invoke the 7-positional-arg callback protocol.
+
+    ``state`` (a dict of full solver state arrays, e.g. duals) is passed as
+    an extra keyword ONLY to callbacks that opt in with a truthy
+    ``wants_state`` attribute — existing positional callbacks keep working.
+    """
+    if callback_func is None:
+        return
+    args = (
+        int(niter),
+        to_np(x),
+        float(energy1),
+        float(energy2),
+        float(elapsed),
+        float(max_violated_eq),
+        float(max_violated_ineq),
+    )
+    if state is not None and getattr(callback_func, "wants_state", False):
+        callback_func(*args, state=state)
+    else:
+        callback_func(*args)
 
 
 class ToleranceStop:

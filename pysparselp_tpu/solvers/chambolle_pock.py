@@ -291,6 +291,9 @@ def chambolle_pock_ppd(
     restart_period=None,
     stop_tol=None,
     permute="auto",
+    y_eq0=None,
+    y_ineq0=None,
+    x30=None,
 ):
     """Solve the LP with preconditioned CP-PPD; returns ``(x, best_integer_solution)``.
 
@@ -309,6 +312,11 @@ def chambolle_pock_ppd(
       every restart (implies ``omega="auto"`` unless ω is given).
 
     Both off by default: the default trajectory is reference-faithful.
+
+    Full-state resume (beyond the reference's primal-only ``x0``): pass
+    ``y_eq0``/``y_ineq0``/``x30`` — e.g. from a ``CheckpointingCallback``
+    checkpoint — to continue a run exactly where it stopped.  ``y_ineq0``
+    is in the one-sided (folded) inequality space the solver reports.
     """
     if restart is not None and omega is None:
         omega = "auto"
@@ -335,6 +343,7 @@ def chambolle_pock_ppd(
     if permute == "auto":
         permute = jax.default_backend() == "tpu"
     inv_cols = None
+    rows_eq = rows_in = None
     if permute and (a_eq is not None or a_one is not None):
         m_e = a_eq.shape[0] if a_eq is not None else 0
         parts = [p for p in (a_eq, a_one) if p is not None]
@@ -353,14 +362,22 @@ def chambolle_pock_ppd(
         ub = ub[cols]
         if x0 is not None:
             x0 = np.asarray(x0, np.float64)[cols]
+        if x30 is not None:
+            x30 = np.asarray(x30, np.float64)[cols]
+        if y_eq0 is not None:
+            y_eq0 = np.asarray(y_eq0, np.float64)[rows_eq]
+        if y_ineq0 is not None:
+            y_ineq0 = np.asarray(y_ineq0, np.float64)[rows_in]
         # x_orig[j] = x_perm[pos(j)] where cols[pos(j)] = j
         inv_cols = np.empty(c.size, np.int64)
         inv_cols[cols] = np.arange(c.size)
         if callback_func is not None:
             user_cb = callback_func
 
-            def callback_func(niter, xp, *rest):
-                user_cb(niter, np.asarray(xp)[inv_cols], *rest)
+            def callback_func(niter, xp, *rest, **kw):
+                user_cb(niter, np.asarray(xp)[inv_cols], *rest, **kw)
+
+            callback_func.wants_state = getattr(user_cb, "wants_state", False)
 
     if a_eq is None and a_one is None:
         # unconstrained: minimize cᵀx over the box (``ChambollePockPPD.py:147-151``)
@@ -408,12 +425,29 @@ def chambolle_pock_ppd(
     pre_eff = _scale_pre(pre, omega) if omega != 1.0 else pre
 
     x = jnp.asarray(x0 if x0 is not None else np.zeros(n), dtype)
+    ye0 = np.zeros(prob.m_eq) if y_eq0 is None else np.asarray(y_eq0)
+    yi0 = np.zeros(prob.m_ineq) if y_ineq0 is None else np.asarray(y_ineq0)
     state = (
         x,
-        x,
-        jnp.zeros(prob.m_eq, dtype) if eq_m is not None else jnp.zeros(0, dtype),
-        jnp.zeros(prob.m_ineq, dtype) if in_m is not None else jnp.zeros(0, dtype),
+        jnp.asarray(x30, dtype) if x30 is not None else x,
+        jnp.asarray(ye0, dtype) if eq_m is not None else jnp.zeros(0, dtype),
+        jnp.asarray(yi0, dtype) if in_m is not None else jnp.zeros(0, dtype),
     )
+
+    def _callback_state():
+        """Full solver state in original (un-permuted) coordinates."""
+        sx, sx3, sye, syi = (to_np(v) for v in state)
+        if inv_cols is not None:
+            sx, sx3 = sx[inv_cols], sx3[inv_cols]
+            if rows_eq is not None and sye.size:
+                out = np.empty_like(sye)
+                out[rows_eq] = sye
+                sye = out
+            if rows_in is not None and syi.size:
+                out = np.empty_like(syi)
+                out[rows_in] = syi
+                syi = out
+        return {"x": sx, "x3": sx3, "y_eq": sye, "y_ineq": syi}
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
     best_integer_solution = None
@@ -424,6 +458,16 @@ def chambolle_pock_ppd(
     # every restart_period iterations with no host synchronization
     rstate = None
     if restart == "average":
+        if restart_period is not None and restart_period > nb_iter_plot:
+            import warnings
+
+            warnings.warn(
+                f"restart_period={restart_period} exceeds the metrics chunk "
+                f"size nb_iter_plot={nb_iter_plot}; restart checks run at "
+                "chunk boundaries, so the effective period is clamped to "
+                "nb_iter_plot. Raise nb_iter_plot to check less often.",
+                stacklevel=2,
+            )
         period = int(min(restart_period or nb_iter_plot, nb_iter_plot))
         rstate = {
             "state": state,
@@ -459,6 +503,11 @@ def chambolle_pock_ppd(
             loop.elapsed,
             metrics["max_violated_equality"],
             metrics["max_violated_inequality"],
+            state=(
+                _callback_state()
+                if getattr(callback_func, "wants_state", False)
+                else None
+            ),
         )
         if loop.timed_out:
             break

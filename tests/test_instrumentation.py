@@ -42,18 +42,63 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_checkpointing_callback_and_resume(lp, tmp_path):
+    """Full-state checkpoint mid-solve, resume through lp.solve, and match
+    the uninterrupted trajectory exactly (same chunk boundaries)."""
+    x_full, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=800,
+                         nb_iter_plot=200)
+
     p = str(tmp_path / "cp.npz")
     ckpt = CheckpointingCallback(p, every_sec=0.0)  # checkpoint every tick
-    x1, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=400,
-                     nb_iter_plot=100, callback_func=ckpt.wrap(None))
+    lp.solve(method="chambolle_pock_ppd", nb_iter=400, nb_iter_plot=200,
+             callback_func=ckpt.wrap(None))
     assert os.path.exists(p)
     st = load_checkpoint(p)
     assert st["niter"] == 400
-    # resume from the checkpoint: must pick up where it left off
-    x2, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=400,
-                     nb_iter_plot=400, x0=st["x"])
+    assert st["y_eq"] is not None and st["y_ineq"] is not None
+    assert "x3" in st["meta"]
+
+    x_res, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=400,
+                        nb_iter_plot=200, x0=st["x"], y_eq0=st["y_eq"],
+                        y_ineq0=st["y_ineq"], x30=st["meta"]["x3"])
+    np.testing.assert_allclose(x_res, x_full, atol=1e-9)
+
+
+def test_warm_start_is_used_through_dispatch(lp):
+    """x0 must actually reach the flagship solver through dispatch.
+
+    Round-1 advisor finding: dispatch hardcoded ``x0=None``, so any
+    user-supplied warm start was silently discarded — the trajectories of a
+    warm and a cold run were identical."""
     ref, _ = lp.solve(method="scipy_simplex")
-    assert abs(lp.cost(x2) - lp.cost(ref)) <= abs(lp.cost(x1) - lp.cost(ref)) + 1e-9
+    warm, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=100,
+                       nb_iter_plot=100, x0=ref)
+    cold, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=100,
+                       nb_iter_plot=100)
+    assert np.max(np.abs(warm - cold)) > 1e-8
+
+
+def test_full_state_resume_with_fixed_variables(tmp_path):
+    """Resume must survive remove_fixed_variables' reduced-space mapping."""
+    from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+    lp, _ = generate_random_lp(nbvar=25, n_eq=2, n_ineq=25, sparsity=0.25,
+                               seed=7)
+    # pin a few variables (lb == ub) so dispatch actually reduces
+    lp.upper_bounds[:3] = lp.lower_bounds[:3]
+    x_full, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=600,
+                         nb_iter_plot=200)
+
+    p = str(tmp_path / "cp.npz")
+    ckpt = CheckpointingCallback(p, every_sec=0.0)
+    lp.solve(method="chambolle_pock_ppd", nb_iter=200, nb_iter_plot=200,
+             callback_func=ckpt)
+    st = load_checkpoint(p)
+    x_res, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=400,
+                        nb_iter_plot=200, x0=st["x"], y_eq0=st["y_eq"],
+                        y_ineq0=st["y_ineq"], x30=st["meta"]["x3"])
+    np.testing.assert_allclose(x_res, x_full, atol=1e-9)
+    # fixed variables keep their pinned values in the returned solution
+    np.testing.assert_allclose(x_res[:3], lp.lower_bounds[:3], atol=1e-9)
 
 
 def test_solution_stat_records(lp):

@@ -235,3 +235,38 @@ def test_nb_iter_plot_larger_than_nb_iter():
     x, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=50,
                     nb_iter_plot=1000)
     assert lp.itrn_curve == [50]
+
+
+def test_one_sided_conversion_remaps_name_ranges_with_dropped_rows():
+    """A named range whose LAST row has an infinite upper bound must not
+    overshoot into the next range after conversion (round-1 advisor bug:
+    inclusive end remapped as mapping[end] instead of mapping[end+1]-1)."""
+    lp = SparseLP()
+    idx = lp.add_variables_array(4, lower_bounds=-10, upper_bounds=10,
+                                 costs=1.0)
+    cols = np.asarray(idx, dtype=int).reshape(4, 1)
+    vals = np.ones((4, 1))
+    # range "a": rows 0-1; row 1 has ub=+inf (dropped from the upper block)
+    lp.start_constraint_name("a")
+    lp.add_inequality_constraints(cols[:2], vals[:2],
+                                  lower_bounds=np.array([-1.0, -1.0]),
+                                  upper_bounds=np.array([1.0, np.inf]))
+    lp.end_constraint_name("a")
+    # range "b": rows 2-3, both sides finite
+    lp.start_constraint_name("b")
+    lp.add_inequality_constraints(cols[2:], vals[2:],
+                                  lower_bounds=np.array([-2.0, -2.0]),
+                                  upper_bounds=np.array([2.0, 2.0]))
+    lp.end_constraint_name("b")
+
+    lp.convert_to_one_sided_inequality_system()
+    a_upper = lp.find_inequality_constraints_from_name("a")[0]
+    b_upper = lp.find_inequality_constraints_from_name("b")[0]
+    # upper block keeps rows [0 (from a), 2, 3 (from b)] in order
+    assert (a_upper["start"], a_upper["end"]) == (0, 0)
+    assert (b_upper["start"], b_upper["end"]) == (1, 2)
+    # lower block: all 4 rows kept, appended after the 3 upper rows
+    a_lower = lp.find_inequality_constraints_from_name("a")[1]
+    b_lower = lp.find_inequality_constraints_from_name("b")[1]
+    assert (a_lower["start"], a_lower["end"]) == (3, 4)
+    assert (b_lower["start"], b_lower["end"]) == (5, 6)

@@ -40,22 +40,45 @@ def test_sharded_cp_matches_single_device(problem):
     np.testing.assert_allclose(x8, x1, atol=1e-10)
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
-def test_sharded_cp_device_count_invariance(problem, ndev):
-    """The algorithm must be independent of the mesh size."""
-    lp = problem
+def _sharded_solution(lp, ndev):
     mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
-    x = chambolle_pock_ppd_sharded(
+    return chambolle_pock_ppd_sharded(
         lp.costsvector, lp.a_equalities.tocsr(), lp.b_equalities,
         lp.a_inequalities.tocsr(), lp.b_lower, lp.b_upper,
         lp.lower_bounds, lp.upper_bounds, mesh,
         nb_max_iter=1000, nb_iter_plot=1000, dtype=np.float64,
     )
-    if not hasattr(test_sharded_cp_device_count_invariance, "_ref"):
-        test_sharded_cp_device_count_invariance._ref = x
-    np.testing.assert_allclose(
-        x, test_sharded_cp_device_count_invariance._ref, atol=1e-9
+
+
+@pytest.fixture(scope="module")
+def single_device_solution(problem):
+    return _sharded_solution(problem, 1)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_sharded_cp_device_count_invariance(problem, single_device_solution,
+                                            ndev):
+    """The algorithm must be independent of the mesh size."""
+    x = _sharded_solution(problem, ndev)
+    np.testing.assert_allclose(x, single_device_solution, atol=1e-9)
+
+
+def test_sharded_cp_warm_start(problem):
+    """x0 reaches the sharded solver and matches the single-chip warm run."""
+    lp = problem
+    ref, _ = lp.solve(method="scipy_simplex")
+    mesh = default_mesh(8)
+    x8 = chambolle_pock_ppd_sharded(
+        lp.costsvector, lp.a_equalities.tocsr(), lp.b_equalities,
+        lp.a_inequalities.tocsr(), lp.b_lower, lp.b_upper,
+        lp.lower_bounds, lp.upper_bounds, mesh,
+        nb_max_iter=500, nb_iter_plot=500, dtype=np.float64, x0=ref,
     )
+    x1, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=500,
+                     nb_iter_plot=500, x0=ref)
+    # matches the single-chip warm trajectory (which test_instrumentation
+    # proves differs from the cold one), so x0 was actually used
+    np.testing.assert_allclose(x8, x1, atol=1e-10)
 
 
 def test_sharded_state_is_actually_sharded(problem):
