@@ -121,10 +121,17 @@ def greedy_round(x, lp, callback_func=None, maxiter=np.inf, order=None,
 
 def greedy_fix(x, lp, nb_max_iter=1000, callback_func=None,
                use_xor_moves=False):
-    """Bit-flip local search decreasing the weighted violation score of
-    ``round(x)`` (``constraintPropagation.py:345-511``).
+    """Local search decreasing the weighted violation score of ``round(x)``
+    (``constraintPropagation.py:345-511``).
 
-    Constraints named ``"xors"`` get weight 1000 like the reference.
+    Constraints named ``"xors"`` get weight 1000 like the reference.  With
+    ``use_xor_moves=True``, 4-variable one-hot reassignment moves on the
+    ``"xors"`` constraint rows (set one variable of the group to 1 and the
+    others to 0 in a single step, ``constraintPropagation.py:389-410``)
+    compete with single bit flips each iteration — these escape local minima
+    where every single flip breaks the xor constraint it touches.  (The
+    reference computes these move scores but never applies them; here the
+    moves actually run.)
     """
     xr = np.round(x)
     lp2 = copy.deepcopy(lp)
@@ -144,6 +151,41 @@ def greedy_fix(x, lp, nb_max_iter=1000, callback_func=None,
     r_thr = np.maximum(r_ineq, 0)
     score = float(r_thr @ constraints_costs)
 
+    # 4-variable groups of the "xors" constraint rows (deduplicated: the
+    # one-sided conversion emits each row twice, once per direction)
+    xor_groups = []
+    if use_xor_moves:
+        seen = set()
+        for item in lp2.find_inequality_constraints_from_name("xors"):
+            for r in range(item["start"], item["end"] + 1):
+                ids = a.indices[a.indptr[r]: a.indptr[r + 1]]
+                if ids.size != 4:
+                    continue
+                key = tuple(sorted(int(i) for i in ids))
+                if key not in seen:
+                    seen.add(key)
+                    xor_groups.append(np.asarray(key))
+
+    def _multi_move_decrease(ids, delta):
+        """Score change of ``xr[ids] += delta`` (rows deduplicated)."""
+        rows_l, ch_l = [], []
+        for i, dv in zip(ids, delta):
+            if dv == 0:
+                continue
+            sl = slice(a_csc.indptr[i], a_csc.indptr[i + 1])
+            rows_l.append(a_csc.indices[sl])
+            ch_l.append(a_csc.data[sl] * dv)
+        if not rows_l:
+            return 0.0, None, None
+        rows_u, inv = np.unique(np.concatenate(rows_l), return_inverse=True)
+        ch = np.zeros(rows_u.size)
+        np.add.at(ch, inv, np.concatenate(ch_l))
+        new_r = r_ineq[rows_u] + ch
+        dec = float(
+            (np.maximum(new_r, 0) - r_thr[rows_u]) @ constraints_costs[rows_u]
+        )
+        return dec, rows_u, ch
+
     for _ in range(nb_max_iter):
         # score change of flipping each candidate bit
         dx = 1 - 2 * xr  # flip direction per variable
@@ -156,7 +198,7 @@ def greedy_fix(x, lp, nb_max_iter=1000, callback_func=None,
                 [a.indices[a.indptr[j]: a.indptr[j + 1]] for j in violated_rows]
             )
         )
-        best_i, best_dec = -1, 0.0
+        best_dec, best_move = 0.0, None
         for i in cand:
             rows = a_csc.indices[a_csc.indptr[i]: a_csc.indptr[i + 1]]
             vals = a_csc.data[a_csc.indptr[i]: a_csc.indptr[i + 1]]
@@ -165,14 +207,26 @@ def greedy_fix(x, lp, nb_max_iter=1000, callback_func=None,
                 (np.maximum(new_r, 0) - r_thr[rows]) @ constraints_costs[rows]
             )
             if dec < best_dec:
-                best_dec, best_i = dec, int(i)
-        if best_i < 0:
+                best_dec = dec
+                best_move = (np.asarray([i]), np.asarray([dx[i]]), rows,
+                             vals * dx[i])
+        for ids in xor_groups:
+            cur = xr[ids]
+            for k in range(4):
+                delta = -cur.copy()
+                delta[k] += 1.0
+                if not np.any(delta):
+                    continue  # already this one-hot assignment
+                dec, rows_u, ch = _multi_move_decrease(ids, delta)
+                if rows_u is not None and dec < best_dec:
+                    best_dec = dec
+                    best_move = (ids, delta, rows_u, ch)
+        if best_move is None:
             break
-        rows = a_csc.indices[a_csc.indptr[best_i]: a_csc.indptr[best_i + 1]]
-        vals = a_csc.data[a_csc.indptr[best_i]: a_csc.indptr[best_i + 1]]
-        r_ineq[rows] += vals * dx[best_i]
-        r_thr[rows] = np.maximum(r_ineq[rows], 0)
-        xr[best_i] += dx[best_i]
+        ids, delta, rows_u, ch = best_move
+        r_ineq[rows_u] += ch
+        r_thr[rows_u] = np.maximum(r_ineq[rows_u], 0)
+        xr[ids] += delta
         score += best_dec
         if callback_func is not None:
             callback_func(0, xr, 0, 0, 0, 0, 0)

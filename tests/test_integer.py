@@ -1,5 +1,7 @@
 """Tests for the native constraint-propagation kernel and greedy rounding."""
 
+import copy
+
 import numpy as np
 import scipy.sparse
 
@@ -139,3 +141,40 @@ def test_force_integer_returns_feasible_integer_solution():
 
     r, c = scipy.optimize.linear_sum_assignment(cost)
     assert abs(lp.cost(x) - cost[r, c].sum()) < 1e-6
+
+
+def test_greedy_fix_xor_moves_escape_bit_flip_local_minimum():
+    """use_xor_moves must change behavior: a one-hot reassignment move on an
+    "xors" group fixes a violation that every single bit flip would make
+    worse (it breaks the weight-1000 xor constraint it touches)."""
+    lp = SparseLP()
+    idx = lp.add_variables_array(4, lower_bounds=0, upper_bounds=1, costs=0.0)
+    cols = np.asarray(idx, dtype=int)
+    # one-hot group: x0 + x1 + x2 + x3 == 1, named "xors"
+    lp.start_constraint_name("xors")
+    lp.add_equality_constraints(cols.reshape(1, 4), np.ones((1, 4)),
+                                b=np.ones(1))
+    lp.end_constraint_name("xors")
+    # x0 must be 0 — but the current assignment has x0 = 1
+    lp.add_inequality_constraints(cols[:1].reshape(1, 1), np.ones((1, 1)),
+                                  upper_bounds=np.zeros(1))
+    x_start = np.array([1.0, 0.0, 0.0, 0.0])
+
+    def score(xr):
+        lp2 = copy.deepcopy(lp)
+        lp2.convert_to_all_inequalities()
+        lp2.convert_to_one_sided_inequality_system()
+        a = lp2.a_inequalities.tocsr()
+        return float(np.maximum(a @ xr - lp2.b_upper, 0).sum())
+
+    # bit-flip-only search is stuck at the start point
+    x_flips = greedy_fix(x_start.copy(), lp, nb_max_iter=50,
+                         use_xor_moves=False)
+    np.testing.assert_array_equal(x_flips, x_start)
+    assert score(x_flips) > 0
+
+    # the xor move reassigns the one-hot in a single step
+    x_xor = greedy_fix(x_start.copy(), lp, nb_max_iter=50,
+                       use_xor_moves=True)
+    assert score(x_xor) == 0.0
+    assert x_xor[0] == 0.0 and x_xor.sum() == 1.0
