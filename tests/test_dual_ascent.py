@@ -51,3 +51,66 @@ def test_dual_gradient_ascent_equality_only():
     x, _ = lp.solve(method="dual_gradient_ascent", nb_iter=200, nb_iter_plot=50)
     assert x.shape == (20,)
     assert np.all(np.isfinite(x))
+
+
+def test_color_groups_are_a_valid_disjoint_partition(one_sided_problem):
+    from pysparselp_tpu.solvers.dual_ascent import _color_rows
+
+    lp, _ = one_sided_problem
+    csr = lp.a_inequalities.tocsr()
+    groups = _color_rows(csr)
+    all_rows = np.concatenate(groups)
+    assert sorted(all_rows.tolist()) == list(range(csr.shape[0]))
+    for rows in groups:
+        # rows within a color must have pairwise-disjoint column support
+        cols = np.concatenate(
+            [csr.indices[csr.indptr[r]: csr.indptr[r + 1]] for r in rows]
+        )
+        assert np.unique(cols).size == cols.size
+
+
+def test_blocked_dca_matches_sequential_energy(one_sided_problem):
+    """SURVEY 7.5(b): the blocked mode reaches the same dual plateau as the
+    sequential parity mode (trajectories differ only through update order
+    and tie randomization)."""
+    lp, x_gt = one_sided_problem
+    cost_gt = lp.costsvector @ x_gt
+
+    lp.solve(method="dual_coordinate_ascent", nb_iter=50, nb_iter_plot=5)
+    d_seq = np.array(lp.dobj_curve)
+    lp.solve(method="dual_coordinate_ascent", nb_iter=50, nb_iter_plot=5,
+             mode="blocked")
+    d_blk = np.array(lp.dobj_curve)
+
+    # still a valid monotone dual ascent bounded by the optimum
+    assert np.all(np.diff(d_blk) >= -1e-8)
+    assert d_blk[-1] <= cost_gt + 1e-8
+    # reaches the sequential mode's dual plateau within tolerance (exact
+    # coordinate ascent stalls at nonsmooth points; order/tie randomization
+    # shifts the plateau slightly)
+    assert d_blk[-1] >= d_seq[-1] - 1e-2 * max(1.0, abs(d_seq[-1]))
+
+
+def test_blocked_dca_on_netlib_sc105():
+    from pysparselp_tpu import SparseLP
+    from pysparselp_tpu.io.netlib import get_problem
+
+    d = get_problem("SC105")
+    gt = d["solution"]
+    lp = SparseLP()
+    lp.add_variables_array(
+        len(d["cost_vector"]),
+        lower_bounds=d["lower_bounds"],
+        upper_bounds=np.minimum(d["upper_bounds"], np.max(gt) * 2),
+        costs=d["cost_vector"],
+    )
+    lp.add_equality_constraints_sparse(d["a_eq"], d["b_eq"])
+    lp.add_inequality_constraints_sparse(d["a_ineq"], d["b_lower"],
+                                         d["b_upper"])
+    lp.convert_to_one_sided_inequality_system()
+    lp.solve(method="dual_coordinate_ascent", nb_iter=30, nb_iter_plot=30)
+    e_seq = lp.dobj_curve[-1]
+    lp.solve(method="dual_coordinate_ascent", nb_iter=30, nb_iter_plot=30,
+             mode="blocked")
+    e_blk = lp.dobj_curve[-1]
+    assert e_blk >= e_seq - 1e-2 * max(1.0, abs(e_seq))
