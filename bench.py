@@ -30,6 +30,9 @@ jax.config.update("jax_enable_x64", True)
 
 REF_SC105_TIME_TO_1E3 = 19.28   # seconds, reference CP-PPD on this host CPU
 REF_POTTS_ITERS_PER_SEC = 3716.4  # reference CP-PPD on this host CPU
+# reference CP-PPD on this host CPU at Potts-300 (1.08M nnz), measured via
+# its own API (py3.12 shims), rate from (600-100) iteration wall-clock delta
+REF_POTTS300_ITERS_PER_SEC = 71.4
 
 
 def _sc105_lp():
@@ -71,6 +74,36 @@ def measure_sc105(tol=1e-3):
     return t, int(lp.itrn_curve[below[0]])
 
 
+def _dia_roofline(lp, elapsed_per_iter):
+    """Roofline accounting for the lowered flagship operator: bytes the DIA
+    kernel streams per CP iteration (vals once per direction; x/y/duals are
+    VMEM-resident or negligible) vs the measured iteration time."""
+    import scipy.sparse
+
+    from pysparselp_tpu.problem import aligned_offset_count, dia_cost_bytes
+    from pysparselp_tpu.solvers.chambolle_pock import _fold_one_sided
+
+    a, _ = _fold_one_sided(lp.a_inequalities.tocsr(), lp.b_lower, lp.b_upper)
+    counts, m_new, n_new = aligned_offset_count([None, a])
+    nd, mn = counts[1], m_new[1]
+    # bf16 storage (Potts coefficients are bf16-exact); kernel pads ndiag
+    # to a multiple of 8 and rows to lane tiles
+    nd_pad = -(-nd // 8) * 8
+    bytes_iter = nd_pad * (mn + n_new) * 2
+    import jax.numpy as jnp
+
+    model_bytes = dia_cost_bytes(nd, mn, n_new, 2, jnp.bfloat16)
+    achieved = bytes_iter / elapsed_per_iter
+    return {
+        "ndiag": nd,
+        "bytes_streamed_per_iter": int(bytes_iter),
+        "achieved_GB_s": round(achieved / 1e9, 1),
+        "hbm_roofline_frac": round(achieved / 819e9, 4),
+        "op_bound_model_us": round(model_bytes / 600e9 * 1e6, 2),
+        "measured_iter_us": round(elapsed_per_iter * 1e6, 2),
+    }
+
+
 def measure_potts():
     from pysparselp_tpu.examples.potts import build_linear_program
 
@@ -87,6 +120,7 @@ def measure_potts():
     nb_iter = lp.itrn_curve[-1] - lp.itrn_curve[0]
     dist = float(np.mean(np.abs(gt - x[idx])))
     assert dist < 1e-2, f"Potts run did not converge (dist={dist})"
+    roofline = _dia_roofline(lp, elapsed / nb_iter)
 
     # secondary: wall-clock to reach the graph-cut optimum with the
     # accelerated mode (reference: 15.1 s / 56k iterations on this host CPU)
@@ -98,7 +132,22 @@ def measure_potts():
     dists = np.asarray(lp.distance_to_ground_truth)
     below = np.nonzero(dists < 1e-2)[0]
     t_conv = float(lp.opttime_curve[below[0]]) if below.size else None
-    return nb_iter / elapsed, t_conv
+    return nb_iter / elapsed, t_conv, roofline
+
+
+def measure_potts300():
+    """Scale benchmark: Potts-300 (1.08M nnz) steady-state CP iteration
+    rate on the chip vs the reference's rate on this host CPU."""
+    from pysparselp_tpu.examples.potts import build_linear_program
+
+    lp, gt, idx, _ = build_linear_program(300, 0.5, 500)
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=20_000,
+                  nb_iter_plot=10_000, dtype=np.float32)
+    lp.solve(**kwargs)  # warmup: compile
+    lp.solve(**kwargs)
+    elapsed = lp.opttime_curve[-1] - lp.opttime_curve[0]
+    nit = lp.itrn_curve[-1] - lp.itrn_curve[0]
+    return nit / elapsed
 
 
 def main():
@@ -112,7 +161,8 @@ def main():
     }
     # secondary measurements must not kill the primary metric
     try:
-        potts_rate, potts_t_conv = measure_potts()
+        potts_rate, potts_t_conv, roofline = measure_potts()
+        details["potts50_roofline"] = roofline
         details.update({
             "potts50_iters_per_sec": round(potts_rate, 1),
             "potts50_speedup": round(potts_rate / REF_POTTS_ITERS_PER_SEC,
@@ -123,6 +173,17 @@ def main():
         })
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["potts50_error"] = repr(e)
+    try:
+        rate300 = measure_potts300()
+        details.update({
+            "potts300_nnz": 1_076_400,
+            "potts300_iters_per_sec": round(rate300, 1),
+            "potts300_ref_cpu_iters_per_sec": REF_POTTS300_ITERS_PER_SEC,
+            "potts300_speedup": round(rate300 / REF_POTTS300_ITERS_PER_SEC,
+                                      1),
+        })
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["potts300_error"] = repr(e)
     details.update({
         "reference_remeasure": (
             "sys.path.insert(0,'/root/reference'); "

@@ -236,10 +236,18 @@ def _bucket_ell(indptr, indices, data, n_major, dtype, max_buckets=4):
         k = max(int(cnt[rows].max()), 1)
         vals = np.zeros((rows.size, k))
         cols = np.zeros((rows.size, k), np.int32)
-        for out_i, r in enumerate(rows):
-            p0, p1 = indptr[r], indptr[r + 1]
-            vals[out_i, : p1 - p0] = data[p0:p1]
-            cols[out_i, : p1 - p0] = indices[p0:p1]
+        # vectorized fill (same repeat/offset trick as EllMatrix.from_scipy;
+        # the per-row python loop here cost O(n_rows) host seconds at
+        # million-row scale)
+        sub_cnt = cnt[rows]
+        total = int(sub_cnt.sum())
+        if total:
+            row_of = np.repeat(np.arange(rows.size), sub_cnt)
+            pos = np.arange(total) - np.repeat(
+                np.cumsum(sub_cnt) - sub_cnt, sub_cnt)
+            src = np.repeat(indptr[rows], sub_cnt) + pos
+            vals[row_of, pos] = data[src]
+            cols[row_of, pos] = indices[src]
         segs.append((jnp.asarray(vals, dtype), jnp.asarray(cols)))
     inv = np.empty(n_major, np.int32)
     inv[order] = np.arange(n_major)
@@ -342,12 +350,17 @@ class DiaMatrix:
                    else vals.dtype)
         if not offsets:
             return jnp.zeros((n_out,), compute)
+        from .ops.dia_pallas import dia_matvec, dia_use_pallas
+
+        if dia_use_pallas(vals, offsets, n_in, n_out, vals.dtype):
+            # fused single-kernel path: x VMEM-resident, vals streamed once
+            return dia_matvec(vals, offsets, x, n_in, n_out, compute)
         left = max(0, -min(offsets))
         right = max(0, max(offsets) + n_out - n_in)
         xp = jnp.pad(x.astype(compute), (left, right))
         y = jnp.zeros((n_out,), compute)
         for d, off in enumerate(offsets):
-            y = y + vals[d].astype(compute) * jax.lax.dynamic_slice(
+            y = y + vals[d, :n_out].astype(compute) * jax.lax.dynamic_slice(
                 xp, (left + off,), (n_out,))
         return y
 
@@ -368,10 +381,11 @@ class DiaMatrix:
         return v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
-        return jnp.sum(jnp.abs(self._vals_f()) ** p, axis=0)
+        # vals are kernel-layout padded with zero rows/cols; slice back
+        return jnp.sum(jnp.abs(self._vals_f()) ** p, axis=0)[: self.nrows]
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        return jnp.sum(jnp.abs(self._vals_t_f()) ** p, axis=0)
+        return jnp.sum(jnp.abs(self._vals_t_f()) ** p, axis=0)[: self.ncols]
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
         return self._apply(self._vals_f() ** 2, self.offsets, d, self.ncols,
@@ -385,17 +399,22 @@ class DiaMatrix:
             cols = rows + off
             ok = (cols >= 0) & (cols < self.ncols)
             out = out.at[rows, jnp.clip(cols, 0, self.ncols - 1)].add(
-                jnp.where(ok, vals[di], 0.0)
+                jnp.where(ok, vals[di, : self.nrows], 0.0)
             )
         return out
 
     @staticmethod
     def _build_dia(coo, n_major, n_minor, dtype):
+        from .ops.dia_pallas import pad_vals_for_kernel
+
         off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
         offsets = np.unique(off)
-        vals = np.zeros((offsets.size, n_major))
+        vals = np.zeros((max(offsets.size, 1), n_major))
         d_idx = np.searchsorted(offsets, off)
         np.add.at(vals, (d_idx, coo.row), coo.data)
+        # pad to the Pallas kernel layout ONCE here: padding per matvec
+        # call would re-stream the whole array through a scatter
+        vals = pad_vals_for_kernel(vals[: offsets.size], n_major)
         return jnp.asarray(vals, dtype), tuple(int(o) for o in offsets)
 
     @staticmethod
@@ -419,6 +438,147 @@ class DiaMatrix:
         vals_t, offsets_t = DiaMatrix._build_dia(coo_t, n, m, store)
         return DiaMatrix(vals=vals, vals_t=vals_t, offsets=offsets,
                          offsets_t=offsets_t, nrows=m, ncols=n)
+
+
+def anchor_align(mats):
+    """Anchor-aligned embedding: the diagonal-collapsing presolve.
+
+    LPs built from batched constraint templates over structured index sets
+    (image grids, batched differences — e.g. the Potts model,
+    ``reference/pysparselp/examples/example_pott_segmentation.py:39-51``)
+    have *piecewise*-affine column patterns: plain (row, col) ordering
+    scatters the nonzeros over O(grid side) diagonals, and RCM makes it
+    worse (Potts-50: 107 → 2412 diagonals).
+
+    This embedding instead derives positions from the sparsity pattern
+    itself: every row is keyed by its **anchor** (smallest column), every
+    column by its **home** (the most common anchor among rows touching it).
+    Rows/columns are placed at ``T·rank(key) + slot`` where ``T`` is the
+    largest key-group size.  Constraint templates that advance through the
+    index set in lockstep then land on O(#templates²) exact diagonals
+    regardless of grid jumps (Potts-50: 17 diagonals, 6× less padding than
+    raw DIA).  The price is zero-padded row/column slots — free in DIA
+    storage.
+
+    ``mats``: list of scipy sparse matrices sharing their column space
+    (e.g. ``[a_eq, a_ineq]``; entries may be None).  Returns
+    ``(row_pos_list, col_pos, m_new_list, n_new)`` with original→new
+    position arrays per system; padded slots hold no rows/cols.
+    """
+    live = [scipy.sparse.csr_matrix(m) for m in mats if m is not None]
+    if not live:
+        raise ValueError("anchor_align needs at least one matrix")
+    n = live[0].shape[1]
+    joint = live[0] if len(live) == 1 else scipy.sparse.vstack(live).tocsr()
+    joint.sort_indices()
+    cnt = np.diff(joint.indptr)
+    nonempty = cnt > 0
+    anchor_r = np.zeros(joint.shape[0], np.int64)
+    anchor_r[nonempty] = joint.indices[joint.indptr[:-1][nonempty]]
+
+    # column home = mode of the anchors of the rows containing the column
+    coo = joint.tocoo()
+    ra = anchor_r[coo.row]
+    order = np.lexsort((ra, coo.col))
+    cs, as_ = coo.col[order], ra[order]
+    # run-length encode (col, anchor) pairs
+    new_pair = np.empty(cs.size, bool)
+    if cs.size:
+        new_pair[0] = True
+        new_pair[1:] = (cs[1:] != cs[:-1]) | (as_[1:] != as_[:-1])
+    starts = np.nonzero(new_pair)[0]
+    u_col = cs[starts]
+    u_anch = as_[starts]
+    counts = np.diff(np.append(starts, cs.size))
+    # per column, the anchor with max count: sort by (col, count) and take
+    # the last entry of each col run
+    o2 = np.lexsort((counts, u_col))
+    uc2, ua2 = u_col[o2], u_anch[o2]
+    last = np.empty(uc2.size, bool)
+    if uc2.size:
+        last[:-1] = uc2[1:] != uc2[:-1]
+        last[-1] = True
+    home = np.full(n, -1, np.int64)
+    home[uc2[last]] = ua2[last]
+    col_live = home >= 0
+
+    keys = np.unique(np.concatenate([anchor_r[nonempty],
+                                     home[col_live]]))
+    n_ranks = keys.size
+
+    def _slot(ranks):
+        order = np.argsort(ranks, kind="stable")
+        sr = ranks[order]
+        first = np.searchsorted(sr, sr, side="left")
+        within = np.empty(ranks.size, np.int64)
+        within[order] = np.arange(ranks.size) - first
+        return within
+
+    rank_col = np.searchsorted(keys, home[col_live])
+    w_col = _slot(rank_col)
+    rank_rows = []
+    w_rows = []
+    for mat in live:
+        ne = np.diff(mat.indptr) > 0
+        mat.sort_indices()
+        ar = np.zeros(mat.shape[0], np.int64)
+        ar[ne] = mat.indices[mat.indptr[:-1][ne]]
+        rr = np.searchsorted(keys, ar[ne])
+        rank_rows.append((ne, rr))
+        w_rows.append(_slot(rr))
+    t = max(
+        [int(w_col.max()) + 1 if w_col.size else 1]
+        + [int(w.max()) + 1 if w.size else 1 for w in w_rows]
+    )
+    base = n_ranks * t
+
+    col_pos = np.empty(n, np.int64)
+    col_pos[col_live] = rank_col * t + w_col
+    col_pos[~col_live] = base + np.arange(int((~col_live).sum()))
+    n_new = base + int((~col_live).sum())
+
+    row_pos_list, m_new_list = [], []
+    for (ne, rr), w in zip(rank_rows, w_rows):
+        pos = np.empty(ne.size, np.int64)
+        pos[ne] = rr * t + w
+        pos[~ne] = base + np.arange(int((~ne).sum()))
+        row_pos_list.append(pos)
+        m_new_list.append(base + int((~ne).sum()))
+    out_rows, out_m = [], []
+    i = 0
+    for m in mats:
+        if m is None:
+            out_rows.append(None)
+            out_m.append(None)
+        else:
+            out_rows.append(row_pos_list[i])
+            out_m.append(m_new_list[i])
+            i += 1
+    return out_rows, col_pos, out_m, n_new
+
+
+def aligned_offset_count(mats) -> tuple:
+    """Cheap preview of :func:`anchor_align`: per-system diagonal counts
+    and the embedded sizes, without materializing the embedded matrices."""
+    row_pos_list, col_pos, m_new_list, n_new = anchor_align(mats)
+    counts = []
+    for m, pos in zip(mats, row_pos_list):
+        if m is None:
+            counts.append(0)
+            continue
+        coo = scipy.sparse.coo_matrix(m)
+        off = col_pos[coo.col] - pos[coo.row]
+        counts.append(int(np.unique(off).size))
+    return counts, m_new_list, n_new
+
+
+def embed_matrix(a, row_pos, col_pos, m_new, n_new):
+    """Scatter a sparse matrix into the embedded (padded) position space."""
+    coo = scipy.sparse.coo_matrix(a)
+    return scipy.sparse.coo_matrix(
+        (coo.data, (row_pos[coo.row], col_pos[coo.col])),
+        shape=(m_new, n_new),
+    ).tocsr()
 
 
 def rcm_permutation(a):
@@ -446,18 +606,23 @@ def dia_offset_count(a) -> int:
 
 
 # Backend auto-selection cost model, calibrated on a v5e: the streaming
-# backends (DIA shifts on the VPU, dense matvec on the MXU, Pallas BSR tile
-# dots) all run HBM-bound at ~600 GB/s, so cost ≈ bytes streamed per SpMV
-# direction pair.  DIA's true traffic is dominated by the accumulator and
-# x-slice RE-READS: each diagonal re-reads the n-vector slice and
-# read-modify-writes the m-vector accumulator, so per direction pair
-# bytes ≈ ndiag·(m+n)·(itemsize + 12), plus a small per-op launch charge
-# (~0.13 µs ≈ 80 KB).  Model validated against measured 73 µs (Potts-50,
-# 107 diagonals) and 3.25 ms (Potts-200, 407 diagonals).
+# backends (DIA shifts, dense matvec on the MXU, Pallas BSR tile dots) are
+# compared by EFFECTIVE bytes per SpMV direction pair at the ~600 GB/s HBM
+# rate.
+#
+# DIA has two regimes:
+# * fused Pallas kernel (TPU, f32/bf16, x VMEM-resident): VPU-op-bound at
+#   ~150 ns per diagonal per 10k rows — effective ≈ 9 bytes/stored entry
+#   (measured: 107 diagonals × 17.2k rows ≈ 28 µs/direction pair);
+# * XLA shift-loop fallback: each diagonal re-reads the x slice and
+#   read-modify-writes the accumulator, ≈ ndiag·(m+n)·(itemsize+12) bytes
+#   plus a per-op launch charge (~0.13 µs ≈ 80 KB).  Validated against
+#   73 µs (Potts-50, 107 diagonals) and 3.25 ms (Potts-200, 407).
 # Matrices whose every entry is bf16-exact stream at half the value bytes.
 DIA_AUTO_MAX_OFFSETS = 512
 DIA_REREAD_BYTES = 12                 # accumulator rmw + x slice, per entry
 DIA_OP_OVERHEAD_BYTES = 80_000
+DIA_PALLAS_COST_PER_ENTRY = 9         # measured effective bytes (op-bound)
 DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024   # ~256 MB f32
 BSR_AUTO_MAX_ENTRIES = 128 * 1024 * 1024
 
@@ -468,6 +633,46 @@ def _bf16_exact(csr) -> bool:
     d32 = csr.data.astype(np.float32)
     return bool(np.all(d32.astype(ml_dtypes.bfloat16).astype(np.float32)
                        == d32))
+
+
+def dia_cost_bytes(ndiag, m, n, itemsize, dtype=None):
+    """Effective bytes per SpMV direction pair for DIA storage (both
+    regimes; see the cost-model constants above)."""
+    from .ops.dia_pallas import dia_use_pallas
+
+    if dtype is not None and dia_use_pallas(None, (0,) if ndiag else (),
+                                            n, m, dtype):
+        kappa = max(DIA_PALLAS_COST_PER_ENTRY, itemsize)
+        return ndiag * (m + n) * kappa
+    return (ndiag * (m + n) * (itemsize + DIA_REREAD_BYTES)
+            + 2 * ndiag * DIA_OP_OVERHEAD_BYTES)
+
+
+def estimate_stream_bytes(csr, dtype=None):
+    """(backend_name, effective_bytes) the auto-selector would pick for this
+    matrix — the shared cost model behind :func:`ell_from_scipy` and the
+    permutation chooser in the CP presolve."""
+    from .ops.bsr_pallas import bsr_padded_entries
+
+    dtype = dtype or default_dtype()
+    csr = scipy.sparse.csr_matrix(csr)
+    m, n = csr.shape
+    if csr.nnz == 0:
+        return "ell", 0
+    itemsize = 2 if (dtype == jnp.float32 and _bf16_exact(csr)) else 4
+    candidates = {}
+    ndiag = dia_offset_count(csr)
+    if ndiag <= DIA_AUTO_MAX_OFFSETS:
+        candidates["dia"] = dia_cost_bytes(ndiag, m, n, itemsize, dtype)
+    if 0 < m * n <= DENSE_AUTO_MAX_ENTRIES:
+        candidates["dense"] = 2 * m * n * 4  # read in both directions
+    padded = bsr_padded_entries(csr)
+    if padded <= BSR_AUTO_MAX_ENTRIES:
+        candidates["bsr"] = padded * itemsize
+    if not candidates:
+        return "ell", 2 * csr.nnz * (itemsize + 8)
+    best = min(candidates, key=candidates.get)
+    return best, candidates[best]
 
 
 def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
@@ -500,26 +705,13 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
         return BsrMatrix.from_scipy(csr, dtype=dtype)
     if prefer is None and jax.default_backend() == "tpu" and csr.nnz > 0:
         # bytes-streamed-per-iteration cost model (see constants above)
-        itemsize = 2 if (dtype == jnp.float32 and _bf16_exact(csr)) else 4
-        candidates = {}
-        ndiag = dia_offset_count(csr)
-        if ndiag <= DIA_AUTO_MAX_OFFSETS:
-            candidates["dia"] = (
-                ndiag * (m + n) * (itemsize + DIA_REREAD_BYTES)
-                + 2 * ndiag * DIA_OP_OVERHEAD_BYTES
-            )
-        if 0 < m * n <= DENSE_AUTO_MAX_ENTRIES:
-            candidates["dense"] = 2 * m * n * 4  # read in both directions
-        padded = bsr_padded_entries(csr)
-        if padded <= BSR_AUTO_MAX_ENTRIES:
-            candidates["bsr"] = padded * itemsize
-        if candidates:
-            best = min(candidates, key=candidates.get)
-            if best == "dia":
-                return DiaMatrix.from_scipy(csr, dtype=dtype)
-            if best == "dense":
-                return DenseMatrix(a=jnp.asarray(csr.toarray(), dtype),
-                                   nrows=m, ncols=n)
+        best, _ = estimate_stream_bytes(csr, dtype)
+        if best == "dia":
+            return DiaMatrix.from_scipy(csr, dtype=dtype)
+        if best == "dense":
+            return DenseMatrix(a=jnp.asarray(csr.toarray(), dtype),
+                               nrows=m, ncols=n)
+        if best == "bsr":
             return BsrMatrix.from_scipy(csr, dtype=dtype)
 
     def _waste_ratio(indptr, n_major):

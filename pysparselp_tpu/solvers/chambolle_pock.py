@@ -25,7 +25,9 @@ import scipy.sparse
 import jax
 import jax.numpy as jnp
 
-from ..problem import (LPProblem, default_dtype, ell_from_scipy,
+from ..problem import (DIA_AUTO_MAX_OFFSETS, LPProblem, aligned_offset_count,
+                       anchor_align, default_dtype, dia_cost_bytes,
+                       ell_from_scipy, embed_matrix, estimate_stream_bytes,
                        rcm_permutation)
 from .base import HostLoop, chunk_schedule, emit_callback, to_np
 
@@ -266,6 +268,53 @@ def _kkt_score(prob: LPProblem, x, y_eq, y_ineq):
     return jnp.sqrt(pviol + gap * gap)
 
 
+def _choose_layout(mats, dtype):
+    """Cost-compare the three candidate lowering layouts of the constraint
+    systems ("align" / "rcm" / None) with the shared bytes-streamed model.
+
+    Estimation is O(nnz log nnz) host work, paid once at lowering.
+    """
+    import ml_dtypes
+
+    live = [m for m in mats if m is not None]
+    candidates = {}
+
+    def total(parts, dt):
+        return sum(estimate_stream_bytes(p, dt)[1] for p in parts)
+
+    candidates[None] = total(live, dtype)
+
+    m_e = mats[0].shape[0] if mats[0] is not None else 0
+    joint = live[0] if len(live) == 1 else scipy.sparse.vstack(live).tocsr()
+    rows, cols = rcm_permutation(joint)
+    perm_parts = []
+    if mats[0] is not None:
+        perm_parts.append(mats[0][rows[rows < m_e], :][:, cols])
+    if mats[1] is not None:
+        perm_parts.append(mats[1][rows[rows >= m_e] - m_e, :][:, cols])
+    candidates["rcm"] = total(perm_parts, dtype)
+
+    try:
+        counts, m_new, n_new = aligned_offset_count(mats)
+    except ValueError:
+        counts = None
+    if counts is not None and all(
+        0 < c_ <= DIA_AUTO_MAX_OFFSETS for c_, m in zip(counts, mats)
+        if m is not None
+    ):
+        bytes_align = 0
+        for m, c_, mn in zip(mats, counts, m_new):
+            if m is None:
+                continue
+            d32 = m.tocsr().data.astype(np.float32)
+            exact = bool(np.all(
+                d32.astype(ml_dtypes.bfloat16).astype(np.float32) == d32))
+            itemsize = 2 if (dtype == jnp.float32 and exact) else 4
+            bytes_align += dia_cost_bytes(c_, mn, n_new, itemsize, dtype)
+        candidates["align"] = bytes_align
+    return min(candidates, key=candidates.get)
+
+
 def chambolle_pock_ppd(
     c,
     a_eq,
@@ -334,50 +383,104 @@ def chambolle_pock_ppd(
     lb = np.asarray(lb, np.float64)
     ub = np.asarray(ub, np.float64)
 
-    # Bandwidth-reducing presolve (TPU only; measured ~2x less padded tile
-    # traffic on grid models): permute variables and constraint rows by
-    # reverse Cuthill-McKee ONCE at lowering, solve in permuted coordinates,
-    # and un-permute x at the boundary.  Zero per-iteration cost — unlike an
-    # operator-level permutation, whose per-SpMV gathers cost more on TPU
-    # than the padding they save.
+    # Layout presolve (TPU only): re-ordering rows/columns ONCE at lowering
+    # changes which operator backend wins, at zero per-iteration cost.  Two
+    # candidate layouts are costed against the unpermuted matrix with the
+    # shared bytes-streamed model (problem.estimate_stream_bytes):
+    #
+    # * "rcm"   — reverse Cuthill-McKee bandwidth reduction: clusters the
+    #   nonzeros into dense tiles for the Pallas block-ELL backend;
+    # * "align" — anchor-aligned embedding (problem.anchor_align): collapses
+    #   template-structured LPs (image grids: Potts) onto a handful of exact
+    #   diagonals for the fused Pallas DIA kernel (Potts-50: 17 diagonals
+    #   vs 107 raw / 2412 after RCM).
+    #
+    # The primal-weight estimate uses the ORIGINAL rhs (the aligned
+    # embedding pads b with a large sentinel that must not enter medians).
+    if omega == "auto":
+        omega = estimate_omega(c, beq if a_eq is not None else None,
+                               b_ineq if a_one is not None else None)
     if permute == "auto":
-        permute = jax.default_backend() == "tpu"
-    inv_cols = None
-    rows_eq = rows_in = None
+        permute = "auto" if jax.default_backend() == "tpu" else False
+    if permute is True:
+        permute = "rcm"
+    inv_cols = None          # orig col -> solved position (gather for x)
+    pos_eq = pos_in = None   # orig row -> solved position (per system)
     if permute and (a_eq is not None or a_one is not None):
-        m_e = a_eq.shape[0] if a_eq is not None else 0
-        parts = [p for p in (a_eq, a_one) if p is not None]
-        joint = parts[0] if len(parts) == 1 else scipy.sparse.vstack(parts).tocsr()
-        rows, cols = rcm_permutation(joint)
-        rows_eq = rows[rows < m_e]
-        rows_in = rows[rows >= m_e] - m_e
-        if a_eq is not None:
-            a_eq = a_eq[rows_eq, :][:, cols]
-            beq = np.asarray(beq)[rows_eq]
-        if a_one is not None:
-            a_one = a_one[rows_in, :][:, cols]
-            b_ineq = np.asarray(b_ineq)[rows_in]
-        c = c[cols]
-        lb = lb[cols]
-        ub = ub[cols]
-        if x0 is not None:
-            x0 = np.asarray(x0, np.float64)[cols]
-        if x30 is not None:
-            x30 = np.asarray(x30, np.float64)[cols]
-        if y_eq0 is not None:
-            y_eq0 = np.asarray(y_eq0, np.float64)[rows_eq]
-        if y_ineq0 is not None:
-            y_ineq0 = np.asarray(y_ineq0, np.float64)[rows_in]
-        # x_orig[j] = x_perm[pos(j)] where cols[pos(j)] = j
-        inv_cols = np.empty(c.size, np.int64)
-        inv_cols[cols] = np.arange(c.size)
-        if callback_func is not None:
-            user_cb = callback_func
+        mats = [a_eq, a_one]
+        choice = permute if permute in ("rcm", "align") else None
+        if choice is None:
+            choice = _choose_layout(mats, dtype)
+        if choice == "align":
+            (pe, pi), col_pos, (me, mi), n_new = anchor_align(mats)
+            big = 1e30  # padded rows: 0 <= big is never active, y stays 0
+            if a_eq is not None:
+                a_eq = embed_matrix(a_eq, pe, col_pos, me, n_new)
+                b2 = np.zeros(me)
+                b2[pe] = np.asarray(beq, np.float64)
+                beq, pos_eq = b2, pe
+            if a_one is not None:
+                a_one = embed_matrix(a_one, pi, col_pos, mi, n_new)
+                b2 = np.full(mi, big)
+                b2[pi] = np.asarray(b_ineq, np.float64)
+                b_ineq, pos_in = b2, pi
+        elif choice == "rcm":
+            m_e = a_eq.shape[0] if a_eq is not None else 0
+            parts = [p for p in (a_eq, a_one) if p is not None]
+            joint = (parts[0] if len(parts) == 1
+                     else scipy.sparse.vstack(parts).tocsr())
+            rows, cols = rcm_permutation(joint)
+            col_pos = np.empty(cols.size, np.int64)
+            col_pos[cols] = np.arange(cols.size)
+            n_new = cols.size
+            if a_eq is not None:
+                rows_eq = rows[rows < m_e]
+                pos_eq = np.empty(m_e, np.int64)
+                pos_eq[rows_eq] = np.arange(m_e)
+                a_eq = a_eq[rows_eq, :][:, cols]
+                beq = np.asarray(beq)[rows_eq]
+            if a_one is not None:
+                rows_in = rows[rows >= m_e] - m_e
+                pos_in = np.empty(rows_in.size, np.int64)
+                pos_in[rows_in] = np.arange(rows_in.size)
+                a_one = a_one[rows_in, :][:, cols]
+                b_ineq = np.asarray(b_ineq)[rows_in]
+        else:
+            col_pos = None
+        if col_pos is not None:
+            # columns: scatter costs/bounds; padded slots are fixed at 0
+            # (c=0, lb=ub=0 — invisible to steps, energies and duals)
+            def scatter_cols(v, fill=0.0):
+                out = np.full(n_new, fill)
+                out[col_pos] = np.asarray(v, np.float64)
+                return out
 
-            def callback_func(niter, xp, *rest, **kw):
-                user_cb(niter, np.asarray(xp)[inv_cols], *rest, **kw)
+            c = scatter_cols(c)
+            lb = scatter_cols(lb)
+            ub = scatter_cols(ub)
+            if x0 is not None:
+                x0 = scatter_cols(x0)
+            if x30 is not None:
+                x30 = scatter_cols(x30)
+            if y_eq0 is not None and pos_eq is not None:
+                y2 = np.zeros(a_eq.shape[0])
+                y2[pos_eq] = np.asarray(y_eq0, np.float64)
+                y_eq0 = y2
+            if y_ineq0 is not None and pos_in is not None:
+                y2 = np.zeros(a_one.shape[0])
+                y2[pos_in] = np.asarray(y_ineq0, np.float64)
+                y_ineq0 = y2
+            # x_orig[j] = x_solved[col_pos[j]]
+            inv_cols = col_pos
+            n = c.size
+            if callback_func is not None:
+                user_cb = callback_func
 
-            callback_func.wants_state = getattr(user_cb, "wants_state", False)
+                def callback_func(niter, xp, *rest, **kw):
+                    user_cb(niter, np.asarray(xp)[inv_cols], *rest, **kw)
+
+                callback_func.wants_state = getattr(user_cb, "wants_state",
+                                                    False)
 
     if a_eq is None and a_one is None:
         # unconstrained: minimize cᵀx over the box (``ChambollePockPPD.py:147-151``)
@@ -404,9 +507,7 @@ def chambolle_pock_ppd(
 
     # diagonal preconditioners (``ChambollePockPPD.py:122-179``):
     #   T_jj = 1 / sum_i |a_ij|^{2-alpha},  Σ_ii = 1 / sum_j |a_ij|^{alpha}
-    if omega == "auto":
-        omega = estimate_omega(c, beq if a_eq is not None else None,
-                               b_ineq if in_m is not None else None)
+    # (omega="auto" was resolved before the layout presolve)
     omega = float(omega) if omega is not None else 1.0
 
     col_sum = jnp.zeros(n, dtype)
@@ -439,14 +540,10 @@ def chambolle_pock_ppd(
         sx, sx3, sye, syi = (to_np(v) for v in state)
         if inv_cols is not None:
             sx, sx3 = sx[inv_cols], sx3[inv_cols]
-            if rows_eq is not None and sye.size:
-                out = np.empty_like(sye)
-                out[rows_eq] = sye
-                sye = out
-            if rows_in is not None and syi.size:
-                out = np.empty_like(syi)
-                out[rows_in] = syi
-                syi = out
+            if pos_eq is not None and sye.size:
+                sye = sye[pos_eq]
+            if pos_in is not None and syi.size:
+                syi = syi[pos_in]
         return {"x": sx, "x3": sx3, "y_eq": sye, "y_ineq": syi}
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
