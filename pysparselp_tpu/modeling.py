@@ -682,6 +682,7 @@ class SparseLP:
         ground_truth_indices=None,
         force_integer=False,
         dtype=None,
+        config=None,
         **solver_kwargs,
     ):
         """Solve the LP; returns ``(x, elapsed)`` (or ``x`` if not get_timing).
@@ -704,8 +705,31 @@ class SparseLP:
           multi-chip implementations;
         * ``inner="gauss_seidel"`` — the native sequential host mode for
           ``admm``.
+
+        ``config`` accepts a typed per-solver dataclass from
+        :mod:`pysparselp_tpu.config` (e.g. ``Admm2Config(adaptive_rho=True)``)
+        naming the method and its options; explicitly passed non-default
+        keyword arguments win over config fields.  Unknown solver options
+        raise ``TypeError`` listing the valid fields for the method.
         """
         from .solvers import dispatch  # lazy: keeps pure modeling JAX-free
+
+        if config is not None:
+            # typed configuration (pysparselp_tpu.config): the config names
+            # the method and provides option values; explicitly passed
+            # keyword arguments win over config fields
+            if method == "chambolle_pock_ppd" and config.method:
+                method = config.method  # an explicit method= wins over config
+            common = dict(nb_iter=config.nb_iter,
+                          nb_iter_plot=config.nb_iter_plot,
+                          max_time=config.max_time, dtype=config.dtype)
+            if nb_iter == 10000:
+                nb_iter = common["nb_iter"]
+            if nb_iter_plot == 10:
+                nb_iter_plot = common["nb_iter_plot"]
+            max_time = max_time if max_time is not None else common["max_time"]
+            dtype = dtype if dtype is not None else common["dtype"]
+            solver_kwargs = {**config.solver_kwargs(), **solver_kwargs}
 
         start = time.perf_counter()
         self.distance_to_ground_truth = []

@@ -625,6 +625,15 @@ DIA_OP_OVERHEAD_BYTES = 80_000
 DIA_PALLAS_COST_PER_ENTRY = 9         # measured effective bytes (op-bound)
 DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024   # ~256 MB f32
 BSR_AUTO_MAX_ENTRIES = 128 * 1024 * 1024
+# gather-ELL effective bytes per nnz per direction pair: TPU gathers are
+# catastrophically slow — measured Potts-300 segmented-ELL at ~20 ms per
+# CP iteration for 2.16M gathered elements ≈ 9 ns/element ≈ 5500
+# time-equivalent bytes at the 600 GB/s streaming rate. 2000 is the
+# conservative calibration (row-uniform ELL gathers pipeline better than
+# the segmented worst case). This is the last-resort estimate so the
+# chooser only keeps gather layouts when every streaming candidate is
+# worse or memory-infeasible.
+ELL_GATHER_BYTES_PER_NNZ = 2000
 
 
 def _bf16_exact(csr) -> bool:
@@ -648,6 +657,36 @@ def dia_cost_bytes(ndiag, m, n, itemsize, dtype=None):
             + 2 * ndiag * DIA_OP_OVERHEAD_BYTES)
 
 
+def operator_cost_bytes(op) -> int:
+    """Effective bytes per SpMV direction pair of a LOWERED operator (same
+    calibration as :func:`estimate_stream_bytes`) — used to bound the
+    iteration count of a single device dispatch."""
+    from .ops.bsr_pallas import BsrMatrix
+
+    if op is None:
+        return 0
+    if isinstance(op, DenseMatrix):
+        return 2 * op.nrows * op.ncols * 4
+    if isinstance(op, DiaMatrix):
+        kappa = max(DIA_PALLAS_COST_PER_ENTRY, op.vals.dtype.itemsize)
+        return op.nnz_padded * kappa
+    if isinstance(op, BsrMatrix):
+        return op.nnz_padded * op.tiles.dtype.itemsize
+    return op.nnz_padded * ELL_GATHER_BYTES_PER_NNZ
+
+
+# single-dispatch compute budget: ~1 s at the ~600 GB/s effective rate.
+# Multi-second XLA programs gain nothing and can trip the remote-worker
+# watchdog (observed: multi-minute gather chunks crashed the tunneled chip).
+DISPATCH_BUDGET_BYTES = 6e11
+
+
+def dispatch_iteration_cap(*ops) -> int:
+    """Max iterations to fuse into one dispatch for these operators."""
+    bytes_iter = sum(operator_cost_bytes(op) for op in ops)
+    return max(200, int(DISPATCH_BUDGET_BYTES / max(bytes_iter, 1)))
+
+
 def estimate_stream_bytes(csr, dtype=None):
     """(backend_name, effective_bytes) the auto-selector would pick for this
     matrix — the shared cost model behind :func:`ell_from_scipy` and the
@@ -669,8 +708,7 @@ def estimate_stream_bytes(csr, dtype=None):
     padded = bsr_padded_entries(csr)
     if padded <= BSR_AUTO_MAX_ENTRIES:
         candidates["bsr"] = padded * itemsize
-    if not candidates:
-        return "ell", 2 * csr.nnz * (itemsize + 8)
+    candidates["ell"] = 2 * csr.nnz * ELL_GATHER_BYTES_PER_NNZ
     best = min(candidates, key=candidates.get)
     return best, candidates[best]
 

@@ -13,6 +13,17 @@ import copy
 import numpy as np
 
 
+def _same_option(a, b) -> bool:
+    """Equality that tolerates arrays/meshes (identity) for option values."""
+    if a is b:
+        return True
+    if isinstance(a, (int, float, str, bool, type(None))) and isinstance(
+        b, (int, float, str, bool, type(None))
+    ):
+        return a == b
+    return False
+
+
 def _csr_with_blocks(blocked):
     """BlockedCSR -> (scipy csr or None, blocks list)."""
     if blocked is None or blocked.shape[0] == 0:
@@ -33,12 +44,27 @@ def dispatch(
     dtype=None,
     **solver_kwargs,
 ):
+    from ..config import resolve_config
     from ..modeling import solving_methods
 
     if method not in solving_methods:
         raise ValueError(
             f"method {method!r} not valid; available methods are {solving_methods}"
         )
+
+    # typed per-solver config gate (SURVEY §5): unknown/typo'd options raise
+    # here with the valid field list instead of deep inside the solver
+    cfg = resolve_config(method, solver_kwargs)
+    if cfg is not None:
+        solver_kwargs = cfg.solver_kwargs()
+        # drop untouched optionals so solvers keep their own defaults and
+        # reference-faithful call paths stay byte-identical
+        defaults = type(cfg)()
+        solver_kwargs = {
+            k: v
+            for k, v in solver_kwargs.items()
+            if not _same_option(v, getattr(defaults, k))
+        }
 
     a_ineq, ineq_blocks = _csr_with_blocks(lp.a_inequalities)
     a_eq, eq_blocks = _csr_with_blocks(lp.a_equalities)

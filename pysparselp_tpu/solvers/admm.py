@@ -113,6 +113,7 @@ def lp_admm(
     start_time=None,
     inner="jacobi",
     stop_tol=None,
+    mesh=None,
 ):
     """Penalized-equality ADMM; signature parity with ``ADMM.py:47``.
 
@@ -121,6 +122,10 @@ def lp_admm(
     sequential bounded Gauss-Seidel host mode (native C++ kernel,
     :mod:`pysparselp_tpu.native.gauss_seidel`) — the algorithmic twin of the
     reference's default inner solver, for parity runs on small problems.
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``) row-shards the constraint system:
+    the Jacobi sweeps run with one ``psum`` per inner iteration
+    (:mod:`pysparselp_tpu.parallel.sharded_admm`).
     """
     dtype = dtype or default_dtype()
     c = np.asarray(c, np.float64)
@@ -152,29 +157,23 @@ def lp_admm(
             stop_tol,
         )
 
-    ell = ell_from_scipy(a, dtype=dtype)
-    diag_m = gamma_eq * np.asarray(ell.abs_power_colsum(2.0)) + gamma_ineq
+    a = scipy.sparse.csr_matrix(a)
+    sq = a.copy()
+    sq.data = sq.data**2
+    diag_m = gamma_eq * np.asarray(sq.sum(axis=0)).ravel() + gamma_ineq
 
     # damped projected Jacobi converges iff omega < 2/rho(D^-1 M); estimate
-    # the spectral radius once by matrix-free power iteration and clamp.
-    # (The reference's sequential Gauss-Seidel needs no damping; this is the
+    # the spectral radius once by host power iteration and clamp.  (The
+    # reference's sequential Gauss-Seidel needs no damping; this is the
     # price of the parallel sweep, paid once at setup.)
     inv_diag_np = 1.0 / diag_m
     rng = np.random.RandomState(0)
     v = rng.randn(a.shape[1])
     v /= np.linalg.norm(v)
     rho = 1.0
-    import jax.numpy as _jnp
-
-    def m_apply_host(u):
-        u_dev = _jnp.asarray(u, dtype)
-        return np.asarray(
-            gamma_eq * ell.rmatvec(ell.matvec(u_dev)) + gamma_ineq * u_dev,
-            np.float64,
-        )
-
+    at = a.T.tocsr()
     for _ in range(30):
-        w = inv_diag_np * m_apply_host(v)
+        w = inv_diag_np * (gamma_eq * (at @ (a @ v)) + gamma_ineq * v)
         nrm = np.linalg.norm(w)
         if nrm == 0:
             break
@@ -182,9 +181,7 @@ def lp_admm(
         v = w / nrm
     omega = min(float(omega), 1.8 / max(rho, 1e-12))
 
-    data = dict(
-        a=ell,
-        b=jnp.asarray(b, dtype),
+    common = dict(
         c=jnp.asarray(c2, dtype),
         lb=jnp.asarray(lb2, dtype),
         ub=jnp.asarray(ub2, dtype),
@@ -192,20 +189,45 @@ def lp_admm(
         gamma_ineq=jnp.asarray(gamma_ineq, dtype),
         inv_diag=jnp.asarray(1.0 / diag_m, dtype),
         omega=jnp.asarray(omega, dtype),
-        atb=ell.rmatvec(jnp.asarray(b, dtype)),
+        atb=jnp.asarray(at @ b, dtype),
     )
     x = jnp.asarray(x02, dtype)
-    xp = jnp.clip(x, data["lb"], data["ub"])
-    state = (x, xp, jnp.zeros(a.shape[0], dtype))
+    xp = jnp.clip(x, common["lb"], common["ub"])
+
+    if mesh is not None:
+        from ..parallel.sharded_admm import (admm_chunk_sharded,
+                                             build_sharded_system)
+
+        sdata, rows_loc, m_pad, _ = build_sharded_system(a, b, mesh, dtype)
+        ndev = m_pad // rows_loc
+        data = dict(common, **sdata)
+        state = {"x": x, "xp": xp,
+                 "lam": jnp.zeros((ndev, rows_loc), dtype)}
+
+        def run_chunk(state, nsteps):
+            return admm_chunk_sharded(data, state, mesh, nsteps, nb_inner)
+
+        def get_x(state):
+            return state["x"]
+    else:
+        ell = ell_from_scipy(a, dtype=dtype)
+        data = dict(common, a=ell, b=jnp.asarray(b, dtype))
+        state = (x, xp, jnp.zeros(a.shape[0], dtype))
+
+        def run_chunk(state, nsteps):
+            return _admm_chunk(data, state, nsteps, nb_inner)
+
+        def get_x(state):
+            return state[0]
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
     tstop = ToleranceStop(stop_tol)
     niter = 0
     for nsteps in chunk_schedule(nb_iter, nb_iter_plot):
-        state, metrics = _admm_chunk(data, state, nsteps, nb_inner)
+        state, metrics = run_chunk(state, nsteps)
         niter += nsteps
         emit_callback(
-            callback_func, niter, state[0][:n],
+            callback_func, niter, get_x(state)[:n],
             metrics["energy1"], metrics["energy1"], loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
@@ -214,7 +236,7 @@ def lp_admm(
             metrics["max_violated_inequality"],
         ):
             break
-    return to_np(state[0][:n])
+    return to_np(get_x(state)[:n])
 
 
 def _lp_admm_host_gs(c, a, b, lb, ub, x0, n, gamma_eq, gamma_ineq, nb_iter,
@@ -347,6 +369,7 @@ def lp_admm2(
     start_time=None,
     stop_tol=None,
     adaptive_rho=False,
+    mesh=None,
 ):
     """ADMM with exact equality subproblem; signature parity with ``ADMM.py:272``.
 
@@ -354,6 +377,11 @@ def lp_admm2(
     doubles when the primal residual dominates the dual residual by 10x and
     halves in the opposite case, checked once per chunk.  Free here: the
     factored Schur complement ``A Aᵀ`` does not depend on the penalty.
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``) row-shards the constraint system:
+    the Schur solve runs sharded-CG (one ``psum`` of an n-vector per CG
+    step) or, in the dense-Cholesky regime, gathers the sharded rhs once
+    per iteration (:mod:`pysparselp_tpu.parallel.sharded_admm`).
     """
     dtype = dtype or default_dtype()
     c = np.asarray(c, np.float64)
@@ -377,12 +405,9 @@ def lp_admm2(
     )
 
     m = a.shape[0]
-    ell = ell_from_scipy(a, dtype=dtype)
     use_dense = m <= dense_threshold
     ridge = 1e-10 * max(1.0, float(abs(a).sum() / max(m, 1)))
-    data = dict(
-        a=ell,
-        b=jnp.asarray(b, dtype),
+    common = dict(
         c=jnp.asarray(c2, dtype),
         lb=jnp.asarray(lb2, dtype),
         ub=jnp.asarray(ub2, dtype),
@@ -390,39 +415,78 @@ def lp_admm2(
         alpha=jnp.asarray(alpha, dtype),
         ridge=jnp.asarray(ridge, dtype),
     )
-    if use_dense:
-        # Schur complement S = A Aᵀ (+ridge), factored once — the MXU analogue
-        # of the reference's one-time splu of the KKT system (ADMM.py:342)
-        s = (a @ a.T).toarray() + ridge * np.eye(m)
-        chol, _ = jax.scipy.linalg.cho_factor(
-            jnp.asarray(s, dtype), lower=False
-        )
-        data["chol"] = chol
-    else:
-        diag_s = np.asarray((a.multiply(a)).sum(axis=1)).ravel() + ridge
-        data["schur_inv_diag"] = jnp.asarray(1.0 / diag_s, dtype)
-
     x = jnp.asarray(x02, dtype)
-    xp = jnp.clip(x, data["lb"], data["ub"])
-    state = (x, xp, jnp.zeros(x.shape, dtype))
+    xp = jnp.clip(x, common["lb"], common["ub"])
+
+    if mesh is not None:
+        from ..parallel.sharded_admm import (admm2_chunk_sharded,
+                                             build_sharded_system)
+
+        sdata, _rows_loc, m_pad, a_pad = build_sharded_system(
+            scipy.sparse.csr_matrix(a), b, mesh, dtype)
+        data = dict(common, **sdata)
+        if use_dense:
+            s = (a_pad @ a_pad.T).toarray() + ridge * np.eye(m_pad)
+            chol, _ = jax.scipy.linalg.cho_factor(
+                jnp.asarray(s, dtype), lower=False)
+            data["chol"] = chol
+        else:
+            diag_s = np.asarray(
+                (a_pad.multiply(a_pad)).sum(axis=1)).ravel() + ridge
+            data["schur_inv_diag"] = jnp.asarray(1.0 / diag_s, dtype)
+        state = {"x": x, "xp": xp, "lam": jnp.zeros(x.shape, dtype)}
+
+        def run_chunk(state, nsteps):
+            return admm2_chunk_sharded(data, state, mesh, nsteps, use_dense)
+
+        def get_x(state):
+            return state["x"]
+
+        def set_gamma(data, g):
+            return dict(data, gamma=jnp.asarray(g, dtype))
+    else:
+        ell = ell_from_scipy(a, dtype=dtype)
+        data = dict(common, a=ell, b=jnp.asarray(b, dtype))
+        if use_dense:
+            # Schur complement S = A Aᵀ (+ridge), factored once — the MXU
+            # analogue of the reference's one-time splu of the KKT system
+            # (ADMM.py:342)
+            s = (a @ a.T).toarray() + ridge * np.eye(m)
+            chol, _ = jax.scipy.linalg.cho_factor(
+                jnp.asarray(s, dtype), lower=False
+            )
+            data["chol"] = chol
+        else:
+            diag_s = np.asarray((a.multiply(a)).sum(axis=1)).ravel() + ridge
+            data["schur_inv_diag"] = jnp.asarray(1.0 / diag_s, dtype)
+        state = (x, xp, jnp.zeros(x.shape, dtype))
+
+        def run_chunk(state, nsteps):
+            return _admm2_chunk(data, state, nsteps, use_dense)
+
+        def get_x(state):
+            return state[0]
+
+        def set_gamma(data, g):
+            return dict(data, gamma=jnp.asarray(g, dtype))
 
     loop = HostLoop(start_time=start_time, max_time=max_time)
     tstop = ToleranceStop(stop_tol)
     gamma = float(gamma_ineq)
     niter = 0
     for nsteps in chunk_schedule(nb_iter, nb_iter_plot):
-        state, metrics = _admm2_chunk(data, state, nsteps, use_dense)
+        state, metrics = run_chunk(state, nsteps)
         niter += nsteps
         if adaptive_rho:
             rp, rd = float(metrics["r_primal"]), float(metrics["r_dual"])
             if rp > 10.0 * rd and rd > 0:
                 gamma *= 2.0
-                data = dict(data, gamma=jnp.asarray(gamma, dtype))
+                data = set_gamma(data, gamma)
             elif rd > 10.0 * rp and rp > 0:
                 gamma *= 0.5
-                data = dict(data, gamma=jnp.asarray(gamma, dtype))
+                data = set_gamma(data, gamma)
         emit_callback(
-            callback_func, niter, state[0][:n],
+            callback_func, niter, get_x(state)[:n],
             metrics["energy1"], metrics["energy1"], loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
@@ -431,4 +495,4 @@ def lp_admm2(
             metrics["max_violated_inequality"],
         ):
             break
-    return to_np(state[0][:n])
+    return to_np(get_x(state)[:n])

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 
 from ..problem import (DIA_AUTO_MAX_OFFSETS, LPProblem, aligned_offset_count,
                        anchor_align, default_dtype, dia_cost_bytes,
-                       ell_from_scipy, embed_matrix, estimate_stream_bytes,
-                       rcm_permutation)
+                       dispatch_iteration_cap, ell_from_scipy, embed_matrix,
+                       estimate_stream_bytes, rcm_permutation)
 from .base import HostLoop, chunk_schedule, emit_callback, to_np
 
 
@@ -577,14 +577,26 @@ def chambolle_pock_ppd(
             "zineq": state[3],
         }
 
+    # bound the iteration count fused into one dispatch (problem-size aware;
+    # multi-second device programs can trip the remote-worker watchdog)
+    cap = dispatch_iteration_cap(prob.a_eq, prob.a_ineq)
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
         if restart == "average":
-            rstate, metrics = _cp_chunk_restart_device(
-                prob, pre, rstate, nsteps, period
-            )
+            cap_r = max(period, cap // period * period)
+            done = 0
+            while done < nsteps:
+                sub = min(cap_r, nsteps - done)
+                rstate, metrics = _cp_chunk_restart_device(
+                    prob, pre, rstate, sub, period
+                )
+                done += sub
             state = rstate["state"]
         else:
-            state, metrics = _cp_chunk(prob, pre_eff, state, nsteps)
+            done = 0
+            while done < nsteps:
+                sub = min(cap, nsteps - done)
+                state, metrics = _cp_chunk(prob, pre_eff, state, sub)
+                done += sub
         niter += nsteps
         if force_integer and bool(metrics["rounded_feasible"]):
             er = float(metrics["energy_rounded"])
