@@ -180,7 +180,6 @@ def admm2_chunk_sharded(data, state, mesh: Mesh, nsteps: int,
         {"energy1": P(), "max_violated_equality": P(),
          "max_violated_inequality": P(), "r_primal": P(), "r_dual": P()},
     )
-    ndev = int(np.prod(list(mesh.shape.values())))
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(in_specs_data, in_specs_state),
@@ -259,5 +258,4 @@ def admm2_chunk_sharded(data, state, mesh: Mesh, nsteps: int,
         )
         return {"x": x, "xp": xp, "lam": lam}, metrics
 
-    del ndev
     return run(data, state)
