@@ -75,10 +75,13 @@ def measure_sc105(tol=1e-3):
 
 
 def _dia_roofline(lp, elapsed_per_iter):
-    """Roofline accounting for the lowered flagship operator: bytes the DIA
-    kernel streams per CP iteration (vals once per direction; x/y/duals are
-    VMEM-resident or negligible) vs the measured iteration time."""
-    import scipy.sparse
+    """Roofline accounting for the lowered flagship operator.  Since the
+    whole-iteration fused kernel (ops/cp_fused) keeps the problem
+    VMEM-resident, HBM bytes/iteration ~ 0 and the binding roofline is the
+    VPU shift-multiply work — the calibrated 9-bytes/entry-equivalent model
+    of the DIA kernel.  Reports measured iteration time against that floor
+    plus what streaming the values would have cost."""
+    import jax.numpy as jnp
 
     from pysparselp_tpu.problem import aligned_offset_count, dia_cost_bytes
     from pysparselp_tpu.solvers.chambolle_pock import _fold_one_sided
@@ -89,18 +92,16 @@ def _dia_roofline(lp, elapsed_per_iter):
     # bf16 storage (Potts coefficients are bf16-exact); kernel pads ndiag
     # to a multiple of 8 and rows to lane tiles
     nd_pad = -(-nd // 8) * 8
-    bytes_iter = nd_pad * (mn + n_new) * 2
-    import jax.numpy as jnp
-
+    bytes_if_streamed = nd_pad * (mn + n_new) * 2
     model_bytes = dia_cost_bytes(nd, mn, n_new, 2, jnp.bfloat16)
-    achieved = bytes_iter / elapsed_per_iter
+    model_s = model_bytes / 600e9
     return {
+        "regime": "fused-vmem-resident",
         "ndiag": nd,
-        "bytes_streamed_per_iter": int(bytes_iter),
-        "achieved_GB_s": round(achieved / 1e9, 1),
-        "hbm_roofline_frac": round(achieved / 819e9, 4),
-        "op_bound_model_us": round(model_bytes / 600e9 * 1e6, 2),
+        "hbm_bytes_per_iter_if_streamed": int(bytes_if_streamed),
+        "op_bound_model_us": round(model_s * 1e6, 2),
         "measured_iter_us": round(elapsed_per_iter * 1e6, 2),
+        "frac_of_op_bound_roofline": round(model_s / elapsed_per_iter, 3),
     }
 
 
@@ -123,9 +124,13 @@ def measure_potts():
     roofline = _dia_roofline(lp, elapsed / nb_iter)
 
     # secondary: wall-clock to reach the graph-cut optimum with the
-    # accelerated mode (reference: 15.1 s / 56k iterations on this host CPU)
-    kwargs = dict(method="chambolle_pock_ppd", nb_iter=40000,
-                  nb_iter_plot=4000, restart="average", dtype=np.float32,
+    # accelerated mode (reference: 15.1 s / 56k iterations on this host CPU).
+    # Device restart checks stay at a 4000-iteration period; host metric
+    # chunks are 3x larger because each host fetch costs ~0.1-0.2 s over
+    # the tunnel and would otherwise dominate the measurement.
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=36000,
+                  nb_iter_plot=12000, restart_period=4000,
+                  restart="average", dtype=np.float32,
                   ground_truth=gt, ground_truth_indices=idx)
     lp.solve(**kwargs)
     lp.solve(**kwargs)

@@ -140,9 +140,11 @@ def _scale_pre(pre, omega):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("nsteps", "period"))
+@functools.partial(jax.jit, static_argnames=("nsteps", "period",
+                                             "use_fused", "theta_f"))
 def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
-                             period: int):
+                             period: int, use_fused: bool = False,
+                             theta_f: float = 1.0):
     """Device-resident restart controller: runs ``nsteps`` iterations with a
     PDLP restart check every ``period`` iterations entirely on device (one
     dispatch per chunk, no host synchronization for scores or the
@@ -157,16 +159,28 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
     def run_block(rs):
         state = rs["state"]
         pre = _scale_pre(pre_base, rs["omega"])
-        sums = (jnp.zeros_like(state[0]), jnp.zeros_like(state[2]),
-                jnp.zeros_like(state[3]))
+        if use_fused:
+            # whole-period fused kernel (ops/cp_fused): VMEM-resident
+            # iterations that also accumulate the running sums the
+            # restart-to-average controller consumes
+            from ..ops.cp_fused import _cp_fused_call
 
-        def body(_, carry):
-            s, (sx, se, si) = carry
-            s = _cp_iteration(prob, pre, s)
-            return s, (sx + s[0], se + s[2], si + s[3])
+            x_n, x3_n, y_n, sx, si = _cp_fused_call(
+                prob, pre, state[0], state[3], period, theta_f,
+                interpret=jax.default_backend() != "tpu", with_sums=True)
+            state = (x_n, x3_n, state[2], y_n)
+            se = jnp.zeros_like(state[2])
+        else:
+            sums = (jnp.zeros_like(state[0]), jnp.zeros_like(state[2]),
+                    jnp.zeros_like(state[3]))
 
-        (state, (sx, se, si)) = jax.lax.fori_loop(0, period, body,
-                                                  (state, sums))
+            def body(_, carry):
+                s, (sx, se, si) = carry
+                s = _cp_iteration(prob, pre, s)
+                return s, (sx + s[0], se + s[2], si + s[3])
+
+            (state, (sx, se, si)) = jax.lax.fori_loop(0, period, body,
+                                                      (state, sums))
         inv = 1.0 / period
         avg = (sx * inv, se * inv, si * inv)
         s_cur = _kkt_score(prob, state[0], state[2], state[3])
@@ -213,9 +227,18 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
                                rstate)
     if rem:
         pre = _scale_pre(pre_base, rstate["omega"])
-        state = jax.lax.fori_loop(
-            0, rem, lambda _, s: _cp_iteration(prob, pre, s),
-            rstate["state"])
+        if use_fused:
+            from ..ops.cp_fused import _cp_fused_call
+
+            s = rstate["state"]
+            x_n, x3_n, y_n = _cp_fused_call(
+                prob, pre, s[0], s[3], rem, theta_f,
+                interpret=jax.default_backend() != "tpu")
+            state = (x_n, x3_n, s[2], y_n)
+        else:
+            state = jax.lax.fori_loop(
+                0, rem, lambda _, s: _cp_iteration(prob, pre, s),
+                rstate["state"])
         rstate = dict(rstate, state=state)
     _, metrics = cp_chunk_impl(prob, _scale_pre(pre_base, rstate["omega"]),
                                rstate["state"], 0)
@@ -580,6 +603,14 @@ def chambolle_pock_ppd(
     # bound the iteration count fused into one dispatch (problem-size aware;
     # multi-second device programs can trip the remote-worker watchdog)
     cap = dispatch_iteration_cap(prob.a_eq, prob.a_ineq)
+    # whole-iteration fused kernel (ops/cp_fused): the entire problem stays
+    # VMEM-resident across a chunk — zero HBM traffic per iteration.
+    # Eligible for ineq-only DIA problems that fit the budget (the
+    # anchor-aligned grid-LP class); the restart controller keeps the
+    # composed path (it needs running averages and score reductions).
+    from ..ops.cp_fused import cp_fused_chunk, cp_fused_eligible
+
+    use_fused = cp_fused_eligible(prob, dtype)
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
         if restart == "average":
             cap_r = max(period, cap // period * period)
@@ -587,10 +618,18 @@ def chambolle_pock_ppd(
             while done < nsteps:
                 sub = min(cap_r, nsteps - done)
                 rstate, metrics = _cp_chunk_restart_device(
-                    prob, pre, rstate, sub, period
+                    prob, pre, rstate, sub, period,
+                    use_fused=use_fused, theta_f=float(theta),
                 )
                 done += sub
             state = rstate["state"]
+        elif use_fused:
+            done = 0
+            while done < nsteps:
+                sub = min(cap, nsteps - done)
+                state = cp_fused_chunk(prob, pre_eff, state, sub, theta)
+                done += sub
+            _, metrics = _cp_chunk(prob, pre_eff, state, 0)
         else:
             done = 0
             while done < nsteps:
