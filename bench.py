@@ -59,13 +59,17 @@ def _sc105_lp():
 
 def measure_sc105(tol=1e-3):
     lp, gt = _sc105_lp()
-    # nb_iter_plot doubles as the restart-check period; 4000 balances
-    # restart cadence against host round-trips (tuned on the tunneled v5e)
-    kwargs = dict(method="chambolle_pock_ppd", nb_iter=40000,
-                  nb_iter_plot=4000, restart="average", dtype=np.float64,
-                  ground_truth=gt,
+    # f32 + the dense whole-iteration fused kernel (ops/cp_fused): the
+    # restart trajectory needs ~5x the f64 iteration count but each
+    # iteration is ~20x cheaper than f64 emulation; device restart checks
+    # every 4000 iterations, a single metrics checkpoint (each host fetch
+    # costs ~0.15 s over the tunnel).  f32 converges to dist ~2e-4,
+    # comfortably under the 1e-3 tolerance.
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=72000,
+                  nb_iter_plot=72000, restart="average", restart_period=4000,
+                  dtype=np.float32, ground_truth=gt,
                   ground_truth_indices=np.arange(len(gt)))
-    lp.solve(**kwargs)  # warmup: compile every chunk shape
+    lp.solve(**kwargs)  # warmup: compile
     lp.solve(**kwargs)
     dists = np.asarray(lp.distance_to_ground_truth)
     below = np.nonzero(dists < tol)[0]

@@ -57,7 +57,9 @@ def _shift_read(buf_ref, qoff, loff, q_rows):
         return a
     b = buf_ref[qoff + 1:qoff + 1 + q_rows, :]
     c = jnp.concatenate([a, b], axis=1)
-    return pltpu.roll(c, 2 * LANE - loff, axis=1)[:, :LANE]
+    # i32 explicitly: under jax_enable_x64 a bare python int traces to an
+    # i64 scalar, which tpu.dynamic_rotate refuses to accept
+    return pltpu.roll(c, jnp.int32(2 * LANE - loff), axis=1)[:, :LANE]
 
 
 def _make_cp_kernel(offsets, offsets_t, left, left_t, qn, qm, qxp, qyp,
@@ -218,6 +220,199 @@ def _cp_fused_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
     if with_sums:
         res += (unpad(outs[3], n), unpad(outs[4], m))
     return res
+
+
+# ----------------------------------------------------------------------
+# dense variant: eq+ineq systems as VMEM-resident dense operators (MXU)
+# ----------------------------------------------------------------------
+
+DENSE_FUSED_VMEM_BUDGET = 4 * 1024 * 1024
+
+
+def cp_dense_fused_eligible(prob, dtype) -> bool:
+    """Both systems (when present) lowered to DenseMatrix, f32 compute,
+    everything fits the dense-fused VMEM budget.  This is the small/medium
+    LP regime (netlib class) where per-op dispatch otherwise dominates."""
+    from ..problem import DenseMatrix
+
+    total = 0
+    any_sys = False
+    for op in (prob.a_eq, prob.a_ineq):
+        if op is None:
+            continue
+        any_sys = True
+        if not isinstance(op, DenseMatrix):
+            return False
+        if op.a.dtype != jnp.float32:
+            return False
+        total += _pad_rows(op.nrows) * _pad_rows(op.ncols) * LANE * LANE * 4
+    if not any_sys or total > DENSE_FUSED_VMEM_BUDGET:
+        return False
+    if _FORCE_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _make_cp_dense_kernel(has_eq, has_in, nsteps, theta, with_sums):
+    hp = jax.lax.Precision.HIGHEST
+
+    def kernel(*refs):
+        it = iter(refs)
+        c_ref, diag_t_ref, lb_ref, ub_ref = (next(it) for _ in range(4))
+        if has_eq:
+            ae_ref, be_ref, se_ref = (next(it) for _ in range(3))
+        if has_in:
+            ai_ref, bi_ref, si_ref = (next(it) for _ in range(3))
+        x_in_ref = next(it)
+        ye_in_ref = next(it) if has_eq else None
+        yi_in_ref = next(it) if has_in else None
+        x_out_ref, x3_out_ref = next(it), next(it)
+        ye_out_ref = next(it) if has_eq else None
+        yi_out_ref = next(it) if has_in else None
+        if with_sums:
+            sx_out_ref = next(it)
+            sye_out_ref = next(it) if has_eq else None
+            syi_out_ref = next(it) if has_in else None
+            sx_out_ref[:] = jnp.zeros_like(sx_out_ref)
+            if has_eq:
+                sye_out_ref[:] = jnp.zeros_like(sye_out_ref)
+            if has_in:
+                syi_out_ref[:] = jnp.zeros_like(syi_out_ref)
+
+        def rmat(a_ref, y):
+            # yᵀA as an MXU contraction over the row dim
+            return jax.lax.dot_general(
+                y, a_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hp)
+
+        def mat(a_ref, v):
+            # A v: contract the column dim
+            return jax.lax.dot_general(
+                v, a_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hp)
+
+        def body(_, carry):
+            x, ye, yi, _x3 = carry
+            d = c_ref[:]
+            if has_eq:
+                d = d + rmat(ae_ref, ye)
+            if has_in:
+                d = d + rmat(ai_ref, yi)
+            x2 = jnp.clip(x - diag_t_ref[:] * d, lb_ref[:], ub_ref[:])
+            x3 = (1.0 + theta) * x2 - theta * x
+            if has_eq:
+                ye = ye + se_ref[:] * (mat(ae_ref, x3) - be_ref[:])
+            if has_in:
+                yi = jnp.maximum(
+                    yi + si_ref[:] * (mat(ai_ref, x3) - bi_ref[:]), 0.0)
+            if with_sums:
+                sx_out_ref[:] += x2
+                if has_eq:
+                    sye_out_ref[:] += ye
+                if has_in:
+                    syi_out_ref[:] += yi
+            return (x2, ye, yi, x3)
+
+        zero = jnp.zeros((1, LANE), jnp.float32)
+        x0 = x_in_ref[:]
+        ye0 = ye_in_ref[:] if has_eq else zero
+        yi0 = yi_in_ref[:] if has_in else zero
+        x, ye, yi, x3 = jax.lax.fori_loop(0, nsteps, body,
+                                          (x0, ye0, yi0, x0))
+        x_out_ref[:] = x
+        x3_out_ref[:] = x3
+        if has_eq:
+            ye_out_ref[:] = ye
+        if has_in:
+            yi_out_ref[:] = yi
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "theta_f",
+                                             "interpret", "with_sums"))
+def _cp_dense_fused_call(prob, pre, x, y_eq, y_in, nsteps, theta_f,
+                         interpret=False, with_sums=False):
+    n = prob.n
+    has_eq = prob.a_eq is not None
+    has_in = prob.a_ineq is not None
+
+    def row1(v, size):
+        q = _pad_rows(size)
+        out = jnp.zeros((q * LANE,), jnp.float32)
+        return out.at[:size].set(
+            v.astype(jnp.float32)).reshape(1, q * LANE)
+
+    def mat2(op):
+        qr, qc = _pad_rows(op.nrows), _pad_rows(op.ncols)
+        out = jnp.zeros((qr * LANE, qc * LANE), jnp.float32)
+        return out.at[:op.nrows, :op.ncols].set(
+            op.a.astype(jnp.float32))
+
+    inputs = [row1(prob.c, n), row1(pre["diag_t"], n), row1(prob.lb, n),
+              row1(prob.ub, n)]
+    if has_eq:
+        inputs += [mat2(prob.a_eq), row1(prob.b_eq, prob.m_eq),
+                   row1(pre["sigma_eq"], prob.m_eq)]
+    if has_in:
+        inputs += [mat2(prob.a_ineq), row1(prob.b_upper, prob.m_ineq),
+                   row1(pre["sigma_ineq"], prob.m_ineq)]
+    inputs.append(row1(x, n))
+    if has_eq:
+        inputs.append(row1(y_eq, prob.m_eq))
+    if has_in:
+        inputs.append(row1(y_in, prob.m_ineq))
+
+    qn = _pad_rows(n) * LANE
+    qme = _pad_rows(prob.m_eq) * LANE if has_eq else 0
+    qmi = _pad_rows(prob.m_ineq) * LANE if has_in else 0
+    out_shape = [jax.ShapeDtypeStruct((1, qn), jnp.float32)] * 2
+    if has_eq:
+        out_shape.append(jax.ShapeDtypeStruct((1, qme), jnp.float32))
+    if has_in:
+        out_shape.append(jax.ShapeDtypeStruct((1, qmi), jnp.float32))
+    if with_sums:
+        out_shape.append(jax.ShapeDtypeStruct((1, qn), jnp.float32))
+        if has_eq:
+            out_shape.append(jax.ShapeDtypeStruct((1, qme), jnp.float32))
+        if has_in:
+            out_shape.append(jax.ShapeDtypeStruct((1, qmi), jnp.float32))
+
+    outs = pl.pallas_call(
+        _make_cp_dense_kernel(has_eq, has_in, nsteps, theta_f, with_sums),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    dt = x.dtype
+
+    def unpad(v, size):
+        return v.reshape(-1)[:size].astype(dt)
+
+    it = iter(outs)
+    res = [unpad(next(it), n), unpad(next(it), n)]
+    res.append(unpad(next(it), prob.m_eq) if has_eq
+               else jnp.zeros(0, dt))
+    res.append(unpad(next(it), prob.m_ineq) if has_in
+               else jnp.zeros(0, dt))
+    if with_sums:
+        res.append(unpad(next(it), n))
+        res.append(unpad(next(it), prob.m_eq) if has_eq
+                   else jnp.zeros(0, dt))
+        res.append(unpad(next(it), prob.m_ineq) if has_in
+                   else jnp.zeros(0, dt))
+    return tuple(res)
+
+
+def cp_dense_fused_chunk(prob, pre, state, nsteps: int, theta: float):
+    """Dense-operator twin of :func:`cp_fused_chunk` (supports eq+ineq)."""
+    x, _x3, y_eq, y_ineq = state
+    interpret = jax.default_backend() != "tpu"
+    x_n, x3_n, ye_n, yi_n = _cp_dense_fused_call(
+        prob, pre, x, y_eq, y_ineq, nsteps, float(theta),
+        interpret=interpret)
+    return (x_n, x3_n, ye_n, yi_n)
 
 
 def cp_fused_chunk(prob, pre, state, nsteps: int, theta: float):

@@ -550,9 +550,10 @@ def chambolle_pock_ppd_sharded(
         else:
             state, metrics = sharded_cp_chunk(data, state, mesh, nsteps)
         niter += nsteps
+        x_host = np.asarray(state["x"])  # forces the async chunk to finish
         elapsed = time.perf_counter() - start
         emit_callback(
-            callback_func, niter, np.asarray(state["x"]),
+            callback_func, niter, x_host,
             metrics["energy1"], metrics["energy1"], elapsed,
             metrics["max_violated_equality"],
             metrics["max_violated_inequality"],

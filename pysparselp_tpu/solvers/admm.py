@@ -228,7 +228,7 @@ def lp_admm(
         niter += nsteps
         emit_callback(
             callback_func, niter, get_x(state)[:n],
-            metrics["energy1"], metrics["energy1"], loop.elapsed,
+            metrics["energy1"], metrics["energy1"], lambda: loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
         if loop.timed_out or tstop.check(
@@ -270,7 +270,7 @@ def _lp_admm_host_gs(c, a, b, lb, ub, x0, n, gamma_eq, gamma_ineq, nb_iter,
                 c @ x + 0.5 * gamma_eq * (r @ r) + lam @ r
             )
             emit_callback(
-                callback_func, i, x[:n], energy, energy, loop.elapsed,
+                callback_func, i, x[:n], energy, energy, lambda: loop.elapsed,
                 float(np.abs(r).max(initial=0.0)),
                 float(max(np.max(lb - x, initial=0.0),
                           np.max(x - ub, initial=0.0))),
@@ -487,7 +487,7 @@ def lp_admm2(
                 data = set_gamma(data, gamma)
         emit_callback(
             callback_func, niter, get_x(state)[:n],
-            metrics["energy1"], metrics["energy1"], loop.elapsed,
+            metrics["energy1"], metrics["energy1"], lambda: loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
         if loop.timed_out or tstop.check(

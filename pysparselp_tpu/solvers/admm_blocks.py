@@ -259,7 +259,7 @@ def lp_admm_block_decomposition(
         niter += nsteps
         emit_callback(
             callback_func, niter, state[2][:n0],
-            metrics["energy1"], metrics["energy1"], loop.elapsed,
+            metrics["energy1"], metrics["energy1"], lambda: loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
         if loop.timed_out or tstop.check(

@@ -50,20 +50,30 @@ def emit_callback(callback_func, niter, x, energy1, energy2, elapsed,
                   max_violated_eq, max_violated_ineq, state=None):
     """Invoke the 7-positional-arg callback protocol.
 
+    ``elapsed`` may be a float or a zero-arg callable (pass
+    ``lambda: loop.elapsed``): the callable is resolved only AFTER the
+    device arrays have been fetched, so the timestamp includes the chunk
+    that produced them.  JAX dispatch is asynchronous — reading the clock
+    before the fetch silently attributes each chunk's device time to the
+    NEXT checkpoint, understating time-to-tolerance by up to one chunk.
+
     ``state`` (a dict of full solver state arrays, e.g. duals) is passed as
     an extra keyword ONLY to callbacks that opt in with a truthy
     ``wants_state`` attribute — existing positional callbacks keep working.
     """
     if callback_func is None:
         return
+    x_np = to_np(x)
+    metric_vals = (float(energy1), float(energy2))  # forces the sync
+    viol_vals = (float(max_violated_eq), float(max_violated_ineq))
     args = (
         int(niter),
-        to_np(x),
-        float(energy1),
-        float(energy2),
-        float(elapsed),
-        float(max_violated_eq),
-        float(max_violated_ineq),
+        x_np,
+        metric_vals[0],
+        metric_vals[1],
+        float(elapsed()) if callable(elapsed) else float(elapsed),
+        viol_vals[0],
+        viol_vals[1],
     )
     if state is not None and getattr(callback_func, "wants_state", False):
         callback_func(*args, state=state)

@@ -143,7 +143,7 @@ def _scale_pre(pre, omega):
 @functools.partial(jax.jit, static_argnames=("nsteps", "period",
                                              "use_fused", "theta_f"))
 def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
-                             period: int, use_fused: bool = False,
+                             period: int, use_fused=None,
                              theta_f: float = 1.0):
     """Device-resident restart controller: runs ``nsteps`` iterations with a
     PDLP restart check every ``period`` iterations entirely on device (one
@@ -159,7 +159,7 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
     def run_block(rs):
         state = rs["state"]
         pre = _scale_pre(pre_base, rs["omega"])
-        if use_fused:
+        if use_fused == "dia":
             # whole-period fused kernel (ops/cp_fused): VMEM-resident
             # iterations that also accumulate the running sums the
             # restart-to-average controller consumes
@@ -170,6 +170,13 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
                 interpret=jax.default_backend() != "tpu", with_sums=True)
             state = (x_n, x3_n, state[2], y_n)
             se = jnp.zeros_like(state[2])
+        elif use_fused == "dense":
+            from ..ops.cp_fused import _cp_dense_fused_call
+
+            x_n, x3_n, ye_n, yi_n, sx, se, si = _cp_dense_fused_call(
+                prob, pre, state[0], state[2], state[3], period, theta_f,
+                interpret=jax.default_backend() != "tpu", with_sums=True)
+            state = (x_n, x3_n, ye_n, yi_n)
         else:
             sums = (jnp.zeros_like(state[0]), jnp.zeros_like(state[2]),
                     jnp.zeros_like(state[3]))
@@ -227,7 +234,7 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
                                rstate)
     if rem:
         pre = _scale_pre(pre_base, rstate["omega"])
-        if use_fused:
+        if use_fused == "dia":
             from ..ops.cp_fused import _cp_fused_call
 
             s = rstate["state"]
@@ -235,6 +242,14 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
                 prob, pre, s[0], s[3], rem, theta_f,
                 interpret=jax.default_backend() != "tpu")
             state = (x_n, x3_n, s[2], y_n)
+        elif use_fused == "dense":
+            from ..ops.cp_fused import _cp_dense_fused_call
+
+            s = rstate["state"]
+            x_n, x3_n, ye_n, yi_n = _cp_dense_fused_call(
+                prob, pre, s[0], s[2], s[3], rem, theta_f,
+                interpret=jax.default_backend() != "tpu")
+            state = (x_n, x3_n, ye_n, yi_n)
         else:
             state = jax.lax.fori_loop(
                 0, rem, lambda _, s: _cp_iteration(prob, pre, s),
@@ -603,14 +618,21 @@ def chambolle_pock_ppd(
     # bound the iteration count fused into one dispatch (problem-size aware;
     # multi-second device programs can trip the remote-worker watchdog)
     cap = dispatch_iteration_cap(prob.a_eq, prob.a_ineq)
-    # whole-iteration fused kernel (ops/cp_fused): the entire problem stays
-    # VMEM-resident across a chunk — zero HBM traffic per iteration.
-    # Eligible for ineq-only DIA problems that fit the budget (the
-    # anchor-aligned grid-LP class); the restart controller keeps the
-    # composed path (it needs running averages and score reductions).
-    from ..ops.cp_fused import cp_fused_chunk, cp_fused_eligible
+    # whole-iteration fused kernels (ops/cp_fused): the entire problem
+    # stays VMEM-resident across a chunk — zero HBM traffic per iteration.
+    # "dia": ineq-only DIA problems (the anchor-aligned grid-LP class);
+    # "dense": small/medium eq+ineq systems on dense MXU operators (the
+    # netlib class, where per-op dispatch otherwise dominates).
+    from ..ops.cp_fused import (cp_dense_fused_chunk,
+                                cp_dense_fused_eligible, cp_fused_chunk,
+                                cp_fused_eligible)
 
-    use_fused = cp_fused_eligible(prob, dtype)
+    if cp_fused_eligible(prob, dtype):
+        use_fused = "dia"
+    elif cp_dense_fused_eligible(prob, dtype):
+        use_fused = "dense"
+    else:
+        use_fused = None
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
         if restart == "average":
             cap_r = max(period, cap // period * period)
@@ -624,10 +646,12 @@ def chambolle_pock_ppd(
                 done += sub
             state = rstate["state"]
         elif use_fused:
+            chunk_fn = (cp_fused_chunk if use_fused == "dia"
+                        else cp_dense_fused_chunk)
             done = 0
             while done < nsteps:
                 sub = min(cap, nsteps - done)
-                state = cp_fused_chunk(prob, pre_eff, state, sub, theta)
+                state = chunk_fn(prob, pre_eff, state, sub, theta)
                 done += sub
             _, metrics = _cp_chunk(prob, pre_eff, state, 0)
         else:
@@ -648,7 +672,7 @@ def chambolle_pock_ppd(
             state[0],
             metrics["energy1"],
             metrics["energy2"],
-            loop.elapsed,
+            lambda: loop.elapsed,
             metrics["max_violated_equality"],
             metrics["max_violated_inequality"],
             state=(

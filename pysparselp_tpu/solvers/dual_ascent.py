@@ -210,7 +210,7 @@ def dual_gradient_ascent(
         x_out = metrics["x"]
         emit_callback(
             callback_func, niter, x_out,
-            metrics["primal"], metrics["energy"], loop.elapsed,
+            metrics["primal"], metrics["energy"], lambda: loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
         )
         if loop.timed_out or tstop.check(
@@ -517,7 +517,7 @@ def dual_coordinate_ascent(
         if (niter % max(1, nb_iter_plot)) == 0 or niter >= nb_max_iter:
             emit_callback(
                 callback_func, niter, x_out,
-                float(lp2.costsvector @ x_out), new_energy, loop.elapsed,
+                float(lp2.costsvector @ x_out), new_energy, lambda: loop.elapsed,
                 metrics["max_violated_equality"],
                 metrics["max_violated_inequality"],
             )
