@@ -73,7 +73,8 @@ def _pad_k(arrs_vals, arrs_idx, k_max):
 
 
 def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
-                          alpha=1.0, dtype=np.float32, x0=None):
+                          alpha=1.0, dtype=np.float32, x0=None, theta=1.0,
+                          y_eq0=None, y_ineq0=None, x30=None):
     """Partition the (one-sided) LP by constraint rows over ``mesh``.
 
     Returns a dict of arrays placed with their shardings: per-device stacked
@@ -162,7 +163,7 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
 
     data = dict(
         c=put_rep(c), lb=put_rep(lb), ub=put_rep(ub), diag_t=put_rep(diag_t),
-        theta=put_rep(1.0),
+        theta=put_rep(theta),
     )
     for name, sys_, sig in (("eq", eq, sig_eq), ("ineq", ineq, sig_ineq)):
         if sys_ is None:
@@ -178,12 +179,19 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
     x_init = np.zeros(n) if x0 is None else np.asarray(x0, np.float64)
     state = dict(
         x=put_rep(x_init),
-        x3=put_rep(x_init),
+        x3=put_rep(x_init if x30 is None else np.asarray(x30, np.float64)),
     )
+
+    def y_shards(sys_, y0):
+        y = np.zeros(sys_["m_pad"])
+        if y0 is not None:
+            y[: sys_["m"]] = np.asarray(y0, np.float64)
+        return put_sharded(y.reshape(ndev, sys_["rows_loc"]))
+
     if eq is not None:
-        state["y_eq"] = put_sharded(np.zeros((ndev, eq["rows_loc"])))
+        state["y_eq"] = y_shards(eq, y_eq0)
     if ineq is not None:
-        state["y_ineq"] = put_sharded(np.zeros((ndev, ineq["rows_loc"])))
+        state["y_ineq"] = y_shards(ineq, y_ineq0)
     return data, state
 
 
@@ -448,18 +456,22 @@ def chambolle_pock_ppd_sharded(
     c, a_eq, beq, a_ineq, b_lower, b_upper, lb, ub, mesh,
     nb_max_iter=1000, nb_iter_plot=100, callback_func=None, max_time=None,
     dtype=np.float32, alpha=1.0, restart=None, omega=None, permute="auto",
-    x0=None,
+    x0=None, theta=1.0, stop_tol=None, start_time=None, y_eq0=None,
+    y_ineq0=None, x30=None,
 ):
     """Mesh-parallel CP-PPD with the standard solver contract; returns x.
 
     ``restart``/``omega`` mirror the single-chip solver's PDLP-style
     acceleration (restart decisions and primal-weight updates run on host
     between chunks; all scoring reduces over the mesh with psum);
-    ``permute`` mirrors its RCM bandwidth-reducing presolve (TPU only)."""
+    ``permute`` mirrors its RCM bandwidth-reducing presolve (TPU only).
+    ``theta``/``stop_tol``/``y_eq0``/``y_ineq0``/``x30`` complete kwarg
+    parity with the single-chip solver (full-state resume included)."""
     import time
 
     from ..problem import rcm_permutation
-    from ..solvers.base import chunk_schedule, emit_callback
+    from ..solvers.base import (ToleranceStop, chunk_schedule,
+                                emit_callback)
     from ..solvers.chambolle_pock import _fold_one_sided, estimate_omega
 
     if restart is not None and omega is None:
@@ -492,6 +504,12 @@ def chambolle_pock_ppd_sharded(
         c, lb, ub = c[cols], lb[cols], ub[cols]
         if x0 is not None:
             x0 = np.asarray(x0, np.float64)[cols]
+        if x30 is not None:
+            x30 = np.asarray(x30, np.float64)[cols]
+        if y_eq0 is not None:
+            y_eq0 = np.asarray(y_eq0, np.float64)[rows_eq]
+        if y_ineq0 is not None:
+            y_ineq0 = np.asarray(y_ineq0, np.float64)[rows_in]
         inv_cols = np.empty(c.size, np.int64)
         inv_cols[cols] = np.arange(c.size)
         if callback_func is not None:
@@ -501,7 +519,8 @@ def chambolle_pock_ppd_sharded(
                 user_cb(niter, np.asarray(xp)[inv_cols], *rest)
     data, state = build_sharded_cp_data(
         c, a_eq, beq, a_one, b_ineq, lb, ub, mesh,
-        alpha=alpha, dtype=dtype, x0=x0,
+        alpha=alpha, dtype=dtype, x0=x0, theta=theta,
+        y_eq0=y_eq0, y_ineq0=y_ineq0, x30=x30,
     )
     if omega != 1.0:
         data = _rescale_steps(data, omega)
@@ -511,7 +530,8 @@ def chambolle_pock_ppd_sharded(
     mu_last = np.inf
     z_restart = None
 
-    start = time.perf_counter()
+    start = time.perf_counter() if start_time is None else start_time
+    tstop = ToleranceStop(stop_tol)
     niter = 0
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
         if restart == "average":
@@ -559,6 +579,11 @@ def chambolle_pock_ppd_sharded(
             metrics["max_violated_inequality"],
         )
         if max_time is not None and elapsed > max_time:
+            break
+        if tstop.check(
+            metrics["energy1"], metrics["max_violated_equality"],
+            metrics["max_violated_inequality"],
+        ):
             break
     x_final = np.asarray(state["x"], np.float64)
     if inv_cols is not None:

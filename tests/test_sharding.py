@@ -179,3 +179,41 @@ def test_sharded_cp_permute_matches(problem):
     x_p = chambolle_pock_ppd_sharded(*args, permute=True, **common)
     x_n = chambolle_pock_ppd_sharded(*args, permute=False, **common)
     np.testing.assert_allclose(x_p, x_n, atol=1e-6)
+
+
+def test_sharded_cp_full_state_resume_and_stop_tol(problem):
+    """Full-state resume (x0/x30/y duals) and stop_tol parity with the
+    single-chip solver on the 8-device mesh."""
+    lp = problem
+    mesh = default_mesh(8)
+    args = (lp.costsvector, lp.a_equalities.tocsr(), lp.b_equalities,
+            lp.a_inequalities.tocsr(), lp.b_lower, lp.b_upper,
+            lp.lower_bounds, lp.upper_bounds, mesh)
+    common = dict(nb_iter_plot=200, dtype=np.float64, permute=False)
+    x_full = chambolle_pock_ppd_sharded(*args, nb_max_iter=400, **common)
+
+    # run 200, capture state via the single-chip solver convention: re-run
+    # the first 200 on the mesh then resume with the captured duals
+    from pysparselp_tpu.parallel.sharded_cp import build_sharded_cp_data, \
+        sharded_cp_chunk
+    from pysparselp_tpu.solvers.chambolle_pock import _fold_one_sided
+
+    a_one, b_ineq = _fold_one_sided(lp.a_inequalities.tocsr(), lp.b_lower,
+                                    lp.b_upper)
+    data, state = build_sharded_cp_data(
+        lp.costsvector, lp.a_equalities.tocsr(), lp.b_equalities, a_one,
+        b_ineq, lp.lower_bounds, lp.upper_bounds, mesh, dtype=np.float64)
+    state, _ = sharded_cp_chunk(data, state, mesh, 200)
+    m_e = lp.a_equalities.shape[0]
+    m_i = a_one.shape[0]
+    x_res = chambolle_pock_ppd_sharded(
+        *args, nb_max_iter=200, x0=np.asarray(state["x"]),
+        x30=np.asarray(state["x3"]),
+        y_eq0=np.asarray(state["y_eq"]).reshape(-1)[:m_e],
+        y_ineq0=np.asarray(state["y_ineq"]).reshape(-1)[:m_i], **common)
+    np.testing.assert_allclose(x_res, x_full, atol=1e-10)
+
+    # stop_tol terminates early (loose tolerance: the point is the plumbing)
+    lp.solve(method="chambolle_pock_ppd", mesh=mesh, nb_iter=8000,
+             nb_iter_plot=400, stop_tol=5e-2)
+    assert lp.itrn_curve[-1] < 8000
