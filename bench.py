@@ -33,6 +33,9 @@ REF_POTTS_ITERS_PER_SEC = 3716.4  # reference CP-PPD on this host CPU
 # reference CP-PPD on this host CPU at Potts-300 (1.08M nnz), measured via
 # its own API (py3.12 shims), rate from (600-100) iteration wall-clock delta
 REF_POTTS300_ITERS_PER_SEC = 71.4
+# reference CP-PPD on this host CPU at Potts-500 (3.0M nnz), measured the
+# same way (wall-clock delta between nb_max_iter=60 and =180 runs)
+REF_POTTS500_ITERS_PER_SEC = 46.6
 
 
 def _sc105_lp():
@@ -144,19 +147,24 @@ def measure_potts():
     return nb_iter / elapsed, t_conv, roofline
 
 
-def measure_potts300():
-    """Scale benchmark: Potts-300 (1.08M nnz) steady-state CP iteration
-    rate on the chip vs the reference's rate on this host CPU."""
+def measure_potts_scale(size, nb_iter=20_000):
+    """Scale benchmark: Potts-``size`` steady-state CP iteration rate on
+    the chip vs the reference's rate on this host CPU.  Returns
+    ``(rate, roofline_dict)``; at these sizes the operator streams from
+    HBM every iteration (per-op regime), so the roofline combines the HBM
+    bytes and the VPU op-bound model."""
     from pysparselp_tpu.examples.potts import build_linear_program
 
-    lp, gt, idx, _ = build_linear_program(300, 0.5, 500)
-    kwargs = dict(method="chambolle_pock_ppd", nb_iter=20_000,
-                  nb_iter_plot=10_000, dtype=np.float32)
+    lp, gt, idx, _ = build_linear_program(size, 0.5, 500)
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                  nb_iter_plot=nb_iter // 2, dtype=np.float32)
     lp.solve(**kwargs)  # warmup: compile
     lp.solve(**kwargs)
     elapsed = lp.opttime_curve[-1] - lp.opttime_curve[0]
     nit = lp.itrn_curve[-1] - lp.itrn_curve[0]
-    return nit / elapsed
+    roof = _dia_roofline(lp, elapsed / nit)
+    roof["regime"] = "per-op-streamed"
+    return nit / elapsed, roof
 
 
 def main():
@@ -183,16 +191,29 @@ def main():
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["potts50_error"] = repr(e)
     try:
-        rate300 = measure_potts300()
+        rate300, roof300 = measure_potts_scale(300)
         details.update({
             "potts300_nnz": 1_076_400,
             "potts300_iters_per_sec": round(rate300, 1),
             "potts300_ref_cpu_iters_per_sec": REF_POTTS300_ITERS_PER_SEC,
             "potts300_speedup": round(rate300 / REF_POTTS300_ITERS_PER_SEC,
                                       1),
+            "potts300_roofline": roof300,
         })
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["potts300_error"] = repr(e)
+    try:
+        rate500, roof500 = measure_potts_scale(500, nb_iter=10_000)
+        details.update({
+            "potts500_nnz": 2_994_000,
+            "potts500_iters_per_sec": round(rate500, 1),
+            "potts500_ref_cpu_iters_per_sec": REF_POTTS500_ITERS_PER_SEC,
+            "potts500_speedup": round(rate500 / REF_POTTS500_ITERS_PER_SEC,
+                                      1),
+            "potts500_roofline": roof500,
+        })
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["potts500_error"] = repr(e)
     details.update({
         "reference_remeasure": (
             "sys.path.insert(0,'/root/reference'); "

@@ -178,6 +178,70 @@ def _dia_matvec_pallas(vals, offsets, x, n_in, n_out, interpret=False):
     return y2d.reshape(-1)[:n_out]
 
 
+@functools.partial(jax.jit, static_argnames=("n_in", "n_out", "interpret"))
+def _dia_matvec_pallas_dyn(vals, offs, x, n_in, n_out, interpret=False):
+    """Fused DIA SpMV with RUNTIME offsets (traced i32 array).
+
+    Bounds are derived conservatively from shapes alone — any valid offset
+    satisfies ``-n_out < off < n_in`` — so the same compiled kernel serves
+    every shard of a row-partitioned DIA operator inside ``shard_map``
+    (each shard passes its own offset values; shapes are uniform).
+    ``vals`` must be kernel-layout padded for ``(len(offs), n_out)``.
+    """
+    ndiag = offs.shape[0]
+    db, nd, qt, nq = kernel_layout(ndiag, n_out)
+    assert vals.shape == (db * nd, nq * qt * LANE), (
+        vals.shape, (db * nd, nq * qt * LANE))
+    # f64 only reaches this kernel in interpreter mode (CPU mesh tests);
+    # keep full precision there so sharded == single-chip to 1e-10
+    acc_dtype = (jnp.float64 if vals.dtype == jnp.float64
+                 else jnp.float32)
+    left = LANE * _cdiv(n_out, LANE)
+    q_out_pad = nq * qt
+    max_qoff = (n_in + left) // LANE
+    q_in = q_out_pad + max_qoff + 2
+
+    # offsets outside (-n_out, n_in) have no valid elements (their vals
+    # rows are all-zero) but would read out of the padded buffer: clamp
+    offs = jnp.clip(offs.astype(jnp.int32), -(n_out - 1), n_in - 1)
+    offs_full = jnp.zeros((nd * db,), jnp.int32)
+    offs_full = offs_full.at[:ndiag].set(offs + jnp.int32(left))
+
+    xp = jnp.zeros((q_in * LANE,), acc_dtype)
+    xp = xp.at[left:left + n_in].set(x.astype(acc_dtype))
+    xp2d = xp.reshape(q_in, LANE)
+    v3 = vals.reshape(nd * db, q_out_pad, LANE)
+
+    i32 = jnp.int32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nq, nd),
+        in_specs=[
+            pl.BlockSpec((q_in, LANE), lambda q, d, offs: (i32(0), i32(0))),
+            pl.BlockSpec(
+                (db, qt, LANE),
+                lambda q, d, offs: (i32(d), i32(q), i32(0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (qt, LANE), lambda q, d, offs: (i32(q), i32(0))
+        ),
+    )
+    y2d = pl.pallas_call(
+        _make_kernel(qt, db, acc_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q_out_pad, LANE), acc_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * v3.size,
+            bytes_accessed=v3.size * v3.dtype.itemsize
+            + xp2d.size * 4 + q_out_pad * LANE * 4,
+            transcendentals=0,
+        ),
+    )(offs_full, xp2d, v3)
+    return y2d.reshape(-1)[:n_out]
+
+
 def dia_use_pallas(vals, offsets, n_in, n_out, dtype) -> bool:
     """Eligibility: TPU (or forced interpret for tests), f32/bf16 values in
     the kernel layout, x resident in VMEM, at least one diagonal."""

@@ -74,13 +74,18 @@ def _pad_k(arrs_vals, arrs_idx, k_max):
 
 def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
                           alpha=1.0, dtype=np.float32, x0=None, theta=1.0,
-                          y_eq0=None, y_ineq0=None, x30=None):
+                          y_eq0=None, y_ineq0=None, x30=None,
+                          operator="tiles"):
     """Partition the (one-sided) LP by constraint rows over ``mesh``.
 
-    Returns a dict of arrays placed with their shardings: per-device stacked
-    block-ELL tiles (leading axis sharded over the mesh axis), replicated
-    primal data and preconditioners, and the sharded dual state.
-    """
+    Returns a dict of arrays placed with their shardings: per-device local
+    operators (leading axis sharded over the mesh axis), replicated primal
+    data and preconditioners, and the sharded dual state.
+
+    ``operator`` selects the per-shard SpMV layout: ``"tiles"`` (block-ELL,
+    the general case) or ``"dia"`` (per-shard diagonal storage via the
+    dynamic-offset Pallas kernel — for anchor-aligned grid LPs, mirroring
+    the single-chip flagship path; see ``parallel/sharded_dia``)."""
     axis = mesh.axis_names[0]
     ndev = int(np.prod(list(mesh.shape.values())))
     n = c.size
@@ -88,6 +93,12 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
     def build_system(a, b):
         if a is None or a.shape[0] == 0:
             return None
+        if operator == "dia":
+            from .sharded_dia import build_system_dia
+
+            sys_d, rows_loc, m_pad = build_system_dia(a, b, ndev)
+            return dict(sys_d, m=a.shape[0], m_pad=m_pad,
+                        rows_loc=rows_loc)
         a = scipy.sparse.csr_matrix(a)
         m = a.shape[0]
         rows_loc = -(-m // ndev)
@@ -169,8 +180,9 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
         if sys_ is None:
             continue
         data[name] = {
-            k: put_sharded(sys_[k])
-            for k in ("tiles", "cols", "tiles_t", "rows_t", "b", "row_mask")
+            k: put_sharded(v)
+            for k, v in sys_.items()
+            if k not in ("m", "m_pad", "rows_loc")
         }
         data[name]["sigma"] = put_sharded(sig)
         data[name + "_m"] = sys_["m"]
@@ -208,13 +220,21 @@ def _tiled_mv(tiles, cols, x, n_in, n_out):
 
 
 def _local_matvec(sys_l, x, n):
-    """A_local @ x for one shard's row block."""
+    """A_local @ x for one shard's row block (tiles or DIA layout)."""
+    if "dia_vals" in sys_l:
+        from .sharded_dia import local_matvec_dia
+
+        return local_matvec_dia(sys_l, x, n)
     return _tiled_mv(sys_l["tiles"], sys_l["cols"], x, n,
                      sys_l["b"].shape[0])
 
 
 def _local_rmatvec(sys_l, y, n):
-    """A_localT @ y for one shard's row block."""
+    """A_localT @ y for one shard's row block (tiles or DIA layout)."""
+    if "dia_vals" in sys_l:
+        from .sharded_dia import local_rmatvec_dia
+
+        return local_rmatvec_dia(sys_l, y, n)
     return _tiled_mv(sys_l["tiles_t"], sys_l["rows_t"], y,
                      sys_l["b"].shape[0], n)
 
@@ -245,7 +265,7 @@ def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(in_specs_data, in_specs_state),
-        out_specs=out_specs,
+        out_specs=out_specs, check_vma=False,
     )
     def run(d, s):
         c, lb, ub, diag_t = d["c"], d["lb"], d["ub"], d["diag_t"]
@@ -342,7 +362,7 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(in_specs_data, in_specs_state),
-        out_specs=out_specs,
+        out_specs=out_specs, check_vma=False,
     )
     def run(d, s):
         c, lb, ub, diag_t = d["c"], d["lb"], d["ub"], d["diag_t"]
@@ -482,37 +502,89 @@ def chambolle_pock_ppd_sharded(
     omega = float(omega) if omega is not None else 1.0
 
     if permute == "auto":
-        permute = jax.default_backend() == "tpu"
+        permute = "auto" if jax.default_backend() == "tpu" else False
+    if permute is True:
+        permute = "rcm"
     c = np.asarray(c, np.float64)
     lb = np.asarray(lb, np.float64)
     ub = np.asarray(ub, np.float64)
     inv_cols = None
+    operator = "tiles"
     if permute and (a_eq is not None or a_one is not None):
-        m_e = a_eq.shape[0] if a_eq is not None else 0
-        parts = [p for p in (a_eq, a_one) if p is not None]
-        joint = (parts[0] if len(parts) == 1
-                 else scipy.sparse.vstack(parts).tocsr())
-        rows, cols = rcm_permutation(joint)
-        rows_eq = rows[rows < m_e]
-        rows_in = rows[rows >= m_e] - m_e
-        if a_eq is not None:
-            a_eq = a_eq[rows_eq, :][:, cols]
-            beq = np.asarray(beq)[rows_eq]
-        if a_one is not None:
-            a_one = a_one[rows_in, :][:, cols]
-            b_ineq = np.asarray(b_ineq)[rows_in]
-        c, lb, ub = c[cols], lb[cols], ub[cols]
-        if x0 is not None:
-            x0 = np.asarray(x0, np.float64)[cols]
-        if x30 is not None:
-            x30 = np.asarray(x30, np.float64)[cols]
-        if y_eq0 is not None:
-            y_eq0 = np.asarray(y_eq0, np.float64)[rows_eq]
-        if y_ineq0 is not None:
-            y_ineq0 = np.asarray(y_ineq0, np.float64)[rows_in]
-        inv_cols = np.empty(c.size, np.int64)
-        inv_cols[cols] = np.arange(c.size)
-        if callback_func is not None:
+        choice = permute if permute in ("rcm", "align") else None
+        if choice is None:
+            from ..solvers.chambolle_pock import _choose_layout
+
+            choice = _choose_layout(
+                [a_eq, a_one],
+                jnp.float32 if np.dtype(dtype) == np.float32
+                else jnp.float64)
+        if choice == "align":
+            # anchor-aligned embedding (same construction as the
+            # single-chip presolve; padded rows get a never-active rhs,
+            # padded columns are fixed at zero) + per-shard DIA operators
+            from ..problem import anchor_align, embed_matrix
+
+            (pe, pi), col_pos, (me, mi), n_new = anchor_align(
+                [a_eq, a_one])
+            big = 1e30
+            if a_eq is not None:
+                a_eq = embed_matrix(a_eq, pe, col_pos, me, n_new)
+                b2 = np.zeros(me)
+                b2[pe] = np.asarray(beq, np.float64)
+                beq = b2
+                if y_eq0 is not None:
+                    y2 = np.zeros(me)
+                    y2[pe] = np.asarray(y_eq0, np.float64)
+                    y_eq0 = y2
+            if a_one is not None:
+                a_one = embed_matrix(a_one, pi, col_pos, mi, n_new)
+                b2 = np.full(mi, big)
+                b2[pi] = np.asarray(b_ineq, np.float64)
+                b_ineq = b2
+                if y_ineq0 is not None:
+                    y2 = np.zeros(mi)
+                    y2[pi] = np.asarray(y_ineq0, np.float64)
+                    y_ineq0 = y2
+
+            def scatter_cols(v, fill=0.0):
+                out = np.full(n_new, fill)
+                out[col_pos] = np.asarray(v, np.float64)
+                return out
+
+            c, lb, ub = scatter_cols(c), scatter_cols(lb), scatter_cols(ub)
+            if x0 is not None:
+                x0 = scatter_cols(x0)
+            if x30 is not None:
+                x30 = scatter_cols(x30)
+            inv_cols = col_pos
+            operator = "dia"
+        elif choice == "rcm":
+            m_e = a_eq.shape[0] if a_eq is not None else 0
+            parts = [p for p in (a_eq, a_one) if p is not None]
+            joint = (parts[0] if len(parts) == 1
+                     else scipy.sparse.vstack(parts).tocsr())
+            rows, cols = rcm_permutation(joint)
+            rows_eq = rows[rows < m_e]
+            rows_in = rows[rows >= m_e] - m_e
+            if a_eq is not None:
+                a_eq = a_eq[rows_eq, :][:, cols]
+                beq = np.asarray(beq)[rows_eq]
+            if a_one is not None:
+                a_one = a_one[rows_in, :][:, cols]
+                b_ineq = np.asarray(b_ineq)[rows_in]
+            c, lb, ub = c[cols], lb[cols], ub[cols]
+            if x0 is not None:
+                x0 = np.asarray(x0, np.float64)[cols]
+            if x30 is not None:
+                x30 = np.asarray(x30, np.float64)[cols]
+            if y_eq0 is not None:
+                y_eq0 = np.asarray(y_eq0, np.float64)[rows_eq]
+            if y_ineq0 is not None:
+                y_ineq0 = np.asarray(y_ineq0, np.float64)[rows_in]
+            inv_cols = np.empty(c.size, np.int64)
+            inv_cols[cols] = np.arange(c.size)
+        if inv_cols is not None and callback_func is not None:
             user_cb = callback_func
 
             def callback_func(niter, xp, *rest):
@@ -520,7 +592,7 @@ def chambolle_pock_ppd_sharded(
     data, state = build_sharded_cp_data(
         c, a_eq, beq, a_one, b_ineq, lb, ub, mesh,
         alpha=alpha, dtype=dtype, x0=x0, theta=theta,
-        y_eq0=y_eq0, y_ineq0=y_ineq0, x30=x30,
+        y_eq0=y_eq0, y_ineq0=y_ineq0, x30=x30, operator=operator,
     )
     if omega != 1.0:
         data = _rescale_steps(data, omega)

@@ -217,3 +217,35 @@ def test_sharded_cp_full_state_resume_and_stop_tol(problem):
     lp.solve(method="chambolle_pock_ppd", mesh=mesh, nb_iter=8000,
              nb_iter_plot=400, stop_tol=5e-2)
     assert lp.itrn_curve[-1] < 8000
+
+
+def test_sharded_cp_dia_align_matches_unpermuted():
+    """The anchor-aligned + per-shard-DIA multi-chip layout (the grid-LP
+    flagship path) produces the same solution as the unpermuted tile
+    layout on the 8-device mesh."""
+    from pysparselp_tpu.examples.potts import build_linear_program
+
+    lp, gt, idx, _ = build_linear_program(16, 0.5, 500)
+    a = lp.a_inequalities.tocsr()
+    args = (lp.costsvector, None, None, a, lp.b_lower, lp.b_upper,
+            lp.lower_bounds, lp.upper_bounds, default_mesh(8))
+    common = dict(nb_max_iter=600, nb_iter_plot=300, dtype=np.float64)
+    x_tiles = chambolle_pock_ppd_sharded(*args, permute=False, **common)
+    x_dia = chambolle_pock_ppd_sharded(*args, permute="align", **common)
+    np.testing.assert_allclose(x_dia, x_tiles, atol=1e-9)
+
+
+def test_sharded_cp_dia_align_device_count_invariance():
+    from pysparselp_tpu.examples.potts import build_linear_program
+
+    lp, gt, idx, _ = build_linear_program(16, 0.5, 500)
+    a = lp.a_inequalities.tocsr()
+
+    def run(ndev):
+        return chambolle_pock_ppd_sharded(
+            lp.costsvector, None, None, a, lp.b_lower, lp.b_upper,
+            lp.lower_bounds, lp.upper_bounds, default_mesh(ndev),
+            permute="align", nb_max_iter=300, nb_iter_plot=300,
+            dtype=np.float64)
+
+    np.testing.assert_allclose(run(8), run(2), atol=1e-9)
