@@ -258,7 +258,7 @@ def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
 
     out_specs = (
         dict(in_specs_state),
-        {"energy1": P(), "max_violated_equality": P(),
+        {"energy1": P(), "energy2": P(), "max_violated_equality": P(),
          "max_violated_inequality": P()},
     )
 
@@ -305,19 +305,34 @@ def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
             0, nsteps, body, (s["x"], s["x3"], y_eq0, y_in0)
         )
 
-        # metrics: psum/pmax over the mesh
+        # metrics: psum/pmax over the mesh (same quantities as the
+        # single-chip chunk, incl. the box-dual lower bound energy2)
         energy1 = jnp.dot(c, x)
         max_v_eq = jnp.asarray(0.0, c.dtype)
         max_v_ineq = jnp.asarray(0.0, c.dtype)
+        d_part = jnp.zeros_like(c)
+        if has_eq:
+            d_part = d_part + _local_rmatvec(eq_l, y_eq * eq_l["row_mask"],
+                                             n)
+        if has_ineq:
+            d_part = d_part + _local_rmatvec(in_l,
+                                             y_ineq * in_l["row_mask"], n)
+        dd = c + jax.lax.psum(d_part, axis)
+        x4 = jnp.where(dd < 0, ub, lb)
+        energy2 = jnp.dot(c, x4)
         if has_eq:
             r = (_local_matvec(eq_l, x, n) - eq_l["b"])
             r = r * eq_l["row_mask"]
             energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
+            r4 = (_local_matvec(eq_l, x4, n) - eq_l["b"]) * eq_l["row_mask"]
+            energy2 = energy2 + jax.lax.psum(jnp.dot(y_eq, r4), axis)
             max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
         if has_ineq:
             r = (_local_matvec(in_l, x, n) - in_l["b"])
             r = r * in_l["row_mask"]
             energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
+            r4 = (_local_matvec(in_l, x4, n) - in_l["b"]) * in_l["row_mask"]
+            energy2 = energy2 + jax.lax.psum(jnp.dot(y_ineq, r4), axis)
             max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
 
         out_state = {"x": x, "x3": x3}
@@ -327,6 +342,7 @@ def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
             out_state["y_ineq"] = y_ineq[None, :]
         metrics = {
             "energy1": energy1,
+            "energy2": energy2,
             "max_violated_equality": max_v_eq,
             "max_violated_inequality": max_v_ineq,
         }
@@ -355,7 +371,7 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
         in_specs_state["y_ineq"] = P(axis)
     out_specs = (
         dict(in_specs_state), dict(in_specs_state), P(), P(),
-        {"energy1": P(), "max_violated_equality": P(),
+        {"energy1": P(), "energy2": P(), "max_violated_equality": P(),
          "max_violated_inequality": P()},
     )
 
@@ -438,22 +454,38 @@ def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
         s_cur = kkt(x, y_eq, y_ineq)
         s_avg = kkt(ax, ae, ai)
 
-        # standard chunk metrics for the callback contract
+        # standard chunk metrics for the callback contract (incl. the
+        # box-dual lower bound energy2, matching the single-chip chunk)
         energy1 = jnp.dot(c, x)
         max_v_eq = jnp.asarray(0.0, c.dtype)
         max_v_ineq = jnp.asarray(0.0, c.dtype)
+        d_part = jnp.zeros_like(c)
+        if has_eq:
+            d_part = d_part + _local_rmatvec(eq_l, y_eq * eq_l["row_mask"],
+                                             n)
+        if has_ineq:
+            d_part = d_part + _local_rmatvec(in_l,
+                                             y_ineq * in_l["row_mask"], n)
+        dd = c + jax.lax.psum(d_part, axis)
+        x4 = jnp.where(dd < 0, ub, lb)
+        energy2 = jnp.dot(c, x4)
         if has_eq:
             r = (_local_matvec(eq_l, x, n)
                  - eq_l["b"]) * eq_l["row_mask"]
             energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
+            r4 = (_local_matvec(eq_l, x4, n) - eq_l["b"]) * eq_l["row_mask"]
+            energy2 = energy2 + jax.lax.psum(jnp.dot(y_eq, r4), axis)
             max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
         if has_ineq:
             r = (_local_matvec(in_l, x, n)
                  - in_l["b"]) * in_l["row_mask"]
             energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
+            r4 = (_local_matvec(in_l, x4, n) - in_l["b"]) * in_l["row_mask"]
+            energy2 = energy2 + jax.lax.psum(jnp.dot(y_ineq, r4), axis)
             max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
         metrics = {
             "energy1": energy1,
+            "energy2": energy2,
             "max_violated_equality": max_v_eq,
             "max_violated_inequality": max_v_ineq,
         }
@@ -477,7 +509,7 @@ def chambolle_pock_ppd_sharded(
     nb_max_iter=1000, nb_iter_plot=100, callback_func=None, max_time=None,
     dtype=np.float32, alpha=1.0, restart=None, omega=None, permute="auto",
     x0=None, theta=1.0, stop_tol=None, start_time=None, y_eq0=None,
-    y_ineq0=None, x30=None,
+    y_ineq0=None, x30=None, restart_period=None, save_problem=False,
 ):
     """Mesh-parallel CP-PPD with the standard solver contract; returns x.
 
@@ -489,11 +521,11 @@ def chambolle_pock_ppd_sharded(
     parity with the single-chip solver (full-state resume included)."""
     import time
 
-    from ..problem import rcm_permutation
-    from ..solvers.base import (ToleranceStop, chunk_schedule,
-                                emit_callback)
+
+    from ..solvers.base import chunk_schedule, emit_callback
     from ..solvers.chambolle_pock import _fold_one_sided, estimate_omega
 
+    del save_problem  # repro dumps are handled by utils.save_arguments
     if restart is not None and omega is None:
         omega = "auto"
     a_one, b_ineq = _fold_one_sided(a_ineq, b_lower, b_upper)
@@ -512,78 +544,37 @@ def chambolle_pock_ppd_sharded(
     operator = "tiles"
     if permute and (a_eq is not None or a_one is not None):
         choice = permute if permute in ("rcm", "align") else None
+        align_plan = None
         if choice is None:
             from ..solvers.chambolle_pock import _choose_layout
 
-            choice = _choose_layout(
+            choice, align_plan = _choose_layout(
                 [a_eq, a_one],
                 jnp.float32 if np.dtype(dtype) == np.float32
                 else jnp.float64)
+        # shared presolve helpers (problem.py): the embedding/permutation
+        # conventions stay identical to the single-chip driver
+        from ..problem import (anchor_align, apply_align_embedding,
+                               apply_rcm_permutation)
+
+        sys = dict(a_eq=a_eq, beq=beq, a_ineq=a_one, b_ineq=b_ineq,
+                   c=c, lb=lb, ub=ub, x0=x0, x30=x30,
+                   y_eq0=y_eq0, y_ineq0=y_ineq0)
+        col_pos = None
         if choice == "align":
-            # anchor-aligned embedding (same construction as the
-            # single-chip presolve; padded rows get a never-active rhs,
-            # padded columns are fixed at zero) + per-shard DIA operators
-            from ..problem import anchor_align, embed_matrix
-
-            (pe, pi), col_pos, (me, mi), n_new = anchor_align(
-                [a_eq, a_one])
-            big = 1e30
-            if a_eq is not None:
-                a_eq = embed_matrix(a_eq, pe, col_pos, me, n_new)
-                b2 = np.zeros(me)
-                b2[pe] = np.asarray(beq, np.float64)
-                beq = b2
-                if y_eq0 is not None:
-                    y2 = np.zeros(me)
-                    y2[pe] = np.asarray(y_eq0, np.float64)
-                    y_eq0 = y2
-            if a_one is not None:
-                a_one = embed_matrix(a_one, pi, col_pos, mi, n_new)
-                b2 = np.full(mi, big)
-                b2[pi] = np.asarray(b_ineq, np.float64)
-                b_ineq = b2
-                if y_ineq0 is not None:
-                    y2 = np.zeros(mi)
-                    y2[pi] = np.asarray(y_ineq0, np.float64)
-                    y_ineq0 = y2
-
-            def scatter_cols(v, fill=0.0):
-                out = np.full(n_new, fill)
-                out[col_pos] = np.asarray(v, np.float64)
-                return out
-
-            c, lb, ub = scatter_cols(c), scatter_cols(lb), scatter_cols(ub)
-            if x0 is not None:
-                x0 = scatter_cols(x0)
-            if x30 is not None:
-                x30 = scatter_cols(x30)
-            inv_cols = col_pos
+            plan = (align_plan if align_plan is not None
+                    else anchor_align([a_eq, a_one]))
+            sys, _pe, _pi, col_pos = apply_align_embedding(plan, sys)
             operator = "dia"
         elif choice == "rcm":
-            m_e = a_eq.shape[0] if a_eq is not None else 0
-            parts = [p for p in (a_eq, a_one) if p is not None]
-            joint = (parts[0] if len(parts) == 1
-                     else scipy.sparse.vstack(parts).tocsr())
-            rows, cols = rcm_permutation(joint)
-            rows_eq = rows[rows < m_e]
-            rows_in = rows[rows >= m_e] - m_e
-            if a_eq is not None:
-                a_eq = a_eq[rows_eq, :][:, cols]
-                beq = np.asarray(beq)[rows_eq]
-            if a_one is not None:
-                a_one = a_one[rows_in, :][:, cols]
-                b_ineq = np.asarray(b_ineq)[rows_in]
-            c, lb, ub = c[cols], lb[cols], ub[cols]
-            if x0 is not None:
-                x0 = np.asarray(x0, np.float64)[cols]
-            if x30 is not None:
-                x30 = np.asarray(x30, np.float64)[cols]
-            if y_eq0 is not None:
-                y_eq0 = np.asarray(y_eq0, np.float64)[rows_eq]
-            if y_ineq0 is not None:
-                y_ineq0 = np.asarray(y_ineq0, np.float64)[rows_in]
-            inv_cols = np.empty(c.size, np.int64)
-            inv_cols[cols] = np.arange(c.size)
+            sys, _pe, _pi, col_pos = apply_rcm_permutation(sys)
+        if col_pos is not None:
+            a_eq, beq = sys["a_eq"], sys["beq"]
+            a_one, b_ineq = sys["a_ineq"], sys["b_ineq"]
+            c, lb, ub = sys["c"], sys["lb"], sys["ub"]
+            x0, x30 = sys["x0"], sys["x30"]
+            y_eq0, y_ineq0 = sys["y_eq0"], sys["y_ineq0"]
+            inv_cols = col_pos
         if inv_cols is not None and callback_func is not None:
             user_cb = callback_func
 
@@ -603,7 +594,9 @@ def chambolle_pock_ppd_sharded(
     z_restart = None
 
     start = time.perf_counter() if start_time is None else start_time
-    tstop = ToleranceStop(stop_tol)
+    # restart checks run on host every ``period`` iterations (the
+    # single-chip solver's restart_period semantics: at most nb_iter_plot)
+    period = int(min(restart_period or nb_iter_plot, nb_iter_plot))
     niter = 0
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
         if restart == "average":
@@ -614,31 +607,35 @@ def chambolle_pock_ppd_sharded(
                     data, state, mesh, 0)
                 mu_restart = float(s0c)
                 z_restart = _host_point(state)
-            state, avg, s_cur, s_avg, metrics = sharded_cp_chunk_restart(
-                data, state, mesh, nsteps)
-            s_cur, s_avg = float(s_cur), float(s_avg)
-            mu_c = min(s_cur, s_avg)
-            do_restart = mu_c <= BETA_SUF * mu_restart or (
-                mu_c <= BETA_NEC * mu_restart and mu_c > mu_last
-            )
-            mu_last = mu_c
-            if do_restart:
-                z = avg if s_avg < s_cur else state
-                zh = _host_point(z)
-                dx = float(np.linalg.norm(zh[0] - z_restart[0]))
-                dy = float(np.linalg.norm(zh[1] - z_restart[1]))
-                if dx > 1e-30 and dy > 1e-30:
-                    # ω is the primal weight (diag_t scales with ω):
-                    # movement update uses Δx/Δy
-                    new = float(np.exp(0.5 * np.log(dx / dy)
-                                       + 0.5 * np.log(omega)))
-                    data = _rescale_steps(data, new / omega)
-                    omega = new
-                state = {k: (v if k != "x3" else z["x"]) for k, v in
-                         z.items()}
-                mu_restart = mu_c
-                mu_last = np.inf
-                z_restart = zh
+            done = 0
+            while done < nsteps:
+                sub = min(period, nsteps - done)
+                state, avg, s_cur, s_avg, metrics = sharded_cp_chunk_restart(
+                    data, state, mesh, sub)
+                done += sub
+                s_cur, s_avg = float(s_cur), float(s_avg)
+                mu_c = min(s_cur, s_avg)
+                do_restart = mu_c <= BETA_SUF * mu_restart or (
+                    mu_c <= BETA_NEC * mu_restart and mu_c > mu_last
+                )
+                mu_last = mu_c
+                if do_restart:
+                    z = avg if s_avg < s_cur else state
+                    zh = _host_point(z)
+                    dx = float(np.linalg.norm(zh[0] - z_restart[0]))
+                    dy = float(np.linalg.norm(zh[1] - z_restart[1]))
+                    if dx > 1e-30 and dy > 1e-30:
+                        # ω is the primal weight (diag_t scales with ω):
+                        # movement update uses Δx/Δy
+                        new = float(np.exp(0.5 * np.log(dx / dy)
+                                           + 0.5 * np.log(omega)))
+                        data = _rescale_steps(data, new / omega)
+                        omega = new
+                    state = {k: (v if k != "x3" else z["x"]) for k, v in
+                             z.items()}
+                    mu_restart = mu_c
+                    mu_last = np.inf
+                    z_restart = zh
         else:
             state, metrics = sharded_cp_chunk(data, state, mesh, nsteps)
         niter += nsteps
@@ -646,17 +643,21 @@ def chambolle_pock_ppd_sharded(
         elapsed = time.perf_counter() - start
         emit_callback(
             callback_func, niter, x_host,
-            metrics["energy1"], metrics["energy1"], elapsed,
+            metrics["energy1"], metrics["energy2"], elapsed,
             metrics["max_violated_equality"],
             metrics["max_violated_inequality"],
         )
         if max_time is not None and elapsed > max_time:
             break
-        if tstop.check(
-            metrics["energy1"], metrics["max_violated_equality"],
-            metrics["max_violated_inequality"],
-        ):
-            break
+        if stop_tol is not None:
+            # same criterion as the single-chip solver: feasibility plus
+            # the relative primal-dual gap of the chunk metrics
+            e1, e2 = float(metrics["energy1"]), float(metrics["energy2"])
+            gap = abs(e1 - e2) / (1.0 + abs(e1) + abs(e2))
+            feas = max(float(metrics["max_violated_equality"]),
+                       float(metrics["max_violated_inequality"]))
+            if feas < stop_tol and gap < stop_tol:
+                break
     x_final = np.asarray(state["x"], np.float64)
     if inv_cols is not None:
         x_final = x_final[inv_cols]

@@ -557,10 +557,14 @@ def anchor_align(mats):
     return out_rows, col_pos, out_m, n_new
 
 
-def aligned_offset_count(mats) -> tuple:
-    """Cheap preview of :func:`anchor_align`: per-system diagonal counts
-    and the embedded sizes, without materializing the embedded matrices."""
-    row_pos_list, col_pos, m_new_list, n_new = anchor_align(mats)
+def aligned_offset_count(mats, return_plan=False) -> tuple:
+    """Preview of :func:`anchor_align`: per-system diagonal counts and the
+    embedded sizes, without materializing the embedded matrices.  With
+    ``return_plan=True`` also returns the computed position plan so the
+    caller can apply the embedding without re-running the (O(nnz log nnz))
+    alignment."""
+    plan = anchor_align(mats)
+    row_pos_list, col_pos, m_new_list, n_new = plan
     counts = []
     for m, pos in zip(mats, row_pos_list):
         if m is None:
@@ -569,6 +573,8 @@ def aligned_offset_count(mats) -> tuple:
         coo = scipy.sparse.coo_matrix(m)
         off = col_pos[coo.col] - pos[coo.row]
         counts.append(int(np.unique(off).size))
+    if return_plan:
+        return counts, m_new_list, n_new, plan
     return counts, m_new_list, n_new
 
 
@@ -579,6 +585,94 @@ def embed_matrix(a, row_pos, col_pos, m_new, n_new):
         (coo.data, (row_pos[coo.row], col_pos[coo.col])),
         shape=(m_new, n_new),
     ).tocsr()
+
+
+ALIGN_PAD_RHS = 1e30  # padded inequality rows: 0 <= big is never active
+
+
+def apply_align_embedding(plan, sys):
+    """Apply an :func:`anchor_align` position plan to a problem dict.
+
+    ``sys`` holds ``a_eq, beq, a_ineq, b_ineq, c, lb, ub`` and optionally
+    ``x0, x30, y_eq0, y_ineq0`` (inequalities already one-sided).  Returns
+    ``(new_sys, pos_eq, pos_in, col_pos)`` with the embedded matrices,
+    scattered vectors (padded rows get the never-active rhs sentinel for
+    inequalities / 0 for equalities; padded columns are fixed at zero:
+    ``c = 0, l = u = 0``), and the original→new position maps.
+
+    Shared by the single-chip CP presolve and the mesh-parallel driver so
+    the sentinel/scatter conventions cannot diverge.
+    """
+    (pe, pi), col_pos, (me, mi), n_new = plan
+    out = dict(sys)
+    pos_eq = pos_in = None
+    if sys.get("a_eq") is not None:
+        out["a_eq"] = embed_matrix(sys["a_eq"], pe, col_pos, me, n_new)
+        b2 = np.zeros(me)
+        b2[pe] = np.asarray(sys["beq"], np.float64)
+        out["beq"] = b2
+        pos_eq = pe
+        if sys.get("y_eq0") is not None:
+            y2 = np.zeros(me)
+            y2[pe] = np.asarray(sys["y_eq0"], np.float64)
+            out["y_eq0"] = y2
+    if sys.get("a_ineq") is not None:
+        out["a_ineq"] = embed_matrix(sys["a_ineq"], pi, col_pos, mi, n_new)
+        b2 = np.full(mi, ALIGN_PAD_RHS)
+        b2[pi] = np.asarray(sys["b_ineq"], np.float64)
+        out["b_ineq"] = b2
+        pos_in = pi
+        if sys.get("y_ineq0") is not None:
+            y2 = np.zeros(mi)
+            y2[pi] = np.asarray(sys["y_ineq0"], np.float64)
+            out["y_ineq0"] = y2
+
+    def scatter_cols(v):
+        o = np.zeros(n_new)
+        o[col_pos] = np.asarray(v, np.float64)
+        return o
+
+    for k in ("c", "lb", "ub", "x0", "x30"):
+        if sys.get(k) is not None:
+            out[k] = scatter_cols(sys[k])
+    return out, pos_eq, pos_in, col_pos
+
+
+def apply_rcm_permutation(sys):
+    """RCM-permute a problem dict (same keys as
+    :func:`apply_align_embedding`).  Returns
+    ``(new_sys, pos_eq, pos_in, col_pos)`` with position maps in the same
+    original→new convention."""
+    a_eq, a_one = sys.get("a_eq"), sys.get("a_ineq")
+    m_e = a_eq.shape[0] if a_eq is not None else 0
+    parts = [p for p in (a_eq, a_one) if p is not None]
+    joint = (parts[0] if len(parts) == 1
+             else scipy.sparse.vstack(parts).tocsr())
+    rows, cols = rcm_permutation(joint)
+    out = dict(sys)
+    pos_eq = pos_in = None
+    if a_eq is not None:
+        rows_eq = rows[rows < m_e]
+        pos_eq = np.empty(m_e, np.int64)
+        pos_eq[rows_eq] = np.arange(m_e)
+        out["a_eq"] = a_eq[rows_eq, :][:, cols]
+        out["beq"] = np.asarray(sys["beq"])[rows_eq]
+        if sys.get("y_eq0") is not None:
+            out["y_eq0"] = np.asarray(sys["y_eq0"], np.float64)[rows_eq]
+    if a_one is not None:
+        rows_in = rows[rows >= m_e] - m_e
+        pos_in = np.empty(rows_in.size, np.int64)
+        pos_in[rows_in] = np.arange(rows_in.size)
+        out["a_ineq"] = a_one[rows_in, :][:, cols]
+        out["b_ineq"] = np.asarray(sys["b_ineq"])[rows_in]
+        if sys.get("y_ineq0") is not None:
+            out["y_ineq0"] = np.asarray(sys["y_ineq0"], np.float64)[rows_in]
+    for k in ("c", "lb", "ub", "x0", "x30"):
+        if sys.get(k) is not None:
+            out[k] = np.asarray(sys[k], np.float64)[cols]
+    col_pos = np.empty(cols.size, np.int64)
+    col_pos[cols] = np.arange(cols.size)
+    return out, pos_eq, pos_in, col_pos
 
 
 def rcm_permutation(a):

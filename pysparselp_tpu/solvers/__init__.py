@@ -122,6 +122,11 @@ def dispatch(
             # multi-chip path: row-shard the constraint systems over the mesh
             from ..parallel.sharded_cp import chambolle_pock_ppd_sharded
 
+            if force_integer:
+                raise ValueError(
+                    "force_integer is not supported with mesh=: the "
+                    "best-integer tracking runs on the single-chip path"
+                )
             x = chambolle_pock_ppd_sharded(
                 lp_reduced.costsvector, a_eq_r,
                 lp_reduced.b_equalities if a_eq_r is not None else None,
@@ -131,6 +136,7 @@ def dispatch(
                 lp_reduced.lower_bounds, lp_reduced.upper_bounds, mesh,
                 nb_max_iter=nb_iter, nb_iter_plot=nb_iter_plot,
                 callback_func=back, max_time=max_time, x0=x0_r,
+                start_time=start_time,
                 **({"dtype": dtype} if dtype is not None else {}),
                 **solver_kwargs,
             )

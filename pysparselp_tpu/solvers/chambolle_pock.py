@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import (DIA_AUTO_MAX_OFFSETS, LPProblem, aligned_offset_count,
-                       anchor_align, default_dtype, dia_cost_bytes,
-                       dispatch_iteration_cap, ell_from_scipy, embed_matrix,
+                       anchor_align, apply_align_embedding,
+                       apply_rcm_permutation, default_dtype, dia_cost_bytes,
+                       dispatch_iteration_cap, ell_from_scipy,
                        estimate_stream_bytes, rcm_permutation)
 from .base import HostLoop, chunk_schedule, emit_callback, to_np
 
@@ -310,7 +311,9 @@ def _choose_layout(mats, dtype):
     """Cost-compare the three candidate lowering layouts of the constraint
     systems ("align" / "rcm" / None) with the shared bytes-streamed model.
 
-    Estimation is O(nnz log nnz) host work, paid once at lowering.
+    Returns ``(choice, align_plan)`` — the anchor-alignment position plan
+    is computed once here and reused by the caller when "align" wins
+    (the alignment is O(nnz log nnz) host work; don't pay it twice).
     """
     import ml_dtypes
 
@@ -332,8 +335,10 @@ def _choose_layout(mats, dtype):
         perm_parts.append(mats[1][rows[rows >= m_e] - m_e, :][:, cols])
     candidates["rcm"] = total(perm_parts, dtype)
 
+    plan = None
     try:
-        counts, m_new, n_new = aligned_offset_count(mats)
+        counts, m_new, n_new, plan = aligned_offset_count(
+            mats, return_plan=True)
     except ValueError:
         counts = None
     if counts is not None and all(
@@ -350,7 +355,8 @@ def _choose_layout(mats, dtype):
             itemsize = 2 if (dtype == jnp.float32 and exact) else 4
             bytes_align += dia_cost_bytes(c_, mn, n_new, itemsize, dtype)
         candidates["align"] = bytes_align
-    return min(candidates, key=candidates.get)
+    best = min(candidates, key=candidates.get)
+    return best, (plan if best == "align" else None)
 
 
 def chambolle_pock_ppd(
@@ -447,67 +453,25 @@ def chambolle_pock_ppd(
     if permute and (a_eq is not None or a_one is not None):
         mats = [a_eq, a_one]
         choice = permute if permute in ("rcm", "align") else None
+        align_plan = None
         if choice is None:
-            choice = _choose_layout(mats, dtype)
+            choice, align_plan = _choose_layout(mats, dtype)
+        sys = dict(a_eq=a_eq, beq=beq, a_ineq=a_one, b_ineq=b_ineq,
+                   c=c, lb=lb, ub=ub, x0=x0, x30=x30,
+                   y_eq0=y_eq0, y_ineq0=y_ineq0)
+        col_pos = None
         if choice == "align":
-            (pe, pi), col_pos, (me, mi), n_new = anchor_align(mats)
-            big = 1e30  # padded rows: 0 <= big is never active, y stays 0
-            if a_eq is not None:
-                a_eq = embed_matrix(a_eq, pe, col_pos, me, n_new)
-                b2 = np.zeros(me)
-                b2[pe] = np.asarray(beq, np.float64)
-                beq, pos_eq = b2, pe
-            if a_one is not None:
-                a_one = embed_matrix(a_one, pi, col_pos, mi, n_new)
-                b2 = np.full(mi, big)
-                b2[pi] = np.asarray(b_ineq, np.float64)
-                b_ineq, pos_in = b2, pi
+            plan = (align_plan if align_plan is not None
+                    else anchor_align(mats))
+            sys, pos_eq, pos_in, col_pos = apply_align_embedding(plan, sys)
         elif choice == "rcm":
-            m_e = a_eq.shape[0] if a_eq is not None else 0
-            parts = [p for p in (a_eq, a_one) if p is not None]
-            joint = (parts[0] if len(parts) == 1
-                     else scipy.sparse.vstack(parts).tocsr())
-            rows, cols = rcm_permutation(joint)
-            col_pos = np.empty(cols.size, np.int64)
-            col_pos[cols] = np.arange(cols.size)
-            n_new = cols.size
-            if a_eq is not None:
-                rows_eq = rows[rows < m_e]
-                pos_eq = np.empty(m_e, np.int64)
-                pos_eq[rows_eq] = np.arange(m_e)
-                a_eq = a_eq[rows_eq, :][:, cols]
-                beq = np.asarray(beq)[rows_eq]
-            if a_one is not None:
-                rows_in = rows[rows >= m_e] - m_e
-                pos_in = np.empty(rows_in.size, np.int64)
-                pos_in[rows_in] = np.arange(rows_in.size)
-                a_one = a_one[rows_in, :][:, cols]
-                b_ineq = np.asarray(b_ineq)[rows_in]
-        else:
-            col_pos = None
+            sys, pos_eq, pos_in, col_pos = apply_rcm_permutation(sys)
         if col_pos is not None:
-            # columns: scatter costs/bounds; padded slots are fixed at 0
-            # (c=0, lb=ub=0 — invisible to steps, energies and duals)
-            def scatter_cols(v, fill=0.0):
-                out = np.full(n_new, fill)
-                out[col_pos] = np.asarray(v, np.float64)
-                return out
-
-            c = scatter_cols(c)
-            lb = scatter_cols(lb)
-            ub = scatter_cols(ub)
-            if x0 is not None:
-                x0 = scatter_cols(x0)
-            if x30 is not None:
-                x30 = scatter_cols(x30)
-            if y_eq0 is not None and pos_eq is not None:
-                y2 = np.zeros(a_eq.shape[0])
-                y2[pos_eq] = np.asarray(y_eq0, np.float64)
-                y_eq0 = y2
-            if y_ineq0 is not None and pos_in is not None:
-                y2 = np.zeros(a_one.shape[0])
-                y2[pos_in] = np.asarray(y_ineq0, np.float64)
-                y_ineq0 = y2
+            a_eq, beq = sys["a_eq"], sys["beq"]
+            a_one, b_ineq = sys["a_ineq"], sys["b_ineq"]
+            c, lb, ub = sys["c"], sys["lb"], sys["ub"]
+            x0, x30 = sys["x0"], sys["x30"]
+            y_eq0, y_ineq0 = sys["y_eq0"], sys["y_ineq0"]
             # x_orig[j] = x_solved[col_pos[j]]
             inv_cols = col_pos
             n = c.size
@@ -618,6 +582,10 @@ def chambolle_pock_ppd(
     # bound the iteration count fused into one dispatch (problem-size aware;
     # multi-second device programs can trip the remote-worker watchdog)
     cap = dispatch_iteration_cap(prob.a_eq, prob.a_ineq)
+    if restart == "average" and period > cap:
+        # a restart check needs >= period iterations in one dispatch, so
+        # the duration cap must bound the period itself, not just chunks
+        period = cap
     # whole-iteration fused kernels (ops/cp_fused): the entire problem
     # stays VMEM-resident across a chunk — zero HBM traffic per iteration.
     # "dia": ineq-only DIA problems (the anchor-aligned grid-LP class);

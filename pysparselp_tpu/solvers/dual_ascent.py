@@ -244,23 +244,29 @@ def _color_rows(csr):
     a sweep shrinks from m sequential steps to a handful of batched ones.
     """
     csr = scipy.sparse.csr_matrix(csr)
-    m = csr.shape[0]
-    col_used: dict[int, int] = {}
-    color_of = np.zeros(m, np.int64)
-    for r in range(m):
-        cols = csr.indices[csr.indptr[r]: csr.indptr[r + 1]]
-        forbid = 0
-        for c in cols:
-            forbid |= col_used.get(int(c), 0)
-        color = 0
-        while (forbid >> color) & 1:
-            color += 1
-        color_of[r] = color
-        bit = 1 << color
-        for c in cols:
-            col_used[int(c)] = col_used.get(int(c), 0) | bit
-    return [np.nonzero(color_of == c)[0]
-            for c in range(int(color_of.max()) + 1)]
+    m, n = csr.shape
+    indptr, indices = csr.indptr, csr.indices
+    cnt = np.diff(indptr)
+    row_of = np.repeat(np.arange(m), cnt)
+    # vectorized maximal-independent-set rounds (O(rounds * nnz) numpy; a
+    # per-row python loop here cost minutes at the million-row scales this
+    # mode exists for): each round, every column is claimed by the
+    # smallest remaining row touching it, and a row is selected iff it
+    # wins ALL its columns — selected rows are pairwise disjoint, and the
+    # smallest remaining row always wins, so the loop terminates.
+    remaining = np.ones(m, bool)
+    groups = []
+    while remaining.any():
+        keep = remaining[row_of]
+        claim = np.full(n, m, np.int64)
+        np.minimum.at(claim, indices[keep], row_of[keep])
+        wins = np.ones(m, bool)
+        np.logical_and.at(wins, row_of[keep],
+                          claim[indices[keep]] == row_of[keep])
+        sel = remaining & wins
+        groups.append(np.nonzero(sel)[0])
+        remaining &= ~sel
+    return groups
 
 
 def _dca_color_sweep(a_vals, a_cols, b, active, y, c_bar, lb, ub, key,

@@ -81,8 +81,11 @@ def test_align_with_equalities_and_warmstart():
 def test_choose_layout_runs(potts20):
     a, _ = _fold_one_sided(potts20.a_inequalities.tocsr(),
                            potts20.b_lower, potts20.b_upper)
-    choice = _choose_layout([None, a], jnp.float32)
+    choice, plan = _choose_layout([None, a], jnp.float32)
     assert choice in (None, "rcm", "align")
+    # the alignment plan is returned alongside so "align" is applied
+    # without re-running the O(nnz log nnz) embedding
+    assert (plan is not None) == (choice == "align")
 
 
 def test_dispatch_cap_splitting_preserves_trajectory(potts20, monkeypatch):

@@ -65,3 +65,20 @@ def test_admm2_solves_to_optimum_on_mesh(problem):
                      mesh=default_mesh(8), adaptive_rho=True)
     assert abs(lp.cost(x8) - lp.cost(ref)) < 1e-2
     assert lp.max_constraint_violation(x8) < 5e-3
+
+
+def test_mesh_dispatch_accepts_full_cp_option_surface(problem):
+    """Every ChambollePockConfig option must reach the mesh path without
+    TypeError (round-2 review finding: restart_period/save_problem crashed
+    it), and force_integer raises explicitly instead of silently ignoring."""
+    import pytest as _pytest
+
+    lp = problem
+    x8, _ = lp.solve(method="chambolle_pock_ppd", mesh=default_mesh(8),
+                     nb_iter=400, nb_iter_plot=200, restart="average",
+                     restart_period=100, save_problem=False, theta=1.0,
+                     stop_tol=1e-12)
+    assert np.all(np.isfinite(x8))
+    with _pytest.raises(ValueError, match="force_integer"):
+        lp.solve(method="chambolle_pock_ppd", mesh=default_mesh(8),
+                 nb_iter=10, force_integer=True)
