@@ -214,6 +214,17 @@ def mpc_sol(
     """
     del error_check
     dtype = dtype or default_dtype()
+    if jnp.dtype(dtype).itemsize < 8:
+        import warnings
+
+        warnings.warn(
+            "mehrotra (interior point) needs float64 arithmetic to drive "
+            "the barrier parameter below ~1e-8; running in "
+            f"{jnp.dtype(dtype).name} (the TPU default) will stall at a "
+            "coarse tolerance. Enable jax_enable_x64 and pass "
+            "dtype=np.float64, or use a first-order method in float32.",
+            stacklevel=2,
+        )
     a = scipy.sparse.csr_matrix(a)
     b = np.squeeze(np.asarray(b, np.float64))
     c = np.squeeze(np.asarray(c, np.float64))

@@ -58,3 +58,21 @@ def test_unknown_method_raises():
     lp.add_variables_array(2, 0, 1, costs=1.0)
     with pytest.raises(ValueError):
         lp.solve(method="nope")
+
+
+def test_mehrotra_warns_below_float64():
+    """Interior point needs f64; sub-f64 dtypes warn instead of silently
+    stalling at a coarse tolerance (observed on the TPU f32 default)."""
+    import warnings
+
+    import scipy.sparse
+
+    from pysparselp_tpu.solvers.mehrotra import mpc_sol
+
+    a = scipy.sparse.eye(4, format="csr")
+    b = np.ones(4)
+    c = np.ones(4)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        mpc_sol(a, b, c, max_iter=2, dtype=np.float32)
+    assert any("float64" in str(w.message) for w in rec)
