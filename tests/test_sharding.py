@@ -249,3 +249,25 @@ def test_sharded_cp_dia_align_device_count_invariance():
             dtype=np.float64)
 
     np.testing.assert_allclose(run(8), run(2), atol=1e-9)
+
+
+def test_sharded_cp_dia_align_with_equalities():
+    """Align + per-shard DIA with BOTH constraint systems present."""
+    rng = np.random.RandomState(5)
+    n = 60
+    import scipy.sparse
+
+    a_eq = scipy.sparse.random(10, n, density=0.15, random_state=rng,
+                               format="csr")
+    a_in = scipy.sparse.random(40, n, density=0.12, random_state=rng,
+                               format="csr")
+    x_feas = rng.rand(n)
+    beq = a_eq @ x_feas
+    bu = a_in @ x_feas + 0.5
+    c = rng.randn(n)
+    args = (c, a_eq, beq, a_in, None, bu, np.zeros(n), np.ones(n),
+            default_mesh(8))
+    common = dict(nb_max_iter=400, nb_iter_plot=200, dtype=np.float64)
+    x_tiles = chambolle_pock_ppd_sharded(*args, permute=False, **common)
+    x_dia = chambolle_pock_ppd_sharded(*args, permute="align", **common)
+    np.testing.assert_allclose(x_dia, x_tiles, atol=1e-9)
