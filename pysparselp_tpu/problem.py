@@ -762,8 +762,16 @@ def operator_cost_bytes(op) -> int:
     if isinstance(op, DenseMatrix):
         return 2 * op.nrows * op.ncols * 4
     if isinstance(op, DiaMatrix):
-        kappa = max(DIA_PALLAS_COST_PER_ENTRY, op.vals.dtype.itemsize)
-        return op.nnz_padded * kappa
+        from .ops.dia_pallas import dia_use_pallas
+
+        if dia_use_pallas(None, op.offsets, op.ncols, op.nrows,
+                          op.vals.dtype):
+            kappa = max(DIA_PALLAS_COST_PER_ENTRY, op.vals.dtype.itemsize)
+            return op.nnz_padded * kappa
+        # XLA shift-loop regime (e.g. x beyond the VMEM budget): the
+        # per-entry re-read traffic applies — undercounting here lets a
+        # single dispatch run for minutes and trip the worker watchdog
+        return op.nnz_padded * (op.vals.dtype.itemsize + DIA_REREAD_BYTES)
     if isinstance(op, BsrMatrix):
         return op.nnz_padded * op.tiles.dtype.itemsize
     return op.nnz_padded * ELL_GATHER_BYTES_PER_NNZ
