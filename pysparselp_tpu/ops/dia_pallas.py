@@ -46,8 +46,10 @@ DEFAULT_QT = 256
 # max diagonals per grid step; actual block picked by kernel_layout so that
 # small-ndiag problems run the whole d-range in one step
 MAX_DIAG_BLOCK = 64
-# whole-x VMEM residency budget (f32 bytes); above this fall back to XLA
-X_VMEM_BUDGET = 6 * 1024 * 1024
+# whole-x VMEM residency budget (f32 bytes); above this fall back to XLA.
+# 8 MB leaves room for the double-buffered vals blocks (~2 MB) and the
+# output tile within the 16 MB VMEM (validated at Potts-700: x = 7.8 MB)
+X_VMEM_BUDGET = 8 * 1024 * 1024
 # double-buffered vals chunk budget
 _VALS_VMEM_BUDGET = 8 * 1024 * 1024
 
