@@ -98,3 +98,27 @@ def test_use_pallas_gating():
     # x too large for VMEM residency
     assert not dia_pallas.dia_use_pallas(None, (0,), 10_000_000, 100,
                                          jnp.float32)
+
+
+def test_operator_cost_bytes_regimes():
+    """The dispatch-cap pricing must distinguish the fused-kernel regime
+    from the XLA shift-loop regime (x beyond the VMEM budget): pricing the
+    slow regime at the fast rate admits watchdog-length dispatches."""
+    import scipy.sparse
+
+    from pysparselp_tpu.problem import operator_cost_bytes
+
+    small = _random_dia(1000, 1000, 5, seed=1)
+    big_n = 4_000_000  # x would need ~16 MB — beyond the kernel budget
+    dia_small = pr.DiaMatrix.from_scipy(small, dtype=jnp.float32,
+                                        allow_bf16=False)
+    cost_small = operator_cost_bytes(dia_small)
+    # _FORCE_INTERPRET fixture makes the small one kernel-eligible
+    assert cost_small == dia_small.nnz_padded * 9
+
+    big = scipy.sparse.diags([np.ones(big_n)], [0],
+                             shape=(big_n, big_n)).tocsr()
+    dia_big = pr.DiaMatrix.from_scipy(big, dtype=jnp.float32,
+                                      allow_bf16=False)
+    cost_big = operator_cost_bytes(dia_big)
+    assert cost_big == dia_big.nnz_padded * (4 + 12)
