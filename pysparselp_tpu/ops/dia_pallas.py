@@ -244,6 +244,64 @@ def _dia_matvec_pallas_dyn(vals, offs, x, n_in, n_out, interpret=False):
     return y2d.reshape(-1)[:n_out]
 
 
+# windowed fallback: row-chunk size (multiple of the kernel layout's
+# 256-sublane tile, 256*LANE, so chunk value slices ARE kernel-layout
+# views).  Large chunks amortize the per-launch cost — 1M rows is a 4 MB
+# window, still comfortably inside the budget with typical aligned
+# offset spreads (measured at Potts-1000: 32k-row chunks left 129
+# launches/direction and only 501 it/s)
+WINDOW_ROWS = 32 * 256 * LANE
+
+
+def _window_plan(offsets, n_in, n_out):
+    """Row chunks + per-chunk x windows for operators whose x exceeds the
+    VMEM residency budget.  Valid when the offset spread is small relative
+    to the budget (anchor-aligned matrices); returns None otherwise."""
+    if not offsets:
+        return None
+    min_off, max_off = min(offsets), max(offsets)
+    spread = max_off - min_off
+    if (WINDOW_ROWS + spread + 2 * LANE) * 4 > X_VMEM_BUDGET:
+        return None
+    chunks = []
+    for r0 in range(0, n_out, WINDOW_ROWS):
+        r1 = min(n_out, r0 + WINDOW_ROWS)
+        w0 = min(max(r0 + min_off, 0), n_in)
+        w1 = min(max(r1 + max_off + 1, 0), n_in)
+        # chunk-local offsets: reads hit x_window[(r - r0) + (off + r0 - w0)]
+        offs_local = tuple(o + r0 - w0 for o in offsets)
+        chunks.append((r0, r1, w0, w1, offs_local))
+    return chunks
+
+
+def _dia_matvec_windowed(vals, offsets, x, n_in, n_out, plan):
+    """Row-chunked DIA SpMV: each chunk's x window is VMEM-resident, the
+    chunk's value slice is a direct view of the kernel-padded layout
+    (WINDOW_ROWS is a multiple of the layout tile).  Interior chunks share
+    one compiled kernel; only the clipped edge chunks differ."""
+    interpret = jax.default_backend() != "tpu"
+    parts = []
+    for r0, r1, w0, w1, offs_local in plan:
+        w1 = max(w1, w0 + 1)
+        xw = jax.lax.slice(x, (w0,), (w1,))
+        vk = jax.lax.slice(vals, (0, r0),
+                           (vals.shape[0], min(r0 + WINDOW_ROWS,
+                                               vals.shape[1])))
+        db, nd, qt, nq = kernel_layout(len(offs_local), r1 - r0)
+        tgt = (db * nd, nq * qt * LANE)
+        if vk.shape != tgt:
+            # only the clipped tail chunk lands here: re-pad (or trim the
+            # parent layout's trailing zero columns) to the chunk layout
+            vp = jnp.zeros(tgt, vk.dtype)
+            rr = min(vk.shape[0], tgt[0])
+            cc = min(vk.shape[1], tgt[1])
+            vk = vp.at[:rr, :cc].set(vk[:rr, :cc])
+        parts.append(_dia_matvec_pallas(
+            vk, offs_local, xw, int(w1 - w0), int(r1 - r0),
+            interpret=interpret))
+    return jnp.concatenate(parts)
+
+
 def dia_use_pallas(vals, offsets, n_in, n_out, dtype) -> bool:
     """Eligibility: TPU (or forced interpret for tests), f32/bf16 values in
     the kernel layout, x resident in VMEM, at least one diagonal."""

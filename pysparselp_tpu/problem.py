@@ -350,11 +350,24 @@ class DiaMatrix:
                    else vals.dtype)
         if not offsets:
             return jnp.zeros((n_out,), compute)
-        from .ops.dia_pallas import dia_matvec, dia_use_pallas
+        from .ops.dia_pallas import (_FORCE_INTERPRET, _dia_matvec_windowed,
+                                     _window_plan, dia_matvec,
+                                     dia_use_pallas, kernel_layout, LANE)
 
         if dia_use_pallas(vals, offsets, n_in, n_out, vals.dtype):
             # fused single-kernel path: x VMEM-resident, vals streamed once
             return dia_matvec(vals, offsets, x, n_in, n_out, compute)
+        if (vals.dtype in (jnp.float32, jnp.bfloat16)
+                and (_FORCE_INTERPRET or jax.default_backend() == "tpu")):
+            # x beyond the VMEM residency budget: row-chunked windows keep
+            # the Pallas kernel (small-offset-spread operators, i.e. the
+            # anchor-aligned class — exactly where huge x arises)
+            db, nd, qt, nq = kernel_layout(len(offsets), n_out)
+            plan = (_window_plan(offsets, n_in, n_out)
+                    if vals.shape == (db * nd, nq * qt * LANE) else None)
+            if plan is not None:
+                return _dia_matvec_windowed(
+                    vals, offsets, x, n_in, n_out, plan).astype(compute)
         left = max(0, -min(offsets))
         right = max(0, max(offsets) + n_out - n_in)
         xp = jnp.pad(x.astype(compute), (left, right))

@@ -122,3 +122,36 @@ def test_operator_cost_bytes_regimes():
                                       allow_bf16=False)
     cost_big = operator_cost_bytes(dia_big)
     assert cost_big == dia_big.nnz_padded * (4 + 12)
+
+
+def test_windowed_path_matches_scipy(monkeypatch):
+    """x beyond the VMEM budget: the row-chunked window path must equal
+    the full-residency kernel (exercised by shrinking the budget and the
+    window size so a small problem takes multiple chunks)."""
+    monkeypatch.setattr(dia_pallas, "X_VMEM_BUDGET", 2048 * 4)
+    monkeypatch.setattr(dia_pallas, "WINDOW_ROWS", 1024)
+    # narrow offset band (the anchor-aligned class the window path serves)
+    rng = np.random.RandomState(21)
+    m, n = 3000, 2900
+    rows, cols, vals = [], [], []
+    for o in (-140, -63, -1, 0, 2, 64, 139):
+        r = np.arange(max(0, -o), min(m, n - o))
+        keep = rng.rand(r.size) < 0.5
+        r = r[keep]
+        rows.append(r)
+        cols.append(r + o)
+        vals.append(rng.randn(r.size))
+    a = scipy.sparse.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(m, n)).tocsr()
+    dia = pr.DiaMatrix.from_scipy(a, dtype=jnp.float32, allow_bf16=False)
+    assert not dia_pallas.dia_use_pallas(
+        dia.vals, dia.offsets, 2900, 3000, dia.vals.dtype)
+    plan = dia_pallas._window_plan(dia.offsets, 2900, 3000)
+    assert plan is not None and len(plan) >= 3
+    x = np.random.RandomState(0).randn(2900).astype(np.float32)
+    got = np.asarray(dia.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, a @ x, rtol=2e-5, atol=2e-5)
+    y = np.random.RandomState(1).randn(3000).astype(np.float32)
+    got_t = np.asarray(dia.rmatvec(jnp.asarray(y)))
+    np.testing.assert_allclose(got_t, a.T @ y, rtol=2e-5, atol=2e-5)
