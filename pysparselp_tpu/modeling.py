@@ -54,9 +54,13 @@ try:  # pragma: no cover - optional dependency
 except Exception:
     pass
 try:  # pragma: no cover - optional dependency
-    import cvxpy  # noqa: F401
+    import cvxpy
 
     _OPTIONAL_METHODS += ("ECOS", "SCS")
+    # CVXOPT is only reachable when cvxpy actually has the backend
+    # (mirrors the reference's per-solver probe, ``SparseLP.py:66-72``)
+    if "CVXOPT" in cvxpy.installed_solvers():
+        _OPTIONAL_METHODS += ("CVXOPT",)
 except Exception:
     pass
 
@@ -670,7 +674,7 @@ class SparseLP:
 
     def solve(
         self,
-        method="chambolle_pock_ppd",
+        method=None,
         get_timing=True,
         x0=None,
         nb_iter=10000,
@@ -716,10 +720,22 @@ class SparseLP:
 
         if config is not None:
             # typed configuration (pysparselp_tpu.config): the config names
-            # the method and provides option values; explicitly passed
-            # keyword arguments win over config fields
-            if method == "chambolle_pock_ppd" and config.method:
-                method = config.method  # an explicit method= wins over config
+            # the method and provides option values.  ``method=None`` is the
+            # sentinel default, so an EXPLICITLY passed method is always
+            # distinguishable from the default — a genuine mismatch between
+            # an explicit method and the config's solver family errors
+            # instead of silently picking one.
+            if method is not None:
+                from .config import CONFIG_CLASSES
+
+                if CONFIG_CLASSES.get(method) is not type(config):
+                    raise ValueError(
+                        f"method={method!r} conflicts with the supplied "
+                        f"config {type(config).__name__} (which configures "
+                        f"method {config.method!r}); pass one or the other"
+                    )
+            else:
+                method = config.method
             common = dict(nb_iter=config.nb_iter,
                           nb_iter_plot=config.nb_iter_plot,
                           max_time=config.max_time, dtype=config.dtype)
@@ -730,6 +746,8 @@ class SparseLP:
             max_time = max_time if max_time is not None else common["max_time"]
             dtype = dtype if dtype is not None else common["dtype"]
             solver_kwargs = {**config.solver_kwargs(), **solver_kwargs}
+        if method is None:
+            method = "chambolle_pock_ppd"
 
         start = time.perf_counter()
         self.distance_to_ground_truth = []

@@ -302,6 +302,15 @@ def _dia_matvec_windowed(vals, offsets, x, n_in, n_out, plan):
     return jnp.concatenate(parts)
 
 
+def window_spread_ok(offsets) -> bool:
+    """Whether the offset spread admits the row-windowed kernel path
+    (mirrors the :func:`_window_plan` feasibility check)."""
+    if not len(offsets):
+        return False
+    spread = int(max(offsets)) - int(min(offsets))
+    return (WINDOW_ROWS + spread + 2 * LANE) * 4 <= X_VMEM_BUDGET
+
+
 def dia_use_pallas(vals, offsets, n_in, n_out, dtype) -> bool:
     """Eligibility: TPU (or forced interpret for tests), f32/bf16 values in
     the kernel layout, x resident in VMEM, at least one diagonal."""

@@ -327,9 +327,14 @@ class DiaMatrix:
     The transpose direction stores its own diagonal set (offsets negated).
     """
 
-    vals: jax.Array       # (ndiag, nrows); vals[d, r] = A[r, r + off_d]
-    vals_t: jax.Array     # (ndiag_t, ncols) for Aᵀ
-    offsets: tuple        # static ints, ascending
+    # vals are stored PRE-PADDED to the Pallas kernel layout
+    # (ops.dia_pallas.kernel_layout: ndiag rounded up to the diag-block
+    # multiple, rows to whole lane tiles) — padding rows/columns are zero.
+    # Logically vals[d, r] = A[r, r + offsets[d]] for d < len(offsets),
+    # r < nrows; see ``ndiag``/``nnz_logical`` for the true sizes.
+    vals: jax.Array       # (ndiag_pad, nrows_pad) kernel layout
+    vals_t: jax.Array     # (ndiag_t_pad, ncols_pad) kernel layout for Aᵀ
+    offsets: tuple        # static ints, ascending (true diagonals only)
     offsets_t: tuple
     nrows: int
     ncols: int
@@ -339,7 +344,25 @@ class DiaMatrix:
         return (self.nrows, self.ncols)
 
     @property
+    def ndiag(self):
+        """True diagonal count (excludes kernel-layout padding rows)."""
+        return len(self.offsets)
+
+    @property
+    def ndiag_t(self):
+        return len(self.offsets_t)
+
+    @property
+    def nnz_logical(self):
+        """True stored entries (both orientations, no layout padding)."""
+        return (len(self.offsets) * self.nrows
+                + len(self.offsets_t) * self.ncols)
+
+    @property
     def nnz_padded(self):
+        """Entries the kernel actually processes (includes the layout
+        padding — honest for both the streaming and the VPU-op cost,
+        since the kernel loops over padded diagonal slots too)."""
         return self.vals.size + self.vals_t.size
 
     @staticmethod
@@ -570,25 +593,35 @@ def anchor_align(mats):
     return out_rows, col_pos, out_m, n_new
 
 
-def aligned_offset_count(mats, return_plan=False) -> tuple:
+def aligned_offset_count(mats, return_plan=False, return_spans=False) -> tuple:
     """Preview of :func:`anchor_align`: per-system diagonal counts and the
     embedded sizes, without materializing the embedded matrices.  With
     ``return_plan=True`` also returns the computed position plan so the
     caller can apply the embedding without re-running the (O(nnz log nnz))
-    alignment."""
+    alignment.  With ``return_spans=True`` additionally returns per-system
+    ``(off_min, off_max)`` pairs (None for absent systems) — the offset
+    spread feeds the fused/windowed-regime eligibility in
+    :func:`dia_cost_bytes`."""
     plan = anchor_align(mats)
     row_pos_list, col_pos, m_new_list, n_new = plan
     counts = []
+    spans = []
     for m, pos in zip(mats, row_pos_list):
         if m is None:
             counts.append(0)
+            spans.append(None)
             continue
         coo = scipy.sparse.coo_matrix(m)
         off = col_pos[coo.col] - pos[coo.row]
         counts.append(int(np.unique(off).size))
+        spans.append((int(off.min()), int(off.max())) if off.size
+                     else (0, 0))
+    out = (counts, m_new_list, n_new)
+    if return_spans:
+        out += (spans,)
     if return_plan:
-        return counts, m_new_list, n_new, plan
-    return counts, m_new_list, n_new
+        out += (plan,)
+    return out
 
 
 def embed_matrix(a, row_pos, col_pos, m_new, n_new):
@@ -703,13 +736,18 @@ def rcm_permutation(a):
     return rows.astype(np.int64), cols.astype(np.int64)
 
 
-def dia_offset_count(a) -> int:
-    """Number of distinct (col − row) diagonals in the matrix."""
+def dia_offsets(a) -> np.ndarray:
+    """Distinct (col − row) diagonal offsets of the matrix, ascending."""
     coo = scipy.sparse.coo_matrix(a)
     if coo.nnz == 0:
-        return 0
+        return np.zeros(0, np.int64)
     off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
-    return int(np.unique(off).size)
+    return np.unique(off)
+
+
+def dia_offset_count(a) -> int:
+    """Number of distinct (col − row) diagonals in the matrix."""
+    return int(dia_offsets(a).size)
 
 
 # Backend auto-selection cost model, calibrated on a v5e: the streaming
@@ -730,6 +768,10 @@ DIA_AUTO_MAX_OFFSETS = 512
 DIA_REREAD_BYTES = 12                 # accumulator rmw + x slice, per entry
 DIA_OP_OVERHEAD_BYTES = 80_000
 DIA_PALLAS_COST_PER_ENTRY = 9         # measured effective bytes (op-bound)
+# row-windowed Pallas kernel (x beyond the VMEM budget, small offset
+# spread): streams x/vals per window with per-window launch overhead —
+# measured slower than the fused regime but far from the XLA shift loop
+DIA_WINDOWED_COST_PER_ENTRY = 24
 DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024   # ~256 MB f32
 BSR_AUTO_MAX_ENTRIES = 128 * 1024 * 1024
 # gather-ELL effective bytes per nnz per direction pair: TPU gathers are
@@ -751,14 +793,31 @@ def _bf16_exact(csr) -> bool:
                        == d32))
 
 
-def dia_cost_bytes(ndiag, m, n, itemsize, dtype=None):
+def dia_cost_bytes(ndiag, m, n, itemsize, dtype=None, offsets=None):
     """Effective bytes per SpMV direction pair for DIA storage (both
-    regimes; see the cost-model constants above)."""
-    from .ops.dia_pallas import dia_use_pallas
+    regimes; see the cost-model constants above).
 
-    if dtype is not None and dia_use_pallas(None, (0,) if ndiag else (),
-                                            n, m, dtype):
+    ``offsets`` — the actual (or min/max preview) diagonal offsets: the
+    fused-kernel eligibility probe sizes its padded x buffer from the
+    offset spread, so probing with dummy offsets can price the fused
+    regime for operators that will actually lower to the windowed or
+    XLA shift-loop regime."""
+    from .ops.dia_pallas import (_FORCE_INTERPRET, dia_use_pallas,
+                                 window_spread_ok)
+
+    if offsets is None:
+        probe = (0,) if ndiag else ()
+    else:
+        probe = ((int(min(offsets)), int(max(offsets)))
+                 if len(offsets) else ())
+    if dtype is not None and dia_use_pallas(None, probe, n, m, dtype):
         kappa = max(DIA_PALLAS_COST_PER_ENTRY, itemsize)
+        return ndiag * (m + n) * kappa
+    pallas_ok = _FORCE_INTERPRET or jax.default_backend() == "tpu"
+    if (dtype in (jnp.float32, jnp.bfloat16) and pallas_ok and probe
+            and window_spread_ok(probe)):
+        # row-windowed kernel regime (DiaMatrix._apply's second branch)
+        kappa = max(DIA_WINDOWED_COST_PER_ENTRY, itemsize)
         return ndiag * (m + n) * kappa
     return (ndiag * (m + n) * (itemsize + DIA_REREAD_BYTES)
             + 2 * ndiag * DIA_OP_OVERHEAD_BYTES)
@@ -775,16 +834,24 @@ def operator_cost_bytes(op) -> int:
     if isinstance(op, DenseMatrix):
         return 2 * op.nrows * op.ncols * 4
     if isinstance(op, DiaMatrix):
-        from .ops.dia_pallas import dia_use_pallas
+        from .ops.dia_pallas import (_FORCE_INTERPRET, dia_use_pallas,
+                                     window_spread_ok)
 
+        itemsize = op.vals.dtype.itemsize
         if dia_use_pallas(None, op.offsets, op.ncols, op.nrows,
                           op.vals.dtype):
-            kappa = max(DIA_PALLAS_COST_PER_ENTRY, op.vals.dtype.itemsize)
-            return op.nnz_padded * kappa
-        # XLA shift-loop regime (e.g. x beyond the VMEM budget): the
-        # per-entry re-read traffic applies — undercounting here lets a
-        # single dispatch run for minutes and trip the worker watchdog
-        return op.nnz_padded * (op.vals.dtype.itemsize + DIA_REREAD_BYTES)
+            return op.nnz_padded * max(DIA_PALLAS_COST_PER_ENTRY, itemsize)
+        pallas_ok = _FORCE_INTERPRET or jax.default_backend() == "tpu"
+        if (op.vals.dtype in (jnp.float32, jnp.bfloat16) and pallas_ok
+                and window_spread_ok(op.offsets)
+                and window_spread_ok(op.offsets_t)):
+            # row-windowed Pallas regime (x beyond the VMEM budget)
+            return op.nnz_padded * max(DIA_WINDOWED_COST_PER_ENTRY,
+                                       itemsize)
+        # XLA shift-loop regime: the per-entry re-read traffic applies —
+        # undercounting here lets a single dispatch run for minutes and
+        # trip the worker watchdog
+        return op.nnz_padded * (itemsize + DIA_REREAD_BYTES)
     if isinstance(op, BsrMatrix):
         return op.nnz_padded * op.tiles.dtype.itemsize
     return op.nnz_padded * ELL_GATHER_BYTES_PER_NNZ
@@ -815,9 +882,11 @@ def estimate_stream_bytes(csr, dtype=None):
         return "ell", 0
     itemsize = 2 if (dtype == jnp.float32 and _bf16_exact(csr)) else 4
     candidates = {}
-    ndiag = dia_offset_count(csr)
+    offs = dia_offsets(csr)
+    ndiag = int(offs.size)
     if ndiag <= DIA_AUTO_MAX_OFFSETS:
-        candidates["dia"] = dia_cost_bytes(ndiag, m, n, itemsize, dtype)
+        candidates["dia"] = dia_cost_bytes(ndiag, m, n, itemsize, dtype,
+                                           offsets=offs)
     if 0 < m * n <= DENSE_AUTO_MAX_ENTRIES:
         candidates["dense"] = 2 * m * n * 4  # read in both directions
     padded = bsr_padded_entries(csr)

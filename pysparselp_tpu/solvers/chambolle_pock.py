@@ -337,8 +337,8 @@ def _choose_layout(mats, dtype):
 
     plan = None
     try:
-        counts, m_new, n_new, plan = aligned_offset_count(
-            mats, return_plan=True)
+        counts, m_new, n_new, spans, plan = aligned_offset_count(
+            mats, return_plan=True, return_spans=True)
     except ValueError:
         counts = None
     if counts is not None and all(
@@ -346,14 +346,19 @@ def _choose_layout(mats, dtype):
         if m is not None
     ):
         bytes_align = 0
-        for m, c_, mn in zip(mats, counts, m_new):
+        for m, c_, mn, span in zip(mats, counts, m_new, spans):
             if m is None:
                 continue
             d32 = m.tocsr().data.astype(np.float32)
             exact = bool(np.all(
                 d32.astype(ml_dtypes.bfloat16).astype(np.float32) == d32))
             itemsize = 2 if (dtype == jnp.float32 and exact) else 4
-            bytes_align += dia_cost_bytes(c_, mn, n_new, itemsize, dtype)
+            # real offset spans from the alignment preview: the eligibility
+            # probe inside dia_cost_bytes sizes the kernel's x buffer from
+            # the spread (advisor r2: dummy offsets priced the fused regime
+            # for operators that would lower to the windowed/XLA regimes)
+            bytes_align += dia_cost_bytes(c_, mn, n_new, itemsize, dtype,
+                                          offsets=span)
         candidates["align"] = bytes_align
     best = min(candidates, key=candidates.get)
     return best, (plan if best == "align" else None)

