@@ -125,6 +125,7 @@ class MehrotraConfig(SolverConfig):
     verbose: int = 0
     error_check: bool = False
     dense_threshold: int = 4096
+    mesh: typing.Any = None             # column-sharded normal equations
 
 
 @dataclasses.dataclass(frozen=True)

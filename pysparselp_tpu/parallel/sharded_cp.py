@@ -239,269 +239,355 @@ def _local_rmatvec(sys_l, y, n):
                      sys_l["b"].shape[0], n)
 
 
+def _make_ctx(d, axis, has_eq, has_ineq):
+    """Shard-local view of the replicated problem data + per-shard row
+    blocks (shared by every shard_map body in this module)."""
+
+    def squeeze(t):
+        return jax.tree.map(lambda v: v[0], t)
+
+    return dict(
+        axis=axis,
+        c=d["c"], lb=d["lb"], ub=d["ub"], diag_t=d["diag_t"],
+        theta=d["theta"],
+        eq_l=squeeze(d["eq"]) if has_eq else None,
+        in_l=squeeze(d["ineq"]) if has_ineq else None,
+    )
+
+
+def _iter_local(ctx, carry, omega=None):
+    """One row-sharded CP iteration (one psum).  ``omega`` scales the
+    primal steps by ω and the dual steps by 1/ω (the device-resident
+    restart controller's primal weight); None = steps as stored."""
+    axis, c = ctx["axis"], ctx["c"]
+    eq_l, in_l = ctx["eq_l"], ctx["in_l"]
+    n = c.shape[0]
+    x, x3, y_eq, y_ineq = carry
+    d_part = jnp.zeros_like(c)
+    if eq_l is not None:
+        d_part = d_part + _local_rmatvec(eq_l, y_eq, n)
+    if in_l is not None:
+        d_part = d_part + _local_rmatvec(in_l, y_ineq, n)
+    dd = c + jax.lax.psum(d_part, axis)  # one all-reduce per iteration
+    diag_t = ctx["diag_t"] if omega is None else ctx["diag_t"] * omega
+    x2 = jnp.clip(x - diag_t * dd, ctx["lb"], ctx["ub"])
+    x3 = (1.0 + ctx["theta"]) * x2 - ctx["theta"] * x
+    x = x2
+    if eq_l is not None:
+        r = _local_matvec(eq_l, x3, n) - eq_l["b"]
+        sig = eq_l["sigma"] if omega is None else eq_l["sigma"] / omega
+        y_eq = y_eq + sig * r
+    if in_l is not None:
+        r = _local_matvec(in_l, x3, n) - in_l["b"]
+        sig = in_l["sigma"] if omega is None else in_l["sigma"] / omega
+        y_ineq = jnp.maximum(y_ineq + sig * r, 0.0)
+    return (x, x3, y_eq, y_ineq)
+
+
+def _kkt_local(ctx, x, y_eq, y_ineq):
+    """KKT progress score (PDLP restart trigger), reduced over the mesh —
+    multi-chip twin of ``solvers.chambolle_pock._kkt_score``."""
+    axis, c = ctx["axis"], ctx["c"]
+    eq_l, in_l = ctx["eq_l"], ctx["in_l"]
+    n = c.shape[0]
+    d_part = jnp.zeros_like(c)
+    pviol = jnp.asarray(0.0, c.dtype)
+    dual_loc = jnp.asarray(0.0, c.dtype)
+    if eq_l is not None:
+        d_part = d_part + _local_rmatvec(eq_l, y_eq, n)
+        r = (_local_matvec(eq_l, x, n) - eq_l["b"]) * eq_l["row_mask"]
+        pviol = pviol + jnp.sum(r * r)
+        dual_loc = dual_loc - jnp.dot(y_eq, eq_l["b"])
+    if in_l is not None:
+        d_part = d_part + _local_rmatvec(in_l, y_ineq, n)
+        r = jnp.maximum(_local_matvec(in_l, x, n) - in_l["b"],
+                        0.0) * in_l["row_mask"]
+        pviol = pviol + jnp.sum(r * r)
+        dual_loc = dual_loc - jnp.dot(y_ineq, in_l["b"])
+    dd = c + jax.lax.psum(d_part, axis)
+    pviol = jax.lax.psum(pviol, axis)
+    dual = jax.lax.psum(dual_loc, axis) + jnp.sum(
+        jnp.where(dd < 0, dd * ctx["ub"], dd * ctx["lb"]))
+    pobj = jnp.dot(c, x)
+    gap = jnp.abs(pobj - dual) / (1.0 + jnp.abs(pobj) + jnp.abs(dual))
+    return jnp.sqrt(pviol + gap * gap)
+
+
+def _metrics_local(ctx, x, y_eq, y_ineq):
+    """Chunk metrics reduced over the mesh: same quantities as the
+    single-chip chunk (``chambolle_pock.cp_chunk_impl``), incl. the
+    box-dual lower bound ``energy2`` and the rounded-iterate stats the
+    ``force_integer`` tracking consumes."""
+    axis, c = ctx["axis"], ctx["c"]
+    eq_l, in_l = ctx["eq_l"], ctx["in_l"]
+    n = c.shape[0]
+    energy1 = jnp.dot(c, x)
+    max_v_eq = jnp.asarray(0.0, c.dtype)
+    max_v_ineq = jnp.asarray(0.0, c.dtype)
+    x_rounded = jnp.round(x)
+    energy_rounded = jnp.dot(c, x_rounded)
+    rounded_feasible = jnp.asarray(True)
+    d_part = jnp.zeros_like(c)
+    if eq_l is not None:
+        d_part = d_part + _local_rmatvec(eq_l, y_eq * eq_l["row_mask"], n)
+    if in_l is not None:
+        d_part = d_part + _local_rmatvec(in_l, y_ineq * in_l["row_mask"],
+                                         n)
+    dd = c + jax.lax.psum(d_part, axis)
+    x4 = jnp.where(dd < 0, ctx["ub"], ctx["lb"])
+    energy2 = jnp.dot(c, x4)
+    if eq_l is not None:
+        r = (_local_matvec(eq_l, x, n) - eq_l["b"]) * eq_l["row_mask"]
+        energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
+        r4 = (_local_matvec(eq_l, x4, n) - eq_l["b"]) * eq_l["row_mask"]
+        energy2 = energy2 + jax.lax.psum(jnp.dot(y_eq, r4), axis)
+        max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
+        rr = (_local_matvec(eq_l, x_rounded, n)
+              - eq_l["b"]) * eq_l["row_mask"]
+        rounded_feasible &= jax.lax.pmax(jnp.max(jnp.abs(rr)), axis) == 0
+    if in_l is not None:
+        r = (_local_matvec(in_l, x, n) - in_l["b"]) * in_l["row_mask"]
+        energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
+        r4 = (_local_matvec(in_l, x4, n) - in_l["b"]) * in_l["row_mask"]
+        energy2 = energy2 + jax.lax.psum(jnp.dot(y_ineq, r4), axis)
+        max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
+        rr = (_local_matvec(in_l, x_rounded, n)
+              - in_l["b"]) * in_l["row_mask"]
+        rounded_feasible &= jax.lax.pmax(jnp.max(rr), axis) <= 0
+    return {
+        "energy1": energy1,
+        "energy2": energy2,
+        "max_violated_equality": max_v_eq,
+        "max_violated_inequality": max_v_ineq,
+        "energy_rounded": energy_rounded,
+        "rounded_feasible": rounded_feasible,
+    }
+
+
+_METRIC_SPECS = {
+    "energy1": P(), "energy2": P(), "max_violated_equality": P(),
+    "max_violated_inequality": P(), "energy_rounded": P(),
+    "rounded_feasible": P(),
+}
+
+
+def _data_state_specs(data, axis, has_eq, has_ineq):
+    in_specs_data = jax.tree.map(lambda _: P(), data)
+    for name in ("eq", "ineq"):
+        if name in data:
+            in_specs_data[name] = jax.tree.map(lambda _: P(axis),
+                                               data[name])
+    state_specs = {"x": P(), "x3": P()}
+    if has_eq:
+        state_specs["y_eq"] = P(axis)
+    if has_ineq:
+        state_specs["y_ineq"] = P(axis)
+    return in_specs_data, state_specs
+
+
+def _unpack_state(s, dtype, has_eq, has_ineq):
+    y_eq0 = s["y_eq"][0] if has_eq else jnp.zeros((0,), dtype)
+    y_in0 = s["y_ineq"][0] if has_ineq else jnp.zeros((0,), dtype)
+    return (s["x"], s["x3"], y_eq0, y_in0)
+
+
+def _pack_state(x, x3, y_eq, y_ineq, has_eq, has_ineq):
+    out = {"x": x, "x3": x3}
+    if has_eq:
+        out["y_eq"] = y_eq[None, :]
+    if has_ineq:
+        out["y_ineq"] = y_ineq[None, :]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "nsteps"))
 def sharded_cp_chunk(data, state, mesh: Mesh, nsteps: int):
     """Run ``nsteps`` row-sharded CP-PPD iterations; returns (state, metrics)."""
     axis = mesh.axis_names[0]
     has_eq = "eq" in data
     has_ineq = "ineq" in data
-
-    in_specs_data = jax.tree.map(lambda _: P(), data)
-    for name in ("eq", "ineq"):
-        if name in data:
-            in_specs_data[name] = jax.tree.map(lambda _: P(axis), data[name])
-    in_specs_state = {"x": P(), "x3": P()}
-    if has_eq:
-        in_specs_state["y_eq"] = P(axis)
-    if has_ineq:
-        in_specs_state["y_ineq"] = P(axis)
-
-    out_specs = (
-        dict(in_specs_state),
-        {"energy1": P(), "energy2": P(), "max_violated_equality": P(),
-         "max_violated_inequality": P()},
-    )
+    in_specs_data, state_specs = _data_state_specs(data, axis, has_eq,
+                                                   has_ineq)
+    out_specs = (dict(state_specs), dict(_METRIC_SPECS))
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(in_specs_data, in_specs_state),
+        in_specs=(in_specs_data, state_specs),
         out_specs=out_specs, check_vma=False,
     )
     def run(d, s):
-        c, lb, ub, diag_t = d["c"], d["lb"], d["ub"], d["diag_t"]
-        theta = d["theta"]
-        n = c.shape[0]
-        eq = d.get("eq")
-        ineq = d.get("ineq")
-
-        def squeeze(t):
-            return jax.tree.map(lambda v: v[0], t)
-
-        eq_l = squeeze(eq) if has_eq else None
-        in_l = squeeze(ineq) if has_ineq else None
-
-        def body(_, carry):
-            x, x3, y_eq, y_ineq = carry
-            d_part = jnp.zeros_like(c)
-            if has_eq:
-                d_part = d_part + _local_rmatvec(eq_l, y_eq, n)
-            if has_ineq:
-                d_part = d_part + _local_rmatvec(in_l, y_ineq, n)
-            dd = c + jax.lax.psum(d_part, axis)  # one all-reduce per iteration
-            x2 = jnp.clip(x - diag_t * dd, lb, ub)
-            x3 = (1.0 + theta) * x2 - theta * x
-            x = x2
-            if has_eq:
-                r = _local_matvec(eq_l, x3, n) - eq_l["b"]
-                y_eq = y_eq + eq_l["sigma"] * r
-            if has_ineq:
-                r = _local_matvec(in_l, x3, n) - in_l["b"]
-                y_ineq = jnp.maximum(y_ineq + in_l["sigma"] * r, 0.0)
-            return (x, x3, y_eq, y_ineq)
-
-        y_eq0 = s["y_eq"][0] if has_eq else jnp.zeros((0,), c.dtype)
-        y_in0 = s["y_ineq"][0] if has_ineq else jnp.zeros((0,), c.dtype)
+        ctx = _make_ctx(d, axis, has_eq, has_ineq)
         x, x3, y_eq, y_ineq = jax.lax.fori_loop(
-            0, nsteps, body, (s["x"], s["x3"], y_eq0, y_in0)
+            0, nsteps, lambda _, carry: _iter_local(ctx, carry),
+            _unpack_state(s, ctx["c"].dtype, has_eq, has_ineq)
         )
-
-        # metrics: psum/pmax over the mesh (same quantities as the
-        # single-chip chunk, incl. the box-dual lower bound energy2)
-        energy1 = jnp.dot(c, x)
-        max_v_eq = jnp.asarray(0.0, c.dtype)
-        max_v_ineq = jnp.asarray(0.0, c.dtype)
-        d_part = jnp.zeros_like(c)
-        if has_eq:
-            d_part = d_part + _local_rmatvec(eq_l, y_eq * eq_l["row_mask"],
-                                             n)
-        if has_ineq:
-            d_part = d_part + _local_rmatvec(in_l,
-                                             y_ineq * in_l["row_mask"], n)
-        dd = c + jax.lax.psum(d_part, axis)
-        x4 = jnp.where(dd < 0, ub, lb)
-        energy2 = jnp.dot(c, x4)
-        if has_eq:
-            r = (_local_matvec(eq_l, x, n) - eq_l["b"])
-            r = r * eq_l["row_mask"]
-            energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
-            r4 = (_local_matvec(eq_l, x4, n) - eq_l["b"]) * eq_l["row_mask"]
-            energy2 = energy2 + jax.lax.psum(jnp.dot(y_eq, r4), axis)
-            max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
-        if has_ineq:
-            r = (_local_matvec(in_l, x, n) - in_l["b"])
-            r = r * in_l["row_mask"]
-            energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
-            r4 = (_local_matvec(in_l, x4, n) - in_l["b"]) * in_l["row_mask"]
-            energy2 = energy2 + jax.lax.psum(jnp.dot(y_ineq, r4), axis)
-            max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
-
-        out_state = {"x": x, "x3": x3}
-        if has_eq:
-            out_state["y_eq"] = y_eq[None, :]
-        if has_ineq:
-            out_state["y_ineq"] = y_ineq[None, :]
-        metrics = {
-            "energy1": energy1,
-            "energy2": energy2,
-            "max_violated_equality": max_v_eq,
-            "max_violated_inequality": max_v_ineq,
-        }
-        return out_state, metrics
+        metrics = _metrics_local(ctx, x, y_eq, y_ineq)
+        return _pack_state(x, x3, y_eq, y_ineq, has_eq, has_ineq), metrics
 
     return run(data, state)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "nsteps"))
-def sharded_cp_chunk_restart(data, state, mesh: Mesh, nsteps: int):
-    """Restart-capable chunk: also returns the epoch-average state and the
-    KKT scores of the current and average points (multi-chip mirror of
-    ``solvers.chambolle_pock._cp_chunk_restart``; scores reduce with psum)."""
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def sharded_kkt_score(data, state, mesh: Mesh):
+    """KKT score of a sharded state (seeds the restart controller)."""
     axis = mesh.axis_names[0]
     has_eq = "eq" in data
     has_ineq = "ineq" in data
-
-    in_specs_data = jax.tree.map(lambda _: P(), data)
-    for name in ("eq", "ineq"):
-        if name in data:
-            in_specs_data[name] = jax.tree.map(lambda _: P(axis), data[name])
-    in_specs_state = {"x": P(), "x3": P()}
-    if has_eq:
-        in_specs_state["y_eq"] = P(axis)
-    if has_ineq:
-        in_specs_state["y_ineq"] = P(axis)
-    out_specs = (
-        dict(in_specs_state), dict(in_specs_state), P(), P(),
-        {"energy1": P(), "energy2": P(), "max_violated_equality": P(),
-         "max_violated_inequality": P()},
-    )
+    in_specs_data, state_specs = _data_state_specs(data, axis, has_eq,
+                                                   has_ineq)
 
     @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(in_specs_data, in_specs_state),
-        out_specs=out_specs, check_vma=False,
+        shard_map, mesh=mesh, in_specs=(in_specs_data, state_specs),
+        out_specs=P(), check_vma=False,
     )
     def run(d, s):
-        c, lb, ub, diag_t = d["c"], d["lb"], d["ub"], d["diag_t"]
-        theta = d["theta"]
-        n = c.shape[0]
-
-        def squeeze(t):
-            return jax.tree.map(lambda v: v[0], t)
-
-        eq_l = squeeze(d["eq"]) if has_eq else None
-        in_l = squeeze(d["ineq"]) if has_ineq else None
-
-        def one_iter(carry):
-            x, x3, y_eq, y_ineq = carry
-            d_part = jnp.zeros_like(c)
-            if has_eq:
-                d_part = d_part + _local_rmatvec(eq_l, y_eq, n)
-            if has_ineq:
-                d_part = d_part + _local_rmatvec(in_l, y_ineq, n)
-            dd = c + jax.lax.psum(d_part, axis)
-            x2 = jnp.clip(x - diag_t * dd, lb, ub)
-            x3 = (1.0 + theta) * x2 - theta * x
-            x = x2
-            if has_eq:
-                r = _local_matvec(eq_l, x3, n) - eq_l["b"]
-                y_eq = y_eq + eq_l["sigma"] * r
-            if has_ineq:
-                r = _local_matvec(in_l, x3, n) - in_l["b"]
-                y_ineq = jnp.maximum(y_ineq + in_l["sigma"] * r, 0.0)
-            return (x, x3, y_eq, y_ineq)
-
-        def body(_, carry):
-            s, (sx, se, si) = carry
-            s = one_iter(s)
-            return s, (sx + s[0], se + s[2], si + s[3])
-
-        y_eq0 = s["y_eq"][0] if has_eq else jnp.zeros((0,), c.dtype)
-        y_in0 = s["y_ineq"][0] if has_ineq else jnp.zeros((0,), c.dtype)
-        s0 = (s["x"], s["x3"], y_eq0, y_in0)
-        sums0 = (jnp.zeros_like(c), jnp.zeros_like(y_eq0),
-                 jnp.zeros_like(y_in0))
-        (x, x3, y_eq, y_ineq), (sx, se, si) = jax.lax.fori_loop(
-            0, nsteps, body, (s0, sums0))
-        inv = 1.0 / max(nsteps, 1)  # nsteps=0 = score-only call
-        ax, ae, ai = sx * inv, se * inv, si * inv
-
-        def kkt(x, y_eq, y_ineq):
-            d_part = jnp.zeros_like(c)
-            pviol = jnp.asarray(0.0, c.dtype)
-            dual_loc = jnp.asarray(0.0, c.dtype)
-            if has_eq:
-                d_part = d_part + _local_rmatvec(eq_l, y_eq, n)
-                r = (_local_matvec(eq_l, x, n)
-                     - eq_l["b"]) * eq_l["row_mask"]
-                pviol = pviol + jnp.sum(r * r)
-                dual_loc = dual_loc - jnp.dot(y_eq, eq_l["b"])
-            if has_ineq:
-                d_part = d_part + _local_rmatvec(in_l, y_ineq, n)
-                r = jnp.maximum(
-                    _local_matvec(in_l, x, n)
-                    - in_l["b"], 0.0) * in_l["row_mask"]
-                pviol = pviol + jnp.sum(r * r)
-                dual_loc = dual_loc - jnp.dot(y_ineq, in_l["b"])
-            dd = c + jax.lax.psum(d_part, axis)
-            pviol = jax.lax.psum(pviol, axis)
-            dual = jax.lax.psum(dual_loc, axis) + jnp.sum(
-                jnp.where(dd < 0, dd * ub, dd * lb))
-            pobj = jnp.dot(c, x)
-            gap = jnp.abs(pobj - dual) / (1.0 + jnp.abs(pobj)
-                                          + jnp.abs(dual))
-            return jnp.sqrt(pviol + gap * gap)
-
-        s_cur = kkt(x, y_eq, y_ineq)
-        s_avg = kkt(ax, ae, ai)
-
-        # standard chunk metrics for the callback contract (incl. the
-        # box-dual lower bound energy2, matching the single-chip chunk)
-        energy1 = jnp.dot(c, x)
-        max_v_eq = jnp.asarray(0.0, c.dtype)
-        max_v_ineq = jnp.asarray(0.0, c.dtype)
-        d_part = jnp.zeros_like(c)
-        if has_eq:
-            d_part = d_part + _local_rmatvec(eq_l, y_eq * eq_l["row_mask"],
-                                             n)
-        if has_ineq:
-            d_part = d_part + _local_rmatvec(in_l,
-                                             y_ineq * in_l["row_mask"], n)
-        dd = c + jax.lax.psum(d_part, axis)
-        x4 = jnp.where(dd < 0, ub, lb)
-        energy2 = jnp.dot(c, x4)
-        if has_eq:
-            r = (_local_matvec(eq_l, x, n)
-                 - eq_l["b"]) * eq_l["row_mask"]
-            energy1 = energy1 + jax.lax.psum(jnp.dot(y_eq, r), axis)
-            r4 = (_local_matvec(eq_l, x4, n) - eq_l["b"]) * eq_l["row_mask"]
-            energy2 = energy2 + jax.lax.psum(jnp.dot(y_eq, r4), axis)
-            max_v_eq = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
-        if has_ineq:
-            r = (_local_matvec(in_l, x, n)
-                 - in_l["b"]) * in_l["row_mask"]
-            energy1 = energy1 + jax.lax.psum(jnp.dot(y_ineq, r), axis)
-            r4 = (_local_matvec(in_l, x4, n) - in_l["b"]) * in_l["row_mask"]
-            energy2 = energy2 + jax.lax.psum(jnp.dot(y_ineq, r4), axis)
-            max_v_ineq = jax.lax.pmax(jnp.max(r), axis)
-        metrics = {
-            "energy1": energy1,
-            "energy2": energy2,
-            "max_violated_equality": max_v_eq,
-            "max_violated_inequality": max_v_ineq,
-        }
-
-        def pack(x, x3, y_eq, y_ineq):
-            out = {"x": x, "x3": x3}
-            if has_eq:
-                out["y_eq"] = y_eq[None, :]
-            if has_ineq:
-                out["y_ineq"] = y_ineq[None, :]
-            return out
-
-        return (pack(x, x3, y_eq, y_ineq), pack(ax, ax, ae, ai),
-                s_cur, s_avg, metrics)
+        ctx = _make_ctx(d, axis, has_eq, has_ineq)
+        x, _x3, y_eq, y_ineq = _unpack_state(s, ctx["c"].dtype, has_eq,
+                                             has_ineq)
+        return _kkt_local(ctx, x, y_eq, y_ineq)
 
     return run(data, state)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "nsteps", "period"))
+def sharded_cp_chunk_restart_device(data, rstate, mesh: Mesh, nsteps: int,
+                                    period: int):
+    """Device-resident PDLP restart controller for the row-sharded solver.
+
+    Multi-chip twin of ``solvers.chambolle_pock._cp_chunk_restart_device``:
+    runs ``nsteps`` iterations with a restart check every ``period``
+    iterations entirely on device — KKT scores reduce with psum, the
+    restart decision, restart-to-average selection and the primal-weight
+    (ω) movement update are replicated scalar ops, and the host sees only
+    the end-of-chunk metrics.  Zero host fetches per restart period (the
+    round-2 host controller fetched two scores per period — ~30 ms each
+    over a tunneled transport).
+
+    ``rstate`` carries the solver state plus the controller scalars
+    (ω, score at last restart, last candidate score) and the last restart
+    point (``zx`` replicated, ``zeq``/``zineq`` sharded with their rows).
+    Step sizes in ``data`` must be UNSCALED (ω is applied inside).
+    """
+    axis = mesh.axis_names[0]
+    has_eq = "eq" in data
+    has_ineq = "ineq" in data
+    beta_suf, beta_nec = 0.2, 0.8
+    nblocks = max(nsteps // period, 0)
+    rem = nsteps - nblocks * period
+
+    in_specs_data, state_specs = _data_state_specs(data, axis, has_eq,
+                                                   has_ineq)
+    r_specs = {
+        "state": dict(state_specs),
+        "omega": P(), "mu_restart": P(), "mu_last": P(), "zx": P(),
+    }
+    if has_eq:
+        r_specs["zeq"] = P(axis)
+    if has_ineq:
+        r_specs["zineq"] = P(axis)
+    out_specs = (dict(r_specs), dict(_METRIC_SPECS))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(in_specs_data, r_specs),
+        out_specs=out_specs, check_vma=False,
+    )
+    def run(d, rs):
+        ctx = _make_ctx(d, axis, has_eq, has_ineq)
+        c = ctx["c"]
+        dt = c.dtype
+
+        # local (squeezed) controller state: tuples instead of the packed
+        # (1, rows_loc) device-axis layout
+        rsl = {
+            "state": _unpack_state(rs["state"], dt, has_eq, has_ineq),
+            "omega": rs["omega"],
+            "mu_restart": rs["mu_restart"],
+            "mu_last": rs["mu_last"],
+            "zx": rs["zx"],
+            "zeq": rs["zeq"][0] if has_eq else jnp.zeros((0,), dt),
+            "zineq": rs["zineq"][0] if has_ineq else jnp.zeros((0,), dt),
+        }
+
+        def run_block(rsl):
+            omega = rsl["omega"]
+
+            def body(_, carry):
+                s, (sx, se, si) = carry
+                s = _iter_local(ctx, s, omega)
+                return s, (sx + s[0], se + s[2], si + s[3])
+
+            s0 = rsl["state"]
+            sums0 = (jnp.zeros_like(c), jnp.zeros_like(s0[2]),
+                     jnp.zeros_like(s0[3]))
+            state, (sx, se, si) = jax.lax.fori_loop(0, period, body,
+                                                    (s0, sums0))
+            inv = 1.0 / period
+            ax, ae, ai = sx * inv, se * inv, si * inv
+            s_cur = _kkt_local(ctx, state[0], state[2], state[3])
+            s_avg = _kkt_local(ctx, ax, ae, ai)
+            mu_c = jnp.minimum(s_cur, s_avg)
+            do = (mu_c <= beta_suf * rsl["mu_restart"]) | (
+                (mu_c <= beta_nec * rsl["mu_restart"])
+                & (mu_c > rsl["mu_last"])
+            )
+            use_avg = s_avg < s_cur
+            zx = jnp.where(use_avg, ax, state[0])
+            zeq = jnp.where(use_avg, ae, state[2])
+            zineq = jnp.where(use_avg, ai, state[3])
+            dx = jnp.linalg.norm(zx - rsl["zx"])
+            dy = jnp.sqrt(jax.lax.psum(
+                jnp.sum((zeq - rsl["zeq"]) ** 2)
+                + jnp.sum((zineq - rsl["zineq"]) ** 2), axis))
+            valid = (dx > 1e-30) & (dy > 1e-30)
+            # ω is the PRIMAL weight (diag_t scales with ω): the PDLP
+            # movement update uses Δx/Δy
+            om_new = jnp.where(
+                do & valid,
+                jnp.exp(0.5 * jnp.log(dx / jnp.maximum(dy, 1e-30))
+                        + 0.5 * jnp.log(omega)),
+                omega,
+            )
+            new_state = (
+                jnp.where(do, zx, state[0]),
+                jnp.where(do, zx, state[1]),
+                jnp.where(do, zeq, state[2]),
+                jnp.where(do, zineq, state[3]),
+            )
+            return {
+                "state": new_state,
+                "omega": om_new,
+                "mu_restart": jnp.where(do, mu_c, rsl["mu_restart"]),
+                "mu_last": jnp.where(do, jnp.asarray(jnp.inf, mu_c.dtype),
+                                     mu_c),
+                "zx": jnp.where(do, zx, rsl["zx"]),
+                "zeq": jnp.where(do, zeq, rsl["zeq"]),
+                "zineq": jnp.where(do, zineq, rsl["zineq"]),
+            }
+
+        rsl = jax.lax.fori_loop(0, nblocks, lambda _, r: run_block(r), rsl)
+        if rem:
+            omega = rsl["omega"]
+            state = jax.lax.fori_loop(
+                0, rem, lambda _, s: _iter_local(ctx, s, omega),
+                rsl["state"])
+            rsl = dict(rsl, state=state)
+
+        x, x3, y_eq, y_ineq = rsl["state"]
+        metrics = _metrics_local(ctx, x, y_eq, y_ineq)
+        out = {
+            "state": _pack_state(x, x3, y_eq, y_ineq, has_eq, has_ineq),
+            "omega": rsl["omega"],
+            "mu_restart": rsl["mu_restart"],
+            "mu_last": rsl["mu_last"],
+            "zx": rsl["zx"],
+        }
+        if has_eq:
+            out["zeq"] = rsl["zeq"][None, :]
+        if has_ineq:
+            out["zineq"] = rsl["zineq"][None, :]
+        return out, metrics
+
+    return run(data, rstate)
 
 
 def chambolle_pock_ppd_sharded(
@@ -510,15 +596,21 @@ def chambolle_pock_ppd_sharded(
     dtype=np.float32, alpha=1.0, restart=None, omega=None, permute="auto",
     x0=None, theta=1.0, stop_tol=None, start_time=None, y_eq0=None,
     y_ineq0=None, x30=None, restart_period=None, save_problem=False,
+    force_integer=False,
 ):
-    """Mesh-parallel CP-PPD with the standard solver contract; returns x.
+    """Mesh-parallel CP-PPD with the standard solver contract; returns x
+    (or ``(x, best_integer_solution)`` when ``force_integer=True``).
 
     ``restart``/``omega`` mirror the single-chip solver's PDLP-style
-    acceleration (restart decisions and primal-weight updates run on host
-    between chunks; all scoring reduces over the mesh with psum);
-    ``permute`` mirrors its RCM bandwidth-reducing presolve (TPU only).
+    acceleration — the controller runs DEVICE-RESIDENT inside the sharded
+    chunk (:func:`sharded_cp_chunk_restart_device`): restart decisions,
+    ω updates and restart-point state never leave the mesh, and all
+    scoring reduces with psum.  ``permute`` mirrors the single-chip
+    RCM/align layout presolve (TPU only).
     ``theta``/``stop_tol``/``y_eq0``/``y_ineq0``/``x30`` complete kwarg
-    parity with the single-chip solver (full-state resume included)."""
+    parity with the single-chip solver (full-state resume included);
+    ``force_integer`` tracks the best feasible integer-rounded iterate
+    (feasibility pmax-reduced, energy psum-reduced over shards)."""
     import time
 
 
@@ -585,60 +677,48 @@ def chambolle_pock_ppd_sharded(
         alpha=alpha, dtype=dtype, x0=x0, theta=theta,
         y_eq0=y_eq0, y_ineq0=y_ineq0, x30=x30, operator=operator,
     )
-    if omega != 1.0:
+    if omega != 1.0 and restart != "average":
+        # without the restart controller the primal weight is a one-time
+        # rescale of the stored step sizes; the controller instead keeps ω
+        # device-resident and applies it inside the chunk
         data = _rescale_steps(data, omega)
 
-    BETA_SUF, BETA_NEC = 0.2, 0.8
-    mu_restart = None
-    mu_last = np.inf
-    z_restart = None
-
     start = time.perf_counter() if start_time is None else start_time
-    # restart checks run on host every ``period`` iterations (the
+    # restart checks run on DEVICE every ``period`` iterations (the
     # single-chip solver's restart_period semantics: at most nb_iter_plot)
     period = int(min(restart_period or nb_iter_plot, nb_iter_plot))
+    rstate = None
+    best_integer_solution = None
+    best_integer_energy = np.inf
     niter = 0
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
         if restart == "average":
-            if mu_restart is None:
-                # score of the initial point (0-step call), matching the
-                # single-chip solver's trigger seeding
-                _s, _a, s0c, _sa, _m = sharded_cp_chunk_restart(
-                    data, state, mesh, 0)
-                mu_restart = float(s0c)
-                z_restart = _host_point(state)
-            done = 0
-            while done < nsteps:
-                sub = min(period, nsteps - done)
-                state, avg, s_cur, s_avg, metrics = sharded_cp_chunk_restart(
-                    data, state, mesh, sub)
-                done += sub
-                s_cur, s_avg = float(s_cur), float(s_avg)
-                mu_c = min(s_cur, s_avg)
-                do_restart = mu_c <= BETA_SUF * mu_restart or (
-                    mu_c <= BETA_NEC * mu_restart and mu_c > mu_last
-                )
-                mu_last = mu_c
-                if do_restart:
-                    z = avg if s_avg < s_cur else state
-                    zh = _host_point(z)
-                    dx = float(np.linalg.norm(zh[0] - z_restart[0]))
-                    dy = float(np.linalg.norm(zh[1] - z_restart[1]))
-                    if dx > 1e-30 and dy > 1e-30:
-                        # ω is the primal weight (diag_t scales with ω):
-                        # movement update uses Δx/Δy
-                        new = float(np.exp(0.5 * np.log(dx / dy)
-                                           + 0.5 * np.log(omega)))
-                        data = _rescale_steps(data, new / omega)
-                        omega = new
-                    state = {k: (v if k != "x3" else z["x"]) for k, v in
-                             z.items()}
-                    mu_restart = mu_c
-                    mu_last = np.inf
-                    z_restart = zh
+            if rstate is None:
+                # controller seeded with the KKT score of the initial
+                # point (device computation, no host fetch)
+                dt = data["c"].dtype
+                rstate = {
+                    "state": state,
+                    "omega": jnp.asarray(omega, dt),
+                    "mu_restart": sharded_kkt_score(data, state, mesh),
+                    "mu_last": jnp.asarray(np.inf, dt),
+                    "zx": state["x"],
+                }
+                if "y_eq" in state:
+                    rstate["zeq"] = state["y_eq"]
+                if "y_ineq" in state:
+                    rstate["zineq"] = state["y_ineq"]
+            rstate, metrics = sharded_cp_chunk_restart_device(
+                data, rstate, mesh, nsteps, period)
+            state = rstate["state"]
         else:
             state, metrics = sharded_cp_chunk(data, state, mesh, nsteps)
         niter += nsteps
+        if force_integer and bool(metrics["rounded_feasible"]):
+            er = float(metrics["energy_rounded"])
+            if er < best_integer_energy:
+                best_integer_energy = er
+                best_integer_solution = np.round(np.asarray(state["x"]))
         x_host = np.asarray(state["x"])  # forces the async chunk to finish
         elapsed = time.perf_counter() - start
         emit_callback(
@@ -661,6 +741,10 @@ def chambolle_pock_ppd_sharded(
     x_final = np.asarray(state["x"], np.float64)
     if inv_cols is not None:
         x_final = x_final[inv_cols]
+        if best_integer_solution is not None:
+            best_integer_solution = best_integer_solution[inv_cols]
+    if force_integer:
+        return x_final, best_integer_solution
     return x_final
 
 
@@ -673,10 +757,3 @@ def _rescale_steps(data, ratio):
             sys_["sigma"] = sys_["sigma"] / ratio
             data[name] = sys_
     return data
-
-
-def _host_point(state):
-    ys = [np.asarray(state[k]).ravel() for k in ("y_eq", "y_ineq")
-          if k in state]
-    return (np.asarray(state["x"]),
-            np.concatenate(ys) if ys else np.zeros(0))

@@ -81,7 +81,7 @@ def dispatch(
 
         return solve_scipy(
             lp, method, nb_iter=nb_iter, callback_func=callback_func,
-            start_time=start_time,
+            start_time=start_time, nb_iter_plot=nb_iter_plot,
         )
 
     if method == "chambolle_pock_ppd":
@@ -122,11 +122,6 @@ def dispatch(
             # multi-chip path: row-shard the constraint systems over the mesh
             from ..parallel.sharded_cp import chambolle_pock_ppd_sharded
 
-            if force_integer:
-                raise ValueError(
-                    "force_integer is not supported with mesh=: the "
-                    "best-integer tracking runs on the single-chip path"
-                )
             x = chambolle_pock_ppd_sharded(
                 lp_reduced.costsvector, a_eq_r,
                 lp_reduced.b_equalities if a_eq_r is not None else None,
@@ -136,10 +131,14 @@ def dispatch(
                 lp_reduced.lower_bounds, lp_reduced.upper_bounds, mesh,
                 nb_max_iter=nb_iter, nb_iter_plot=nb_iter_plot,
                 callback_func=back, max_time=max_time, x0=x0_r,
-                start_time=start_time,
+                start_time=start_time, force_integer=force_integer,
                 **({"dtype": dtype} if dtype is not None else {}),
                 **solver_kwargs,
             )
+            if force_integer:
+                x, _best = x
+                if _best is not None:
+                    x = _best
             return m_change @ x + shift
         x, _best = chambolle_pock_ppd(
             lp_reduced.costsvector,
@@ -180,6 +179,24 @@ def dispatch(
             callback_func(niter, x, float(lp.costsvector.dot(x)), 0.0,
                           kw.get("elapsed", 0.0), 0.0, 0.0)
 
+        mesh = solver_kwargs.pop("mesh", None)
+        if mesh is not None:
+            # multi-chip path: column-shard the standard-form system
+            from ..parallel.sharded_mehrotra import mpc_sol_sharded
+
+            _f, x, _y, _s, _n = mpc_sol_sharded(
+                lp_slack.a_equalities.tocsr(),
+                lp_slack.b_equalities,
+                lp_slack.costsvector,
+                mesh,
+                max_iter=nb_iter,
+                callback=mehrotra_cb,
+                dtype=dtype,
+                start_time=start_time,
+                max_time=max_time,
+                **solver_kwargs,
+            )
+            return m_change1 @ (m_change2 @ x + shift2) + shift1
         _f, x, _y, _s, _n = mpc_sol(
             lp_slack.a_equalities.tocsr(),
             lp_slack.b_equalities,

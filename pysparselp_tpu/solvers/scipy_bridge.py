@@ -1,10 +1,18 @@
-"""Bridge to scipy.optimize.linprog (reference ``SparseLP.py:1101-1132``).
+"""Bridge to scipy's LP solvers (reference ``SparseLP.py:1101-1132``).
 
 The reference used scipy's (long removed) ``simplex`` / ``interior-point``
-methods with per-iteration callbacks; modern scipy only ships HiGHS, which
-does not support callbacks.  We map ``scipy_simplex`` → ``highs-ds`` and
-``scipy_interior_point`` → ``highs-ipm`` and emit a single metrics point after
-the solve (same behavior the reference has for OSQP, ``SparseLP.py:1372-1373``).
+methods with per-iteration callbacks.  Modern scipy only ships HiGHS; the
+wrapper (``scipy.optimize.linprog``) has no callback and returns ``x = None``
+at iteration limits.  To restore the reference's convergence-curve contract
+this bridge drives the HiGHS object scipy vendors DIRECTLY
+(:mod:`~pysparselp_tpu.solvers.highs_bridge`): warm-started
+iteration-limited chunks emit one true curve point (iterations, objective,
+violations) per ``nb_iter_plot`` iterations.  ``scipy_simplex`` maps to the
+HiGHS simplex, ``scipy_interior_point`` to the HiGHS IPM.
+
+If the vendored module is unavailable, falls back to the wrapper
+(``highs-ds`` / ``highs-ipm``) and emits a single post-hoc metrics point
+(the reference's behavior for OSQP, ``SparseLP.py:1372-1373``).
 """
 
 from __future__ import annotations
@@ -20,7 +28,8 @@ _METHOD_MAP = {
 }
 
 
-def solve_scipy(lp, method, nb_iter=10000, callback_func=None, start_time=None):
+def solve_scipy(lp, method, nb_iter=10000, callback_func=None,
+                start_time=None, nb_iter_plot=10):
     if lp.b_lower is not None and lp.a_inequalities.shape[0] > 0 and not np.all(
         np.isinf(lp.b_lower) & (lp.b_lower < 0)
     ):
@@ -29,6 +38,15 @@ def solve_scipy(lp, method, nb_iter=10000, callback_func=None, start_time=None):
             "using convert_to_one_sided_inequality_system"
         )
     start = time.perf_counter() if start_time is None else start_time
+    try:
+        from .highs_bridge import solve_highs_curves
+
+        return solve_highs_curves(
+            lp, method, nb_iter=nb_iter, callback_func=callback_func,
+            start_time=start, nb_iter_plot=nb_iter_plot,
+        )
+    except ImportError:  # pragma: no cover - vendored highspy missing
+        pass
     a_ineq = lp.a_inequalities.tocsr() if lp.a_inequalities.shape[0] else None
     a_eq = lp.a_equalities.tocsr() if lp.a_equalities.shape[0] else None
     sol = scipy.optimize.linprog(

@@ -30,6 +30,11 @@ RUNS = {
     "admm2": dict(nb_iter=400, nb_iter_plot=100),
     "admm_blocks": dict(nb_iter=200, nb_iter_plot=50),
     "mehrotra": dict(nb_iter=100, nb_iter_plot=1),
+    # HiGHS-native curves (solvers/highs_bridge): one point per
+    # nb_iter_plot solver iterations, matching the reference's
+    # per-iteration scipy callback contract (SparseLP.py:1101-1132)
+    "scipy_simplex": dict(nb_iter=4000, nb_iter_plot=20),
+    "scipy_interior_point": dict(nb_iter=4000, nb_iter_plot=5),
 }
 
 

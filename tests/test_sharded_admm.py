@@ -6,6 +6,7 @@ import copy
 import numpy as np
 import pytest
 
+from pysparselp_tpu import SparseLP
 from pysparselp_tpu.parallel.mesh import default_mesh
 from pysparselp_tpu.utils.random_lp import generate_random_lp
 
@@ -70,15 +71,30 @@ def test_admm2_solves_to_optimum_on_mesh(problem):
 def test_mesh_dispatch_accepts_full_cp_option_surface(problem):
     """Every ChambollePockConfig option must reach the mesh path without
     TypeError (round-2 review finding: restart_period/save_problem crashed
-    it), and force_integer raises explicitly instead of silently ignoring."""
-    import pytest as _pytest
-
+    it)."""
     lp = problem
     x8, _ = lp.solve(method="chambolle_pock_ppd", mesh=default_mesh(8),
                      nb_iter=400, nb_iter_plot=200, restart="average",
                      restart_period=100, save_problem=False, theta=1.0,
                      stop_tol=1e-12)
     assert np.all(np.isfinite(x8))
-    with _pytest.raises(ValueError, match="force_integer"):
-        lp.solve(method="chambolle_pock_ppd", mesh=default_mesh(8),
-                 nb_iter=10, force_integer=True)
+
+
+def test_mesh_force_integer_matches_single_chip():
+    """The sharded chunk tracks the best feasible integer-rounded iterate
+    (feasibility pmax, energy psum over shards) — same answer as the
+    single-chip path on an integral-polytope matching LP."""
+    rng = np.random.RandomState(0)
+    nb = 6
+    cost = rng.rand(nb, nb)
+    lp = SparseLP()
+    ids = lp.add_variables_array((nb, nb), 0.0, 1.0, costs=cost)
+    lp.add_equality_constraints(ids, np.ones_like(cost), b=np.ones(nb))
+    lp.add_equality_constraints(ids.T, np.ones_like(cost), b=np.ones(nb))
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=20000,
+                  nb_iter_plot=1000, force_integer=True)
+    x1, _ = lp.solve(**kwargs)
+    x8, _ = lp.solve(mesh=default_mesh(8), **kwargs)
+    assert np.allclose(x8, np.round(x8))
+    assert lp.max_constraint_violation(x8) < 1e-9
+    np.testing.assert_allclose(x8, x1)
