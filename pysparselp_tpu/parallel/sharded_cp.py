@@ -55,6 +55,50 @@ def _chunk_tiles(a, row_lo, row_hi, dtype):
             np.asarray(rows_t))
 
 
+def _chunk_tiles_all(a, ndev, dtype, n):
+    """Vectorized all-shards dual-orientation block-ELL lowering.
+
+    One ``_build_tile_ell`` pass per orientation over the WHOLE matrix
+    (O(nnz) host work) instead of the round-2 per-device slice loop
+    (O(ndev·nnz)).  Shard heights are rounded to the kernel's
+    ``ROW_GROUP·128`` granularity so the global tile grid splits exactly
+    into per-shard grids; the transpose orientation stacks the per-shard
+    ``A_dᵀ`` blocks at tile-aligned row offsets and builds once (every
+    shard then shares one uniform tile count K — what ``_pad_k`` used to
+    re-establish after the fact).
+
+    Returns ``(tiles, cols, tiles_t, rows_t, rows_loc, m_pad)`` with a
+    leading mesh-axis dim on each array.
+    """
+    from ..ops.bsr_pallas import ROW_GROUP, _build_tile_ell
+
+    tm = 128
+    group = ROW_GROUP * tm
+    m = a.shape[0]
+    rows_loc = max(-(-m // ndev), 1)
+    rows_loc = -(-rows_loc // group) * group
+    m_pad = rows_loc * ndev
+    coo = scipy.sparse.coo_matrix(a)
+
+    a_pad = scipy.sparse.csr_matrix(
+        (coo.data, (coo.row, coo.col)), shape=(m_pad, n))
+    tiles_g, cols_g, _, _, _ = _build_tile_ell(a_pad, tm, tm, dtype)
+    tiles = np.asarray(tiles_g).reshape(
+        (ndev, rows_loc // tm) + tiles_g.shape[1:])
+    cols = np.asarray(cols_g).reshape(ndev, rows_loc // tm, -1)
+
+    n_tile = -(-max(n, 1) // group) * group
+    d_of = coo.row // rows_loc
+    bt = scipy.sparse.csr_matrix(
+        (coo.data, (d_of * n_tile + coo.col, coo.row - d_of * rows_loc)),
+        shape=(ndev * n_tile, rows_loc))
+    tiles_tg, rows_tg, _, _, _ = _build_tile_ell(bt, tm, tm, dtype)
+    tiles_t = np.asarray(tiles_tg).reshape(
+        (ndev, n_tile // tm) + tiles_tg.shape[1:])
+    rows_t = np.asarray(rows_tg).reshape(ndev, n_tile // tm, -1)
+    return tiles, cols, tiles_t, rows_t, rows_loc, m_pad
+
+
 def _pad_k(arrs_vals, arrs_idx, k_max):
     """Pad each device's tile count K to the max (zero tiles, col 0)."""
     out_v, out_i = [], []
@@ -101,33 +145,17 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
                         rows_loc=rows_loc)
         a = scipy.sparse.csr_matrix(a)
         m = a.shape[0]
-        rows_loc = -(-m // ndev)
-        m_pad = rows_loc * ndev
-        if m_pad != m:
-            a = scipy.sparse.vstack(
-                [a, scipy.sparse.csr_matrix((m_pad - m, n))]
-            ).tocsr()
-            b = np.concatenate([b, np.zeros(m_pad - m)])
-        tiles_l, cols_l, tiles_tl, rows_tl, bs = [], [], [], [], []
-        for d in range(ndev):
-            lo, hi = d * rows_loc, (d + 1) * rows_loc
-            tv, ci, tvt, ri = _chunk_tiles(a, lo, hi, dtype)
-            tiles_l.append(tv)
-            cols_l.append(ci)
-            tiles_tl.append(tvt)
-            rows_tl.append(ri)
-            bs.append(b[lo:hi])
-        tiles, cols = _pad_k(tiles_l, cols_l,
-                             max(t.shape[1] for t in tiles_l))
-        tiles_t, rows_t = _pad_k(tiles_tl, rows_tl,
-                                 max(t.shape[1] for t in tiles_tl))
+        tiles, cols, tiles_t, rows_t, rows_loc, m_pad = _chunk_tiles_all(
+            a, ndev, dtype, n)
+        bs = np.concatenate([b, np.zeros(m_pad - m)]).reshape(ndev,
+                                                              rows_loc)
         # per-row mask of real (non-padding) rows: exactly the global rows
         # < m.  (A genuine all-zero-coefficient row with nonzero b is still a
         # real constraint and must count in the violation metrics.)
         rm = (np.arange(m_pad) < m).astype(np.float64).reshape(ndev, rows_loc)
         return dict(
             tiles=tiles, cols=cols, tiles_t=tiles_t, rows_t=rows_t,
-            b=np.stack(bs), row_mask=rm, m=m, m_pad=m_pad,
+            b=bs, row_mask=rm, m=m, m_pad=m_pad,
             rows_loc=rows_loc,
         )
 
@@ -208,15 +236,16 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
 
 
 def _tiled_mv(tiles, cols, x, n_in, n_out):
-    """Local block-ELL SpMV: (T,K,128,128) tiles x (n_in,) -> (n_out,)."""
-    t_in = -(-n_in // 128)
-    x2d = jnp.zeros((t_in * 128,), tiles.dtype).at[:n_in].set(
-        x.astype(tiles.dtype)).reshape(t_in, 128)
-    y = jnp.einsum(
-        "rktm,rkt->rm", tiles, jnp.take(x2d, cols, axis=0),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y.reshape(-1)[:n_out]
+    """Local block-ELL SpMV: (T,K,128,128) tiles x (n_in,) -> (n_out,).
+
+    Dispatches through the shared BSR apply, so each shard runs the SAME
+    Pallas MXU kernel as the single-chip backend on TPU
+    (``ops/bsr_pallas._pallas_spmv``: scalar-prefetched tile-column ids,
+    x VMEM-resident) and the einsum reference contraction elsewhere —
+    shard shapes are uniform, which is all shard_map requires."""
+    from ..ops.bsr_pallas import _tiled_apply
+
+    return _tiled_apply(tiles, cols, x, n_in, n_out, 128).astype(x.dtype)
 
 
 def _local_matvec(sys_l, x, n):
@@ -657,7 +686,15 @@ def chambolle_pock_ppd_sharded(
             plan = (align_plan if align_plan is not None
                     else anchor_align([a_eq, a_one]))
             sys, _pe, _pi, col_pos = apply_align_embedding(plan, sys)
-            operator = "dia"
+            # per-shard DIA only when the dynamic-offset kernel's VMEM
+            # buffers fit on a real TPU (advisor r2: oversized replicated x
+            # or f64 must keep the tile layout, not die at Mosaic compile)
+            from .sharded_dia import sharded_dia_eligible
+
+            ndev = int(np.prod(list(mesh.shape.values())))
+            if sharded_dia_eligible([sys["a_eq"], sys["a_ineq"]], ndev,
+                                    dtype):
+                operator = "dia"
         elif choice == "rcm":
             sys, _pe, _pi, col_pos = apply_rcm_permutation(sys)
         if col_pos is not None:

@@ -34,12 +34,46 @@ import scipy.sparse
 import jax
 import jax.numpy as jnp
 
-from ..ops.dia_pallas import (LANE, _dia_matvec_pallas_dyn, kernel_layout,
-                              pad_vals_for_kernel)
+from ..ops.dia_pallas import (LANE, X_VMEM_BUDGET, _dia_matvec_pallas_dyn,
+                              kernel_layout, pad_vals_for_kernel)
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def sharded_dia_eligible(mats, ndev: int, dtype) -> bool:
+    """Whether every system can run the per-shard dynamic-offset DIA kernel.
+
+    The dyn kernel (:func:`~pysparselp_tpu.ops.dia_pallas._dia_matvec_pallas_dyn`)
+    keeps its padded x buffer fully VMEM-resident, sized from shapes alone:
+    forward reads the whole replicated x (≈ ``(n + 2·rows_loc)·4`` bytes),
+    the transpose its column window (≈ ``(rows_loc + 2·w)·4``).  On a real
+    TPU mesh an oversized buffer (or non-f32 compute) must fall back to the
+    tile layout instead of failing at Mosaic compile (advisor r2, medium).
+    Off-TPU the kernel always runs in interpreter mode — no constraints."""
+    if jax.default_backend() != "tpu":
+        return True
+    if np.dtype(dtype).itemsize != 4:
+        return False  # the dyn kernel computes in f32
+    for a in mats:
+        if a is None:
+            continue
+        a = scipy.sparse.csr_matrix(a)
+        m, n = a.shape
+        if a.nnz == 0:
+            continue
+        rows_loc = _cdiv(_cdiv(m, ndev), LANE) * LANE
+        coo = a.tocoo()
+        off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+        spread = int(off.max() - off.min())
+        w = min(rows_loc + _cdiv(spread, LANE) * LANE + LANE,
+                _cdiv(n, LANE) * LANE + LANE)
+        fwd_bytes = (n + 2 * rows_loc + 4 * LANE) * 4
+        t_bytes = (rows_loc + 2 * w + 4 * LANE) * 4
+        if max(fwd_bytes, t_bytes) > X_VMEM_BUDGET:
+            return False
+    return True
 
 
 def build_system_dia(a, b, ndev: int):
