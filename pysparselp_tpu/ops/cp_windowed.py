@@ -1,0 +1,319 @@
+"""Windowed whole-iteration fused Pallas kernel for CP-PPD on DIA operators.
+
+The fully-fused chunk kernel (:mod:`~pysparselp_tpu.ops.cp_fused`) requires
+the whole problem to stay VMEM-resident — grid LPs beyond ~2M rows exceed
+that.  Round 2 ran those through the row-windowed DIA SpMV plus ~10 XLA
+elementwise ops, which re-streams every vector (and two intermedate vectors)
+from HBM several times per iteration.
+
+This kernel runs ONE complete CP iteration in a single ``pallas_call`` over
+row windows, reading every input from HBM exactly once and writing the state
+exactly once — the streaming roofline for the iteration:
+
+* the position space is split into ``nw`` windows of ``W`` rows; window
+  ``g`` DMA-copies its slice of every vector plus a halo into VMEM
+  (``x``/``y`` also carry a guard band sized by the diagonal offset span);
+* inside VMEM it computes ``d = c + A'ᵀy``, the box-projected primal step,
+  over-relaxation, ``r = A'x₃ − b`` and the dual ascent — diagonal taps are
+  static sublane-shift + lane-rotate reads, exactly as in ``cp_fused``;
+* the halo is wide enough that the window INTERIOR is exact after ``K``
+  iterations even though values near the buffer edge go stale (standard
+  overlapped time-tiling; ``K = 1`` suffices for grid LPs, whose offset
+  span ~ 4·grid_side makes deeper tiling unprofitable);
+* arrays live in a padded layout with one full window of neutral zeros on
+  each side, so every window (and the grid's two pad steps) runs identical
+  code and the outputs can feed the next iteration directly — the
+  iteration loop is a ``lax.fori_loop`` over ``pallas_call``s with no
+  re-padding traffic in between.
+
+Reference context: this is the large-scale regime of the flagship solver's
+hot loop (``pysparselp/ChambollePockPPD.py:195-342``); the single-chip
+driver selects it when the problem outgrows the fully-fused kernel
+(``solvers/chambolle_pock.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cp_fused import _shift_read
+
+LANE = 128
+# VMEM budget for the window buffers (+ pipeline-managed output blocks)
+WINDOWED_VMEM_BUDGET = 13 * 1024 * 1024
+_MIN_WQ = 64          # below this the windows are all halo: not worth it
+
+# test hook: force interpreter mode off-TPU
+_FORCE_INTERPRET = False
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=1):
+    """Static window plan ``(Wq, Hq, Gq, nw)`` in sublane rows, or None.
+
+    ``Hq`` (halo) bounds the per-iteration garbage growth from the buffer
+    edges (both stencil spans per iteration); ``Gq`` (guard) covers the
+    largest single tap so every shifted read stays in-buffer.  ``Wq`` is
+    the largest interior that fits the VMEM budget."""
+    if not offsets or not offsets_t:
+        return None
+    min_o, max_o = min(offsets), max(offsets)
+    min_t, max_t = min(offsets_t), max(offsets_t)
+    g = max(abs(min_o), abs(max_o), abs(min_t), abs(max_t)) + 1
+    gq = _cdiv(g, LANE * 8) * 8
+    s = (max_o - min_o) + (max_t - min_t) + 2
+    hq = _cdiv(k_iters * s, LANE * 8) * 8
+    nd_all = len(offsets) + len(offsets_t)
+    # bytes per compute row Qc: 6 const vectors (f32) + both vals planes,
+    # plus 3 state buffers at Qb = Qc + 2·Gq, plus ~5 double-buffered
+    # (Wq,L) output blocks managed by the pipeline (bounded by Qc)
+    per_qc = LANE * (6 * 4 + nd_all * vals_itemsize + 3 * 4 + 5 * 8)
+    const = LANE * (3 * 4) * 2 * gq
+    qc = (WINDOWED_VMEM_BUDGET - const) // per_qc
+    qc = qc // 8 * 8
+    wq = qc - 2 * hq
+    if wq < _MIN_WQ:
+        return None
+    nw = _cdiv(max(n, m), wq * LANE)
+    return int(wq), int(hq), int(gq), int(nw)
+
+
+def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
+                     k_iters, theta, with_sums):
+    gpos = gq * LANE
+    base = gq + hq           # buffer row where the interior starts
+
+    def kernel(x_hbm, y_hbm, c_hbm, t_hbm, lb_hbm, ub_hbm, s_hbm, b_hbm,
+               vt_hbm, v_hbm, *rest):
+        if with_sums:
+            (x_out, x3_out, y_out, sx_out, sy_out,
+             xb, yb, x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb, sem) = rest
+        else:
+            (x_out, x3_out, y_out,
+             xb, yb, x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb, sem) = rest
+        g = pl.program_id(0)
+
+        @pl.when((g == 0) | (g == nw + 1))
+        def _():
+            # the two permanent pad windows: all-neutral zeros
+            x_out[:] = jnp.zeros_like(x_out)
+            x3_out[:] = jnp.zeros_like(x3_out)
+            y_out[:] = jnp.zeros_like(y_out)
+            if with_sums:
+                sx_out[:] = jnp.zeros_like(sx_out)
+                sy_out[:] = jnp.zeros_like(sy_out)
+
+        @pl.when((g > 0) & (g <= nw))
+        def _():
+            r0b = g * wq - hq - gq
+            r0c = g * wq - hq
+            dmas = []
+            for i, (src, dst, r0) in enumerate((
+                (x_hbm, xb, r0b), (y_hbm, yb, r0b),
+                (c_hbm, cb, r0c), (t_hbm, tb, r0c),
+                (lb_hbm, lbb, r0c), (ub_hbm, ubb, r0c),
+                (s_hbm, sb, r0c), (b_hbm, bb, r0c),
+            )):
+                d = pltpu.make_async_copy(
+                    src.at[pl.ds(r0, dst.shape[0])], dst, sem.at[i])
+                d.start()
+                dmas.append(d)
+            for i, (src, dst) in enumerate(((vt_hbm, vtb), (v_hbm, vb))):
+                d = pltpu.make_async_copy(
+                    src.at[:, pl.ds(r0c, qc), :], dst, sem.at[8 + i])
+                d.start()
+                dmas.append(d)
+            for d in dmas:
+                d.wait()
+            # x3 guard rows are never written by the update; zero once so
+            # edge reads see neutral values (their garbage stays within
+            # the halo shrink budget)
+            x3b[:gq] = jnp.zeros((gq, LANE), jnp.float32)
+            x3b[gq + qc:] = jnp.zeros_like(x3b[gq + qc:])
+            if with_sums:
+                sx_out[:] = jnp.zeros_like(sx_out)
+                sy_out[:] = jnp.zeros_like(sy_out)
+
+            for _k in range(k_iters):
+                d = cb[:]
+                for j, t in enumerate(offsets_t):
+                    tt = t + gpos
+                    d = d + vtb[j].astype(jnp.float32) * _shift_read(
+                        yb, tt // LANE, tt % LANE, qc)
+                x_cur = xb[gq:gq + qc]
+                x2 = jnp.clip(x_cur - tb[:] * d, lbb[:], ubb[:])
+                x3 = (1.0 + theta) * x2 - theta * x_cur
+                xb[gq:gq + qc] = x2
+                x3b[gq:gq + qc] = x3
+                r = -bb[:]
+                for j, t in enumerate(offsets):
+                    tt = t + gpos
+                    r = r + vb[j].astype(jnp.float32) * _shift_read(
+                        x3b, tt // LANE, tt % LANE, qc)
+                y_new = jnp.maximum(yb[gq:gq + qc] + sb[:] * r, 0.0)
+                yb[gq:gq + qc] = y_new
+                if with_sums:
+                    sx_out[:] += x2[hq:hq + wq]
+                    sy_out[:] += y_new[hq:hq + wq]
+
+            x_out[:] = xb[base:base + wq]
+            x3_out[:] = x3b[base:base + wq]
+            y_out[:] = yb[base:base + wq]
+
+    return kernel
+
+
+def _pad_rows_layout(vec, wq, qtot):
+    """(len,) vector -> (qtot, LANE) padded layout: one window of zeros on
+    the left, zeros through the right pad windows."""
+    out = jnp.zeros((qtot * LANE,), jnp.float32)
+    out = out.at[wq * LANE:wq * LANE + vec.shape[0]].set(
+        vec.astype(jnp.float32))
+    return out.reshape(qtot, LANE)
+
+
+def _pad_vals_layout(vals, ndiag, size, wq, qtot):
+    """Kernel-layout DIA vals (ndiag_pad, rows_pad) -> (ndiag, qtot, LANE)
+    in the padded window layout (true diagonals only)."""
+    q = _cdiv(size, LANE)
+    v = vals[:ndiag, :q * LANE].reshape(ndiag, q, LANE)
+    out = jnp.zeros((ndiag, qtot, LANE), vals.dtype)
+    return out.at[:, wq:wq + q, :].set(v)
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "theta_f",
+                                             "interpret", "with_sums"))
+def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
+                      with_sums=False):
+    """Run ``nsteps`` windowed-fused CP iterations; returns
+    ``(x, x3, y[, sum_x, sum_y])`` (sums accumulated over all iterations).
+    """
+    dia = prob.a_ineq
+    n, m = prob.n, prob.m_ineq
+    offsets, offsets_t = dia.offsets, dia.offsets_t
+    plan = window_layout(offsets, offsets_t, n, m,
+                         dia.vals.dtype.itemsize)
+    assert plan is not None, "caller must check cp_windowed_eligible"
+    wq, hq, gq, nw = plan
+    qc = wq + 2 * hq
+    qb = qc + 2 * gq
+    qtot = (nw + 2) * wq
+
+    xp = _pad_rows_layout(x, wq, qtot)
+    yp = _pad_rows_layout(y, wq, qtot)
+    cp_ = _pad_rows_layout(prob.c, wq, qtot)
+    tp = _pad_rows_layout(pre["diag_t"], wq, qtot)
+    lbp = _pad_rows_layout(prob.lb, wq, qtot)
+    ubp = _pad_rows_layout(prob.ub, wq, qtot)
+    sp = _pad_rows_layout(pre["sigma_ineq"], wq, qtot)
+    bp = _pad_rows_layout(prob.b_upper, wq, qtot)
+    vtp = _pad_vals_layout(dia.vals_t, len(offsets_t), n, wq, qtot)
+    vp = _pad_vals_layout(dia.vals, len(offsets), m, wq, qtot)
+
+    i32 = jnp.int32
+    n_out = 5 if with_sums else 3
+    iv = dia.vals.dtype.itemsize
+    call = pl.pallas_call(
+        _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
+                         1, theta_f, with_sums),
+        grid=(nw + 2,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
+        out_specs=[pl.BlockSpec((wq, LANE), lambda g: (i32(g), i32(0)))
+                   ] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((qtot, LANE), jnp.float32)
+                   ] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((qb, LANE), jnp.float32),      # xb
+            pltpu.VMEM((qb, LANE), jnp.float32),      # yb
+            pltpu.VMEM((qb, LANE), jnp.float32),      # x3b
+            pltpu.VMEM((qc, LANE), jnp.float32),      # cb
+            pltpu.VMEM((qc, LANE), jnp.float32),      # tb (diag_t)
+            pltpu.VMEM((qc, LANE), jnp.float32),      # lbb
+            pltpu.VMEM((qc, LANE), jnp.float32),      # ubb
+            pltpu.VMEM((qc, LANE), jnp.float32),      # sb (sigma)
+            pltpu.VMEM((qc, LANE), jnp.float32),      # bb
+            pltpu.VMEM((len(offsets_t), qc, LANE), dia.vals_t.dtype),
+            pltpu.VMEM((len(offsets), qc, LANE), dia.vals.dtype),
+            pltpu.SemaphoreType.DMA((10,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (vtp.size + vp.size),
+            bytes_accessed=(vtp.size + vp.size) * iv
+            + 8 * qtot * LANE * 4 + n_out * qtot * LANE * 4,
+            transcendentals=0,
+        ),
+    )
+
+    consts = (cp_, tp, lbp, ubp, sp, bp, vtp, vp)
+    if with_sums:
+        def body(_, carry):
+            xc, yc, sx, sy = carry
+            xn, _x3, yn, sxk, syk = call(xc, yc, *consts)
+            return xn, yn, sx + sxk, sy + syk
+
+        zero = jnp.zeros((qtot, LANE), jnp.float32)
+        xpn, ypn, sx, sy = jax.lax.fori_loop(
+            0, nsteps - 1, body, (xp, yp, zero, zero))
+        xpn, x3p, ypn, sxk, syk = call(xpn, ypn, *consts)
+        sx = sx + sxk
+        sy = sy + syk
+    else:
+        def body(_, carry):
+            xc, yc = carry
+            xn, _x3, yn = call(xc, yc, *consts)
+            return xn, yn
+
+        xpn, ypn = jax.lax.fori_loop(0, nsteps - 1, body, (xp, yp))
+        xpn, x3p, ypn = call(xpn, ypn, *consts)
+
+    dt = x.dtype
+
+    def unpad(v, size):
+        return v.reshape(-1)[wq * LANE:wq * LANE + size].astype(dt)
+
+    res = (unpad(xpn, n), unpad(x3p, n), unpad(ypn, m))
+    if with_sums:
+        res += (unpad(sx, n), unpad(sy, m))
+    return res
+
+
+def cp_windowed_eligible(prob, dtype) -> bool:
+    """Inequality-only DIA problems beyond the fully-fused VMEM budget
+    whose offset span admits a windowed plan."""
+    from ..problem import DiaMatrix
+
+    if prob.a_eq is not None or prob.a_ineq is None:
+        return False
+    if not isinstance(prob.a_ineq, DiaMatrix):
+        return False
+    if prob.a_ineq.vals.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    dia = prob.a_ineq
+    if not dia.offsets or not dia.offsets_t:
+        return False
+    plan = window_layout(dia.offsets, dia.offsets_t, prob.n, prob.m_ineq,
+                         dia.vals.dtype.itemsize)
+    if plan is None:
+        return False
+    if _FORCE_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def cp_windowed_chunk(prob, pre, state, nsteps: int, theta: float):
+    """Run ``nsteps`` windowed-fused CP iterations; returns the new
+    (x, x3, y_eq, y_ineq) state tuple (eligibility requires ineq-only)."""
+    x, _x3, y_eq, y_ineq = state
+    interpret = jax.default_backend() != "tpu"
+    x_n, x3_n, y_n = _cp_windowed_call(prob, pre, x, y_ineq, nsteps,
+                                       float(theta), interpret=interpret)
+    return (x_n, x3_n, y_eq, y_n)

@@ -171,6 +171,14 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
                 interpret=jax.default_backend() != "tpu", with_sums=True)
             state = (x_n, x3_n, state[2], y_n)
             se = jnp.zeros_like(state[2])
+        elif use_fused == "windowed":
+            from ..ops.cp_windowed import _cp_windowed_call
+
+            x_n, x3_n, y_n, sx, si = _cp_windowed_call(
+                prob, pre, state[0], state[3], period, theta_f,
+                interpret=jax.default_backend() != "tpu", with_sums=True)
+            state = (x_n, x3_n, state[2], y_n)
+            se = jnp.zeros_like(state[2])
         elif use_fused == "dense":
             from ..ops.cp_fused import _cp_dense_fused_call
 
@@ -240,6 +248,14 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
 
             s = rstate["state"]
             x_n, x3_n, y_n = _cp_fused_call(
+                prob, pre, s[0], s[3], rem, theta_f,
+                interpret=jax.default_backend() != "tpu")
+            state = (x_n, x3_n, s[2], y_n)
+        elif use_fused == "windowed":
+            from ..ops.cp_windowed import _cp_windowed_call
+
+            s = rstate["state"]
+            x_n, x3_n, y_n = _cp_windowed_call(
                 prob, pre, s[0], s[3], rem, theta_f,
                 interpret=jax.default_backend() != "tpu")
             state = (x_n, x3_n, s[2], y_n)
@@ -599,11 +615,16 @@ def chambolle_pock_ppd(
     from ..ops.cp_fused import (cp_dense_fused_chunk,
                                 cp_dense_fused_eligible, cp_fused_chunk,
                                 cp_fused_eligible)
+    from ..ops.cp_windowed import cp_windowed_chunk, cp_windowed_eligible
 
     if cp_fused_eligible(prob, dtype):
         use_fused = "dia"
     elif cp_dense_fused_eligible(prob, dtype):
         use_fused = "dense"
+    elif cp_windowed_eligible(prob, dtype):
+        # beyond the fully-fused VMEM budget: windowed whole-iteration
+        # kernel (ops/cp_windowed) — every input read once per iteration
+        use_fused = "windowed"
     else:
         use_fused = None
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
@@ -619,8 +640,9 @@ def chambolle_pock_ppd(
                 done += sub
             state = rstate["state"]
         elif use_fused:
-            chunk_fn = (cp_fused_chunk if use_fused == "dia"
-                        else cp_dense_fused_chunk)
+            chunk_fn = {"dia": cp_fused_chunk,
+                        "dense": cp_dense_fused_chunk,
+                        "windowed": cp_windowed_chunk}[use_fused]
             done = 0
             while done < nsteps:
                 sub = min(cap, nsteps - done)

@@ -1,0 +1,106 @@
+"""Windowed whole-iteration fused CP kernel (ops/cp_windowed) vs the
+unfused reference iteration, in Pallas interpreter mode with the VMEM
+budget shrunk so several windows + halos are exercised."""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+import jax
+import jax.numpy as jnp
+
+from pysparselp_tpu.ops import cp_windowed as cw
+from pysparselp_tpu.problem import DiaMatrix, LPProblem
+from pysparselp_tpu.solvers.chambolle_pock import _cp_iteration
+
+OFFSETS = (-3, 0, 5, 130)
+
+
+def _dia_problem(n=20000, seed=0):
+    rng = np.random.RandomState(seed)
+    mats = [rng.rand(n) * 2 - 1 for _ in OFFSETS]
+    a = scipy.sparse.diags(mats, OFFSETS, shape=(n, n)).tocsr()
+    dia = DiaMatrix.from_scipy(a, dtype=jnp.float32)
+    f32 = jnp.float32
+    prob = LPProblem(
+        c=jnp.asarray(rng.rand(n), f32),
+        lb=jnp.asarray(np.zeros(n), f32),
+        ub=jnp.asarray(np.ones(n) * 2, f32),
+        a_eq=None, b_eq=None,
+        a_ineq=dia, b_lower=None,
+        b_upper=jnp.asarray(rng.rand(n) * 2, f32),
+        n=n, m_eq=0, m_ineq=n,
+    )
+    pre = dict(
+        diag_t=jnp.asarray(rng.rand(n) * 0.1 + 0.01, f32),
+        theta=jnp.asarray(1.0, f32),
+        sigma_ineq=jnp.asarray(rng.rand(n) * 0.1 + 0.01, f32),
+    )
+    x0 = jnp.asarray(rng.rand(n), f32)
+    y0 = jnp.asarray(rng.rand(n) * 0.1, f32)
+    return prob, pre, x0, y0
+
+
+@pytest.fixture()
+def small_windows(monkeypatch):
+    # shrink the budget so the 20k-position problem needs several windows
+    monkeypatch.setattr(cw, "WINDOWED_VMEM_BUDGET", 1024 * 1024)
+    monkeypatch.setattr(cw, "_MIN_WQ", 32)
+
+
+def _reference(prob, pre, x0, y0, nsteps):
+    state = (x0, x0, jnp.zeros(0, jnp.float32), y0)
+    for _ in range(nsteps):
+        state = _cp_iteration(prob, pre, state)
+    return state
+
+
+def test_window_layout_plans_multiple_windows(small_windows):
+    prob, pre, x0, y0 = _dia_problem()
+    plan = cw.window_layout(prob.a_ineq.offsets, prob.a_ineq.offsets_t,
+                            prob.n, prob.m_ineq, 4)
+    assert plan is not None
+    wq, hq, gq, nw = plan
+    assert nw >= 3, plan
+    assert wq >= hq + gq  # windows must cover their own halo+guard
+
+
+def test_cp_windowed_matches_reference(small_windows):
+    prob, pre, x0, y0 = _dia_problem()
+    nsteps = 5
+    x_r, x3_r, _ye, y_r = _reference(prob, pre, x0, y0, nsteps)
+    x_w, x3_w, y_w = cw._cp_windowed_call(prob, pre, x0, y0, nsteps, 1.0,
+                                          interpret=True)
+    np.testing.assert_allclose(x_w, x_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(x3_w, x3_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(y_w, y_r, rtol=2e-5, atol=2e-5)
+
+
+def test_cp_windowed_sums(small_windows):
+    """with_sums accumulates the per-iteration primal/dual sums the PDLP
+    restart-to-average controller consumes."""
+    prob, pre, x0, y0 = _dia_problem(seed=3)
+    nsteps = 4
+    sx_ref = np.zeros(prob.n)
+    sy_ref = np.zeros(prob.m_ineq)
+    state = (x0, x0, jnp.zeros(0, jnp.float32), y0)
+    for _ in range(nsteps):
+        state = _cp_iteration(prob, pre, state)
+        sx_ref += np.asarray(state[0], np.float64)
+        sy_ref += np.asarray(state[3], np.float64)
+    x_w, _x3, y_w, sx, sy = cw._cp_windowed_call(
+        prob, pre, x0, y0, nsteps, 1.0, interpret=True, with_sums=True)
+    np.testing.assert_allclose(sx, sx_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(sy, sy_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cp_windowed_eligibility_gate():
+    """Eligibility: ineq-only DIA beyond the fused budget; the driver must
+    not select the windowed path off-TPU without the force hook."""
+    prob, pre, x0, y0 = _dia_problem()
+    assert not cw.cp_windowed_eligible(prob, jnp.float32)  # off-TPU
+    try:
+        cw._FORCE_INTERPRET = True
+        assert cw.cp_windowed_eligible(prob, jnp.float32)
+    finally:
+        cw._FORCE_INTERPRET = False
