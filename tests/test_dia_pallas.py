@@ -121,7 +121,19 @@ def test_operator_cost_bytes_regimes():
     dia_big = pr.DiaMatrix.from_scipy(big, dtype=jnp.float32,
                                       allow_bf16=False)
     cost_big = operator_cost_bytes(dia_big)
-    assert cost_big == dia_big.nnz_padded * (4 + 12)
+    # x beyond the fused VMEM budget but offset spread 0: the row-windowed
+    # Pallas regime applies (its own pricing tier, r3)
+    from pysparselp_tpu.problem import DIA_WINDOWED_COST_PER_ENTRY
+
+    assert cost_big == dia_big.nnz_padded * DIA_WINDOWED_COST_PER_ENTRY
+
+    # spread beyond the window budget: the XLA shift-loop pricing applies
+    big_spread = scipy.sparse.diags(
+        [np.ones(big_n), np.ones(big_n - 3_000_000)], [0, 3_000_000],
+        shape=(big_n, big_n)).tocsr()
+    dia_bs = pr.DiaMatrix.from_scipy(big_spread, dtype=jnp.float32,
+                                     allow_bf16=False)
+    assert operator_cost_bytes(dia_bs) == dia_bs.nnz_padded * (4 + 12)
 
 
 def test_windowed_path_matches_scipy(monkeypatch):
