@@ -44,8 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .cp_fused import _shift_read
 
 LANE = 128
-# VMEM budget for the window buffers (+ pipeline-managed output blocks)
-WINDOWED_VMEM_BUDGET = 13 * 1024 * 1024
+# VMEM budget for the window buffers.  Leaves ~5.5 MB of the 16 MB VMEM
+# for the double-buffered output blocks and Mosaic's stack temporaries
+# (each shift-read materializes a (qc, 2·LANE) concat before the rotate) —
+# measured: a 13 MB budget compiled to a 16.41 MB scoped allocation
+WINDOWED_VMEM_BUDGET = 10 * 1024 * 1024
 _MIN_WQ = 64          # below this the windows are all halo: not worth it
 
 # test hook: force interpreter mode off-TPU
@@ -69,14 +72,17 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=1):
     min_t, max_t = min(offsets_t), max(offsets_t)
     g = max(abs(min_o), abs(max_o), abs(min_t), abs(max_t)) + 1
     gq = _cdiv(g, LANE * 8) * 8
-    s = (max_o - min_o) + (max_t - min_t) + 2
+    # per-iteration dependence RADIUS (one chained application of both
+    # stencils, per side) — not the sum of both spans on both sides
+    s = max(max_o + max_t, -(min_o + min_t), 1) + 2
     hq = _cdiv(k_iters * s, LANE * 8) * 8
     nd_all = len(offsets) + len(offsets_t)
-    # bytes per compute row Qc: 6 const vectors (f32) + both vals planes,
-    # plus 3 state buffers at Qb = Qc + 2·Gq, plus ~5 double-buffered
-    # (Wq,L) output blocks managed by the pipeline (bounded by Qc)
-    per_qc = LANE * (6 * 4 + nd_all * vals_itemsize + 3 * 4 + 5 * 8)
-    const = LANE * (3 * 4) * 2 * gq
+    # bytes per compute row Qc: 6 const vectors (f32) + both vals planes
+    # plus 3 state buffers at Qb = Qc + 2·Gq — all DOUBLE-BUFFERED (next
+    # window's DMAs overlap the current window's compute) — plus ~5
+    # pipeline-managed (Wq,L) output blocks (bounded by Qc)
+    per_qc = LANE * ((6 * 4 + nd_all * vals_itemsize + 3 * 4) * 2 + 5 * 8)
+    const = LANE * (3 * 4) * 2 * gq * 2
     qc = (WINDOWED_VMEM_BUDGET - const) // per_qc
     qc = qc // 8 * 8
     wq = qc - 2 * hq
@@ -87,34 +93,32 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=1):
 
 
 def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
-                     k_iters, theta, with_sums):
+                     k_iters, theta, with_sums, emit_x3):
     gpos = gq * LANE
     base = gq + hq           # buffer row where the interior starts
 
     def kernel(x_hbm, y_hbm, c_hbm, t_hbm, lb_hbm, ub_hbm, s_hbm, b_hbm,
                vt_hbm, v_hbm, *rest):
-        if with_sums:
-            (x_out, x3_out, y_out, sx_out, sy_out,
-             xb, yb, x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb, sem) = rest
-        else:
-            (x_out, x3_out, y_out,
-             xb, yb, x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb, sem) = rest
+        it = iter(rest)
+        x_out = next(it)
+        x3_out = next(it) if emit_x3 else None
+        y_out = next(it)
+        sx_out = next(it) if with_sums else None
+        sy_out = next(it) if with_sums else None
+        rest = tuple(it)
+        bufs = (rest[0:11], rest[11:22])   # double-buffered window slots
+        sem = rest[22]                      # DMA semaphores, (2, 10)
         g = pl.program_id(0)
 
-        @pl.when((g == 0) | (g == nw + 1))
-        def _():
-            # the two permanent pad windows: all-neutral zeros
-            x_out[:] = jnp.zeros_like(x_out)
-            x3_out[:] = jnp.zeros_like(x3_out)
-            y_out[:] = jnp.zeros_like(y_out)
-            if with_sums:
-                sx_out[:] = jnp.zeros_like(sx_out)
-                sy_out[:] = jnp.zeros_like(sy_out)
-
-        @pl.when((g > 0) & (g <= nw))
-        def _():
-            r0b = g * wq - hq - gq
-            r0c = g * wq - hq
+        def window_dmas(gw, bset, p):
+            """The 10 HBM→VMEM copies for window ``gw`` into slot ``p``
+            (window slot = gw % 2; reconstructable for start AND wait).
+            wq/hq/gq are 8-multiples by construction, but Mosaic cannot
+            prove dynamic slice starts divisible by the sublane tiling on
+            its own — hint it."""
+            xb, yb, _x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb = bset
+            r0b = pl.multiple_of(gw * wq - hq - gq, 8)
+            r0c = pl.multiple_of(gw * wq - hq, 8)
             dmas = []
             for i, (src, dst, r0) in enumerate((
                 (x_hbm, xb, r0b), (y_hbm, yb, r0b),
@@ -122,22 +126,37 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
                 (lb_hbm, lbb, r0c), (ub_hbm, ubb, r0c),
                 (s_hbm, sb, r0c), (b_hbm, bb, r0c),
             )):
-                d = pltpu.make_async_copy(
-                    src.at[pl.ds(r0, dst.shape[0])], dst, sem.at[i])
-                d.start()
-                dmas.append(d)
+                dmas.append(pltpu.make_async_copy(
+                    src.at[pl.ds(r0, dst.shape[0])], dst, sem.at[p, i]))
             for i, (src, dst) in enumerate(((vt_hbm, vtb), (v_hbm, vb))):
-                d = pltpu.make_async_copy(
-                    src.at[:, pl.ds(r0c, qc), :], dst, sem.at[8 + i])
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(r0c, qc), :], dst, sem.at[p, 8 + i]))
+            return dmas
+
+        @pl.when(g == 0)
+        def _():
+            # pipeline warm-up: window 1's loads land in slot 1
+            for d in window_dmas(1, bufs[1], 1):
                 d.start()
-                dmas.append(d)
-            for d in dmas:
-                d.wait()
+
+        @pl.when((g == 0) | (g == nw + 1))
+        def _():
+            # the two permanent pad windows: all-neutral zeros
+            x_out[:] = jnp.zeros_like(x_out)
+            if emit_x3:
+                x3_out[:] = jnp.zeros_like(x3_out)
+            y_out[:] = jnp.zeros_like(y_out)
+            if with_sums:
+                sx_out[:] = jnp.zeros_like(sx_out)
+                sy_out[:] = jnp.zeros_like(sy_out)
+
+        def compute(bset):
+            xb, yb, x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb = bset
             # x3 guard rows are never written by the update; zero once so
             # edge reads see neutral values (their garbage stays within
             # the halo shrink budget)
             x3b[:gq] = jnp.zeros((gq, LANE), jnp.float32)
-            x3b[gq + qc:] = jnp.zeros_like(x3b[gq + qc:])
+            x3b[gq + qc:] = jnp.zeros((gq, LANE), jnp.float32)
             if with_sums:
                 sx_out[:] = jnp.zeros_like(sx_out)
                 sy_out[:] = jnp.zeros_like(sy_out)
@@ -165,8 +184,24 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
                     sy_out[:] += y_new[hq:hq + wq]
 
             x_out[:] = xb[base:base + wq]
-            x3_out[:] = x3b[base:base + wq]
+            if emit_x3:
+                x3_out[:] = x3b[base:base + wq]
             y_out[:] = yb[base:base + wq]
+
+        for par in (0, 1):
+            @pl.when((g > 0) & (g <= nw)
+                     & (jax.lax.rem(g, jnp.int32(2)) == jnp.int32(par)))
+            def _(par=par):
+                # start the NEXT window's loads into the other slot before
+                # blocking on this window's — the DMA engines stream the
+                # next slices while the VPU computes this one
+                @pl.when(g + 1 <= nw)
+                def _():
+                    for d in window_dmas(g + 1, bufs[1 - par], 1 - par):
+                        d.start()
+                for d in window_dmas(g, bufs[par], par):
+                    d.wait()
+                compute(bufs[par])
 
     return kernel
 
@@ -219,61 +254,81 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
     vp = _pad_vals_layout(dia.vals, len(offsets), m, wq, qtot)
 
     i32 = jnp.int32
-    n_out = 5 if with_sums else 3
     iv = dia.vals.dtype.itemsize
-    call = pl.pallas_call(
-        _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
-                         1, theta_f, with_sums),
-        grid=(nw + 2,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
-        out_specs=[pl.BlockSpec((wq, LANE), lambda g: (i32(g), i32(0)))
-                   ] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((qtot, LANE), jnp.float32)
-                   ] * n_out,
-        scratch_shapes=[
-            pltpu.VMEM((qb, LANE), jnp.float32),      # xb
-            pltpu.VMEM((qb, LANE), jnp.float32),      # yb
-            pltpu.VMEM((qb, LANE), jnp.float32),      # x3b
-            pltpu.VMEM((qc, LANE), jnp.float32),      # cb
-            pltpu.VMEM((qc, LANE), jnp.float32),      # tb (diag_t)
-            pltpu.VMEM((qc, LANE), jnp.float32),      # lbb
-            pltpu.VMEM((qc, LANE), jnp.float32),      # ubb
-            pltpu.VMEM((qc, LANE), jnp.float32),      # sb (sigma)
-            pltpu.VMEM((qc, LANE), jnp.float32),      # bb
-            pltpu.VMEM((len(offsets_t), qc, LANE), dia.vals_t.dtype),
-            pltpu.VMEM((len(offsets), qc, LANE), dia.vals.dtype),
-            pltpu.SemaphoreType.DMA((10,)),
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * (vtp.size + vp.size),
-            bytes_accessed=(vtp.size + vp.size) * iv
-            + 8 * qtot * LANE * 4 + n_out * qtot * LANE * 4,
-            transcendentals=0,
-        ),
-    )
+
+    def make_call(emit_x3):
+        n_out = (1 + int(emit_x3) + 1) + (2 if with_sums else 0)
+        return pl.pallas_call(
+            _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
+                             1, theta_f, with_sums, emit_x3),
+            grid=(nw + 2,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
+            out_specs=[pl.BlockSpec((wq, LANE),
+                                    lambda g: (i32(g), i32(0)))] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((qtot, LANE), jnp.float32)
+                       ] * n_out,
+            scratch_shapes=[
+                # two full window-buffer slots (double-buffered DMA):
+                # xb, yb, x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb per slot
+                pltpu.VMEM((qb, LANE), jnp.float32),
+                pltpu.VMEM((qb, LANE), jnp.float32),
+                pltpu.VMEM((qb, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((len(offsets_t), qc, LANE), dia.vals_t.dtype),
+                pltpu.VMEM((len(offsets), qc, LANE), dia.vals.dtype),
+                pltpu.VMEM((qb, LANE), jnp.float32),
+                pltpu.VMEM((qb, LANE), jnp.float32),
+                pltpu.VMEM((qb, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((qc, LANE), jnp.float32),
+                pltpu.VMEM((len(offsets_t), qc, LANE), dia.vals_t.dtype),
+                pltpu.VMEM((len(offsets), qc, LANE), dia.vals.dtype),
+                pltpu.SemaphoreType.DMA((2, 10)),
+            ],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * (vtp.size + vp.size),
+                bytes_accessed=(vtp.size + vp.size) * iv
+                + 8 * qtot * LANE * 4 + n_out * qtot * LANE * 4,
+                transcendentals=0,
+            ),
+        )
+
+    # the loop body never needs x3 (it is derived state); only the final
+    # call emits it — saves one full vector write per iteration
+    call = make_call(False)
+    call_x3 = make_call(True)
 
     consts = (cp_, tp, lbp, ubp, sp, bp, vtp, vp)
     if with_sums:
         def body(_, carry):
             xc, yc, sx, sy = carry
-            xn, _x3, yn, sxk, syk = call(xc, yc, *consts)
+            xn, yn, sxk, syk = call(xc, yc, *consts)
             return xn, yn, sx + sxk, sy + syk
 
         zero = jnp.zeros((qtot, LANE), jnp.float32)
         xpn, ypn, sx, sy = jax.lax.fori_loop(
             0, nsteps - 1, body, (xp, yp, zero, zero))
-        xpn, x3p, ypn, sxk, syk = call(xpn, ypn, *consts)
+        xpn, x3p, ypn, sxk, syk = call_x3(xpn, ypn, *consts)
         sx = sx + sxk
         sy = sy + syk
     else:
         def body(_, carry):
             xc, yc = carry
-            xn, _x3, yn = call(xc, yc, *consts)
+            xn, yn = call(xc, yc, *consts)
             return xn, yn
 
         xpn, ypn = jax.lax.fori_loop(0, nsteps - 1, body, (xp, yp))
-        xpn, x3p, ypn = call(xpn, ypn, *consts)
+        xpn, x3p, ypn = call_x3(xpn, ypn, *consts)
 
     dt = x.dtype
 
@@ -299,6 +354,15 @@ def cp_windowed_eligible(prob, dtype) -> bool:
         return False
     dia = prob.a_ineq
     if not dia.offsets or not dia.offsets_t:
+        return False
+    from .dia_pallas import dia_use_pallas
+
+    if dia_use_pallas(dia.vals, dia.offsets, prob.n, prob.m_ineq,
+                      dia.vals.dtype):
+        # x fits the per-op kernel's VMEM residency: the per-op fused-x
+        # SpMV path beats the windowed kernel there (measured at
+        # Potts-300: 9.1k it/s per-op vs 7.6k windowed — the windows
+        # re-stream a 27% halo and serialize DMA against compute)
         return False
     plan = window_layout(dia.offsets, dia.offsets_t, prob.n, prob.m_ineq,
                          dia.vals.dtype.itemsize)

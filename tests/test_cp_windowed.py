@@ -44,7 +44,7 @@ def _dia_problem(n=20000, seed=0):
 @pytest.fixture()
 def small_windows(monkeypatch):
     # shrink the budget so the 20k-position problem needs several windows
-    monkeypatch.setattr(cw, "WINDOWED_VMEM_BUDGET", 1024 * 1024)
+    monkeypatch.setattr(cw, "WINDOWED_VMEM_BUDGET", 2 * 1024 * 1024)
     monkeypatch.setattr(cw, "_MIN_WQ", 32)
 
 
