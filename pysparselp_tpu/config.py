@@ -139,6 +139,7 @@ class DualGradientAscentConfig(SolverConfig):
     y_ineq: typing.Any = None
     seed: int = 0
     stop_tol: float | None = None
+    mesh: typing.Any = None             # row-sharded ascent
 
 
 @dataclasses.dataclass(frozen=True)

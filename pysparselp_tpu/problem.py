@@ -768,10 +768,12 @@ DIA_AUTO_MAX_OFFSETS = 512
 DIA_REREAD_BYTES = 12                 # accumulator rmw + x slice, per entry
 DIA_OP_OVERHEAD_BYTES = 80_000
 DIA_PALLAS_COST_PER_ENTRY = 9         # measured effective bytes (op-bound)
-# row-windowed Pallas kernel (x beyond the VMEM budget, small offset
-# spread): streams x/vals per window with per-window launch overhead —
-# measured slower than the fused regime but far from the XLA shift loop
-DIA_WINDOWED_COST_PER_ENTRY = 24
+# windowed fused-iteration regime (x beyond the VMEM budget, offset
+# spread admits windows): calibrated r3 on Potts-1000 (972 µs/iter over
+# 128M padded entries = 4.6 equivalent bytes/entry at the 600 GB/s rate);
+# 8 leaves margin for worse halo fractions so a dispatch never outruns
+# the ~1 s budget
+DIA_WINDOWED_COST_PER_ENTRY = 8
 DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024   # ~256 MB f32
 BSR_AUTO_MAX_ENTRIES = 128 * 1024 * 1024
 # gather-ELL effective bytes per nnz per direction pair: TPU gathers are

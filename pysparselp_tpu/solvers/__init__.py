@@ -246,6 +246,19 @@ def dispatch(
     if method == "dual_gradient_ascent":
         from .dual_ascent import dual_gradient_ascent
 
+        mesh = solver_kwargs.pop("mesh", None)
+        if mesh is not None:
+            from ..parallel.sharded_dga import dual_gradient_ascent_sharded
+
+            x, _y_eq, _y_ineq = dual_gradient_ascent_sharded(
+                x0, lp, mesh, nb_max_iter=nb_iter,
+                callback_func=callback_func,
+                y_eq=solver_kwargs.pop("y_eq", None),
+                y_ineq=solver_kwargs.pop("y_ineq", None),
+                max_time=max_time, nb_iter_plot=nb_iter_plot, dtype=dtype,
+                start_time=start_time, **solver_kwargs,
+            )
+            return x
         x, _y_eq, _y_ineq = dual_gradient_ascent(
             x=x0, lp=lp, nb_max_iter=nb_iter, callback_func=callback_func,
             y_eq=solver_kwargs.pop("y_eq", None),

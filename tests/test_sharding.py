@@ -314,3 +314,36 @@ def test_sharded_dia_eligibility_gate(monkeypatch):
     assert sharded_dia_eligible([small, None], 8, np.float32)
     assert not sharded_dia_eligible([small, big], 8, np.float32)
     assert not sharded_dia_eligible([small, None], 8, np.float64)
+
+
+def test_sharded_dual_gradient_ascent_matches_single_chip(problem):
+    """Row-sharded DGA (2-4 psums/iter, replicated exact line search).
+
+    Short horizon: exact trajectory match (pins the sharded math — the
+    psum reductions reproduce the single-chip reduced costs/directions).
+    Long horizon: equal-quality bar only, because the exact line search's
+    breakpoint sort is razor-edge discontinuous — a last-ulp difference
+    from reduction reassociation eventually flips one breakpoint and the
+    (equally valid) ascent paths diverge."""
+    lp = problem
+    mesh = default_mesh(8)
+    for it in (1, 2):
+        lp.solve(method="dual_gradient_ascent", nb_iter=it,
+                 nb_iter_plot=it)
+        e1 = lp.dobj_curve[-1]
+        lp.solve(method="dual_gradient_ascent", nb_iter=it,
+                 nb_iter_plot=it, mesh=mesh)
+        e8 = lp.dobj_curve[-1]
+        np.testing.assert_allclose(e8, e1, rtol=1e-12)
+
+    ref = lp.solve(method="scipy_simplex", get_timing=False)
+    opt = float(lp.costsvector @ ref)
+    lp.solve(method="dual_gradient_ascent", nb_iter=2000,
+             nb_iter_plot=2000)
+    e1 = lp.dobj_curve[-1]
+    lp.solve(method="dual_gradient_ascent", nb_iter=2000,
+             nb_iter_plot=2000, mesh=mesh)
+    e8 = lp.dobj_curve[-1]
+    # both dual bounds sit below the optimum, at comparable quality
+    assert e1 <= opt + 1e-9 and e8 <= opt + 1e-9
+    assert abs(e8 - e1) < 0.15 * (1 + abs(opt) - min(e1, e8))
