@@ -117,8 +117,12 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
             prove dynamic slice starts divisible by the sublane tiling on
             its own — hint it."""
             xb, yb, _x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb = bset
-            r0b = pl.multiple_of(gw * wq - hq - gq, 8)
-            r0c = pl.multiple_of(gw * wq - hq, 8)
+            # i32 explicitly: under jax_enable_x64 the python-int constants
+            # promote the offsets to i64, which tpu.memref_slice rejects
+            gw32 = jnp.asarray(gw, jnp.int32)
+            r0b = pl.multiple_of(
+                gw32 * jnp.int32(wq) - jnp.int32(hq + gq), 8)
+            r0c = pl.multiple_of(gw32 * jnp.int32(wq) - jnp.int32(hq), 8)
             dmas = []
             for i, (src, dst, r0) in enumerate((
                 (x_hbm, xb, r0b), (y_hbm, yb, r0b),
@@ -127,16 +131,19 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
                 (s_hbm, sb, r0c), (b_hbm, bb, r0c),
             )):
                 dmas.append(pltpu.make_async_copy(
-                    src.at[pl.ds(r0, dst.shape[0])], dst, sem.at[p, i]))
+                    src.at[pl.ds(r0, dst.shape[0])], dst, sem.at[jnp.int32(p), jnp.int32(i)]))
             for i, (src, dst) in enumerate(((vt_hbm, vtb), (v_hbm, vb))):
                 dmas.append(pltpu.make_async_copy(
-                    src.at[:, pl.ds(r0c, qc), :], dst, sem.at[p, 8 + i]))
+                    src.at[:, pl.ds(r0c, qc), :], dst, sem.at[jnp.int32(p), jnp.int32(8 + i)]))
             return dmas
 
         @pl.when(g == 0)
         def _():
-            # pipeline warm-up: window 1's loads land in slot 1
-            for d in window_dmas(1, bufs[1], 1):
+            # pipeline warm-up: window 1's loads land in slot 1.  (g + 1
+            # rather than a literal 1: a concrete start constant-folds to
+            # a python int, which re-traces as i64 under jax_enable_x64
+            # and tpu.memref_slice rejects i64 indices)
+            for d in window_dmas(g + 1, bufs[1], 1):
                 d.start()
 
         @pl.when((g == 0) | (g == nw + 1))

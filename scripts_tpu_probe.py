@@ -1,6 +1,7 @@
 """TPU probe: windowed-kernel regimes at several Potts sizes.
 
 Run ON the real chip (no JAX_PLATFORMS override). One process at a time.
+Usage: python scripts_tpu_probe.py SIZE NB_ITER [x64]
 """
 import json, sys, time
 import numpy as np
@@ -8,6 +9,8 @@ import jax
 
 size = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 nb_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+if len(sys.argv) > 3 and sys.argv[3] == "x64":
+    jax.config.update("jax_enable_x64", True)  # bench.py parity
 
 from pysparselp_tpu.examples.potts import build_linear_program
 
