@@ -197,7 +197,8 @@ def _use_pallas(tiles, x2d) -> bool:
     itemsize = tiles.dtype.itemsize
     planes = 2 if tiles.dtype == jnp.bfloat16 else 1
     fits = (
-        2 * ROW_GROUP * k * tn * tm * itemsize <= _VMEM_TILE_BUDGET
+        t_rows % ROW_GROUP == 0  # the kernel grid steps ROW_GROUP rows
+        and 2 * ROW_GROUP * k * tn * tm * itemsize <= _VMEM_TILE_BUDGET
         and planes * x2d.size * itemsize <= _VMEM_X_BUDGET
     )
     if _FORCE_INTERPRET:

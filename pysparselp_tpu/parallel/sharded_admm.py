@@ -36,7 +36,42 @@ try:
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from .sharded_cp import _chunk_tiles, _pad_k, _tiled_mv
+from .sharded_cp import _tiled_mv
+
+
+def _chunk_tiles(a, row_lo, row_hi, dtype):
+    """One shard's row block lowered to block-ELL tiles (both orientations).
+
+    The ADMM builders keep the per-device slice loop rather than the CP
+    solver's vectorized ``_chunk_tiles_all``: that path rounds shard
+    heights to the Pallas grid granularity (``ROW_GROUP·128`` rows), which
+    would inflate the ADMM Schur systems' dimension (an ``m_pad``-sized
+    Cholesky/CG) by orders of magnitude on small row counts."""
+    from ..ops.bsr_pallas import _build_tile_ell
+
+    sub = scipy.sparse.csr_matrix(a[row_lo:row_hi, :])
+    tiles, cols, _, _, _ = _build_tile_ell(sub, 128, 128, dtype)
+    tiles_t, rows_t, _, _, _ = _build_tile_ell(sub.T.tocsr(), 128, 128,
+                                               dtype)
+    return (np.asarray(tiles), np.asarray(cols), np.asarray(tiles_t),
+            np.asarray(rows_t))
+
+
+def _pad_k(arrs_vals, arrs_idx, k_max):
+    """Pad each device's tile count K to the max (zero tiles, col 0)."""
+    out_v, out_i = [], []
+    for v, i in zip(arrs_vals, arrs_idx):
+        pad = k_max - v.shape[1]
+        if pad:
+            v = np.concatenate(
+                [v, np.zeros((v.shape[0], pad) + v.shape[2:], v.dtype)], 1
+            )
+            i = np.concatenate(
+                [i, np.zeros((i.shape[0], pad), i.dtype)], 1
+            )
+        out_v.append(v)
+        out_i.append(i)
+    return np.stack(out_v), np.stack(out_i)
 
 
 def build_sharded_system(a, b, mesh: Mesh, dtype):
@@ -55,7 +90,7 @@ def build_sharded_system(a, b, mesh: Mesh, dtype):
             [a, scipy.sparse.csr_matrix((m_pad - m, n))]
         ).tocsr()
         b = np.concatenate([b, np.zeros(m_pad - m)])
-    tiles_l, cols_l, tiles_tl, rows_tl, bs = [], [], [], [], []
+    tiles_l, cols_l, tiles_tl, rows_tl, bs_l = [], [], [], [], []
     for d in range(ndev):
         lo, hi = d * rows_loc, (d + 1) * rows_loc
         tv, ci, tvt, ri = _chunk_tiles(a, lo, hi, dtype)
@@ -63,10 +98,11 @@ def build_sharded_system(a, b, mesh: Mesh, dtype):
         cols_l.append(ci)
         tiles_tl.append(tvt)
         rows_tl.append(ri)
-        bs.append(b[lo:hi])
+        bs_l.append(b[lo:hi])
     tiles, cols = _pad_k(tiles_l, cols_l, max(t.shape[1] for t in tiles_l))
     tiles_t, rows_t = _pad_k(tiles_tl, rows_tl,
                              max(t.shape[1] for t in tiles_tl))
+    bs = np.stack(bs_l)
     rm = (np.arange(m_pad) < m).astype(np.float64).reshape(ndev, rows_loc)
 
     shard = NamedSharding(mesh, P(axis))
@@ -78,7 +114,7 @@ def build_sharded_system(a, b, mesh: Mesh, dtype):
 
     data = dict(
         tiles=put(tiles), cols=put(cols), tiles_t=put(tiles_t),
-        rows_t=put(rows_t), b=put(np.stack(bs)), row_mask=put(rm),
+        rows_t=put(rows_t), b=put(bs), row_mask=put(rm),
     )
     return data, rows_loc, m_pad, a
 

@@ -35,26 +35,6 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
-def _chunk_tiles(a, row_lo, row_hi, dtype):
-    """Local row block lowered to block-ELL tiles in both orientations.
-
-    Gather-free SpMV matters even more per-shard than single-chip: on a real
-    multi-chip TPU each device would otherwise pay the (measured ~6x) gather
-    penalty on its local rows every iteration.  Uses the same tiling builder
-    as :class:`~pysparselp_tpu.ops.bsr_pallas.BsrMatrix` (einsum contraction
-    inside shard_map; per-row reductions, so results are independent of the
-    mesh size).
-    """
-    from ..ops.bsr_pallas import _build_tile_ell
-
-    sub = scipy.sparse.csr_matrix(a[row_lo:row_hi, :])
-    tiles, cols, _, _, _ = _build_tile_ell(sub, 128, 128, dtype)
-    tiles_t, rows_t, _, _, _ = _build_tile_ell(sub.T.tocsr(), 128, 128,
-                                               dtype)
-    return (np.asarray(tiles), np.asarray(cols), np.asarray(tiles_t),
-            np.asarray(rows_t))
-
-
 def _chunk_tiles_all(a, ndev, dtype, n):
     """Vectorized all-shards dual-orientation block-ELL lowering.
 
@@ -97,23 +77,6 @@ def _chunk_tiles_all(a, ndev, dtype, n):
         (ndev, n_tile // tm) + tiles_tg.shape[1:])
     rows_t = np.asarray(rows_tg).reshape(ndev, n_tile // tm, -1)
     return tiles, cols, tiles_t, rows_t, rows_loc, m_pad
-
-
-def _pad_k(arrs_vals, arrs_idx, k_max):
-    """Pad each device's tile count K to the max (zero tiles, col 0)."""
-    out_v, out_i = [], []
-    for v, i in zip(arrs_vals, arrs_idx):
-        pad = k_max - v.shape[1]
-        if pad:
-            v = np.concatenate(
-                [v, np.zeros((v.shape[0], pad) + v.shape[2:], v.dtype)], 1
-            )
-            i = np.concatenate(
-                [i, np.zeros((i.shape[0], pad), i.dtype)], 1
-            )
-        out_v.append(v)
-        out_i.append(i)
-    return np.stack(out_v), np.stack(out_i)
 
 
 def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
