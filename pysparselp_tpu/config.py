@@ -153,6 +153,7 @@ class DualCoordinateAscentConfig(SolverConfig):
     seed: int = 1
     use_greedy_round: bool = True
     mode: str = "sequential"            # "sequential" | "blocked"
+    mesh: typing.Any = None             # mesh= implies the blocked mode
 
 
 @dataclasses.dataclass(frozen=True)

@@ -278,6 +278,22 @@ def dispatch(
         def back(niter, sol, e1, e2, dur, mveq, mvineq):
             callback_func(niter, m_change @ sol + shift, e1, e2, dur, mveq, mvineq)
 
+        mesh = solver_kwargs.pop("mesh", None)
+        if mesh is not None:
+            # mesh= implies the blocked (graph-colored) mode — the
+            # sequential sweep is an unbreakable chain through c̄
+            from ..parallel.sharded_dca import dual_coordinate_ascent_sharded
+
+            solver_kwargs.pop("mode", None)
+            x, _y_eq, _y_ineq = dual_coordinate_ascent_sharded(
+                x0_r, lp_reduced, mesh, nb_max_iter=nb_iter,
+                callback_func=back,
+                y_eq=solver_kwargs.pop("y_eq", None),
+                y_ineq=solver_kwargs.pop("y_ineq", None),
+                max_time=max_time, nb_iter_plot=nb_iter_plot, dtype=dtype,
+                start_time=start_time, **solver_kwargs,
+            )
+            return m_change @ x + shift
         x, _y_eq, _y_ineq = dual_coordinate_ascent(
             x=x0_r, lp=lp_reduced, nb_max_iter=nb_iter, callback_func=back,
             y_eq=solver_kwargs.pop("y_eq", None),

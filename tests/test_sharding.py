@@ -347,3 +347,26 @@ def test_sharded_dual_gradient_ascent_matches_single_chip(problem):
     # both dual bounds sit below the optimum, at comparable quality
     assert e1 <= opt + 1e-9 and e8 <= opt + 1e-9
     assert abs(e8 - e1) < 0.15 * (1 + abs(opt) - min(e1, e8))
+
+
+def test_sharded_dca_matches_single_chip_blocked(problem):
+    """Mesh-distributed blocked DCA: same tie draws as the single-chip
+    blocked sweep (true-size tie vectors sliced per shard), so the
+    trajectories coincide up to psum reassociation."""
+    lp = problem
+    x1, _ = lp.solve(method="dual_coordinate_ascent", nb_iter=8,
+                     nb_iter_plot=1, mode="blocked")
+    x8, _ = lp.solve(method="dual_coordinate_ascent", nb_iter=8,
+                     nb_iter_plot=1, mesh=default_mesh(8))
+    np.testing.assert_allclose(x8, x1, atol=1e-8)
+
+
+@pytest.mark.parametrize("ndev", [1, 4])
+def test_sharded_dca_device_count_invariance(problem, ndev):
+    lp = problem
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
+    x_n, _ = lp.solve(method="dual_coordinate_ascent", nb_iter=6,
+                      nb_iter_plot=1, mesh=mesh)
+    x_8, _ = lp.solve(method="dual_coordinate_ascent", nb_iter=6,
+                      nb_iter_plot=1, mesh=default_mesh(8))
+    np.testing.assert_allclose(x_n, x_8, atol=1e-8)
