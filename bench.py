@@ -134,6 +134,29 @@ def _dia_roofline(lp, elapsed_per_iter):
             frac_of_op_bound_roofline=round(model_s / elapsed_per_iter, 3),
         )
         return out
+    # windowed-fused kernel — preferred everywhere beyond the fused budget
+    # (r3 measurement): exact per-iteration DMA traffic of the plan
+    # (offsets_t = negated offsets; only the min/max offsets size the plan)
+    plan = window_layout((span[0], span[1]), (-span[1], -span[0]),
+                         n_new, mn, iv)
+    if plan is not None:
+        wq, hq, gq, nw = plan
+        qc = wq + 2 * hq
+        qb = qc + 2 * gq
+        qtot = (nw + 2) * wq
+        hbm_bytes = (nw * ((2 * qb + 6 * qc) * lane * 4
+                           + 2 * nd * qc * lane * iv)
+                     + 2 * qtot * lane * 4)
+        model_s = hbm_bytes / (HBM_PEAK_GBS * 1e9)
+        out.update(
+            regime="windowed-fused",
+            window_plan={"wq": wq, "hq": hq, "gq": gq, "nw": nw},
+            hbm_bytes_per_iter=int(hbm_bytes),
+            hbm_floor_model_us=round(model_s * 1e6, 2),
+            achieved_gbs=round(hbm_bytes / elapsed_per_iter / 1e9, 1),
+            frac_of_hbm_roofline=round(model_s / elapsed_per_iter, 3),
+        )
+        return out
     if mn * 4 <= X_VMEM_BUDGET:
         # per-op DIA kernels (x VMEM-resident per SpMV) + XLA update:
         # floor = vals streamed once per orientation + ~11 vector passes
@@ -147,29 +170,7 @@ def _dia_roofline(lp, elapsed_per_iter):
             frac_of_hbm_roofline=round(model_s / elapsed_per_iter, 3),
         )
         return out
-    # windowed-fused kernel: exact per-iteration DMA traffic of the plan
-    # (offsets_t = negated offsets; only the min/max offsets size the plan)
-    plan = window_layout((span[0], span[1]), (-span[1], -span[0]),
-                         n_new, mn, iv)
-    if plan is None:
-        out.update(regime="xla-shift-loop")
-        return out
-    wq, hq, gq, nw = plan
-    qc = wq + 2 * hq
-    qb = qc + 2 * gq
-    qtot = (nw + 2) * wq
-    hbm_bytes = (nw * ((2 * qb + 6 * qc) * lane * 4
-                       + 2 * nd * qc * lane * iv)
-                 + 2 * qtot * lane * 4)
-    model_s = hbm_bytes / (HBM_PEAK_GBS * 1e9)
-    out.update(
-        regime="windowed-fused",
-        window_plan={"wq": wq, "hq": hq, "gq": gq, "nw": nw},
-        hbm_bytes_per_iter=int(hbm_bytes),
-        hbm_floor_model_us=round(model_s * 1e6, 2),
-        achieved_gbs=round(hbm_bytes / elapsed_per_iter / 1e9, 1),
-        frac_of_hbm_roofline=round(model_s / elapsed_per_iter, 3),
-    )
+    out.update(regime="xla-shift-loop")
     return out
 
 

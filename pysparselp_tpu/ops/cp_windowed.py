@@ -362,15 +362,9 @@ def cp_windowed_eligible(prob, dtype) -> bool:
     dia = prob.a_ineq
     if not dia.offsets or not dia.offsets_t:
         return False
-    from .dia_pallas import dia_use_pallas
-
-    if dia_use_pallas(dia.vals, dia.offsets, prob.n, prob.m_ineq,
-                      dia.vals.dtype):
-        # x fits the per-op kernel's VMEM residency: the per-op fused-x
-        # SpMV path beats the windowed kernel there (measured at
-        # Potts-300: 9.1k it/s per-op vs 7.6k windowed — the windows
-        # re-stream a 27% halo and serialize DMA against compute)
-        return False
+    # preferred over the per-op SpMV regime everywhere beyond the
+    # fully-fused budget (measured r3, double-buffered DMA: Potts-300
+    # 12.7k it/s windowed vs 9.1k per-op; Potts-700 2.58k vs 1.56k)
     plan = window_layout(dia.offsets, dia.offsets_t, prob.n, prob.m_ineq,
                          dia.vals.dtype.itemsize)
     if plan is None:

@@ -11,11 +11,7 @@ size = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 nb_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
 if len(sys.argv) > 3 and "x64" in sys.argv[3:]:
     jax.config.update("jax_enable_x64", True)  # bench.py parity
-if len(sys.argv) > 3 and "force_windowed" in sys.argv[3:]:
-    # shrink the per-op kernel's x-residency budget so the windowed
-    # fused-iteration path takes over (regime A/B experiment)
-    from pysparselp_tpu.ops import dia_pallas
-    dia_pallas.X_VMEM_BUDGET = 0
+# (the windowed kernel is now the default beyond the fused budget)
 
 from pysparselp_tpu.examples.potts import build_linear_program
 
