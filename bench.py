@@ -140,17 +140,19 @@ def _dia_roofline(lp, elapsed_per_iter):
     plan = window_layout((span[0], span[1]), (-span[1], -span[0]),
                          n_new, mn, iv)
     if plan is not None:
-        wq, hq, gq, nw = plan
+        wq, hq, gq, nw, kk = plan
         qc = wq + 2 * hq
         qb = qc + 2 * gq
         qtot = (nw + 2) * wq
+        # one launch streams the window set once and advances K iterations
         hbm_bytes = (nw * ((2 * qb + 6 * qc) * lane * 4
                            + 2 * nd * qc * lane * iv)
-                     + 2 * qtot * lane * 4)
+                     + 2 * qtot * lane * 4) / kk
         model_s = hbm_bytes / (HBM_PEAK_GBS * 1e9)
         out.update(
             regime="windowed-fused",
-            window_plan={"wq": wq, "hq": hq, "gq": gq, "nw": nw},
+            window_plan={"wq": wq, "hq": hq, "gq": gq, "nw": nw,
+                         "k": kk},
             hbm_bytes_per_iter=int(hbm_bytes),
             hbm_floor_model_us=round(model_s * 1e6, 2),
             achieved_gbs=round(hbm_bytes / elapsed_per_iter / 1e9, 1),

@@ -59,13 +59,26 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=1):
-    """Static window plan ``(Wq, Hq, Gq, nw)`` in sublane rows, or None.
+# default iterations time-tiled into one kernel launch.  K>1 is fully
+# supported (halo scales with K; tests pin K=1..3 against the unfused
+# iteration) but measured NEUTRAL on the Potts ladder — the smaller
+# windows' per-launch overheads eat the traffic savings — while the
+# K-times-unrolled body triples Mosaic compile time, so the planner
+# stays at K=1 unless a caller asks otherwise.
+_DEFAULT_K = 1
+_MAX_K = 4
 
-    ``Hq`` (halo) bounds the per-iteration garbage growth from the buffer
-    edges (both stencil spans per iteration); ``Gq`` (guard) covers the
-    largest single tap so every shifted read stays in-buffer.  ``Wq`` is
-    the largest interior that fits the VMEM budget."""
+
+def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None):
+    """Static window plan ``(Wq, Hq, Gq, nw, K)`` in sublane rows, or None.
+
+    ``Hq`` (halo) bounds the garbage growth from the buffer edges over
+    ``K`` time-tiled iterations (K × the per-iteration stencil radius);
+    ``Gq`` (guard) covers the largest single tap so every shifted read
+    stays in-buffer.  ``Wq`` is the largest interior that fits the VMEM
+    budget.  With ``k_iters=None`` the K maximizing useful rows per
+    launch (``Wq·K`` — both HBM traffic and VPU work per iteration scale
+    as ``Qc/(Wq·K)``) is chosen, capped at ``_MAX_K``."""
     if not offsets or not offsets_t:
         return None
     min_o, max_o = min(offsets), max(offsets)
@@ -75,7 +88,6 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=1):
     # per-iteration dependence RADIUS (one chained application of both
     # stencils, per side) — not the sum of both spans on both sides
     s = max(max_o + max_t, -(min_o + min_t), 1) + 2
-    hq = _cdiv(k_iters * s, LANE * 8) * 8
     nd_all = len(offsets) + len(offsets_t)
     # bytes per compute row Qc: 6 const vectors (f32) + both vals planes
     # plus 3 state buffers at Qb = Qc + 2·Gq — all DOUBLE-BUFFERED (next
@@ -85,11 +97,22 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=1):
     const = LANE * (3 * 4) * 2 * gq * 2
     qc = (WINDOWED_VMEM_BUDGET - const) // per_qc
     qc = qc // 8 * 8
-    wq = qc - 2 * hq
-    if wq < _MIN_WQ:
-        return None
-    nw = _cdiv(max(n, m), wq * LANE)
-    return int(wq), int(hq), int(gq), int(nw)
+
+    def plan_for(k):
+        hq = _cdiv(k * s, LANE * 8) * 8
+        wq = qc - 2 * hq
+        if wq < max(_MIN_WQ, hq + gq):
+            return None
+        return int(wq), int(hq), int(gq), int(_cdiv(max(n, m), wq * LANE)), k
+
+    if k_iters is not None:
+        return plan_for(k_iters)
+    best = None
+    for k in range(1, _DEFAULT_K + 1):
+        p = plan_for(k)
+        if p is not None and (best is None or p[0] * k > best[0] * best[4]):
+            best = p
+    return best
 
 
 def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
@@ -244,7 +267,7 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
     plan = window_layout(offsets, offsets_t, n, m,
                          dia.vals.dtype.itemsize)
     assert plan is not None, "caller must check cp_windowed_eligible"
-    wq, hq, gq, nw = plan
+    wq, hq, gq, nw, kk = plan
     qc = wq + 2 * hq
     qb = qc + 2 * gq
     qtot = (nw + 2) * wq
@@ -263,11 +286,11 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
     i32 = jnp.int32
     iv = dia.vals.dtype.itemsize
 
-    def make_call(emit_x3):
+    def make_call(emit_x3, k):
         n_out = (1 + int(emit_x3) + 1) + (2 if with_sums else 0)
         return pl.pallas_call(
             _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
-                             1, theta_f, with_sums, emit_x3),
+                             k, theta_f, with_sums, emit_x3),
             grid=(nw + 2,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
             out_specs=[pl.BlockSpec((wq, LANE),
@@ -310,10 +333,14 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
             ),
         )
 
-    # the loop body never needs x3 (it is derived state); only the final
-    # call emits it — saves one full vector write per iteration
-    call = make_call(False)
-    call_x3 = make_call(True)
+    # time-tiled stepping: each launch advances K iterations; the loop
+    # body never needs x3 (derived state) — only the final call emits it.
+    # A short tail compiles one extra kernel variant at k = remainder.
+    n_full, rem = divmod(nsteps, kk)
+    n_loop = n_full if rem else n_full - 1
+    k_final = rem if rem else kk
+    call = make_call(False, kk)
+    call_x3 = make_call(True, k_final)
 
     consts = (cp_, tp, lbp, ubp, sp, bp, vtp, vp)
     if with_sums:
@@ -324,7 +351,7 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
 
         zero = jnp.zeros((qtot, LANE), jnp.float32)
         xpn, ypn, sx, sy = jax.lax.fori_loop(
-            0, nsteps - 1, body, (xp, yp, zero, zero))
+            0, n_loop, body, (xp, yp, zero, zero))
         xpn, x3p, ypn, sxk, syk = call_x3(xpn, ypn, *consts)
         sx = sx + sxk
         sy = sy + syk
@@ -334,7 +361,7 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
             xn, yn = call(xc, yc, *consts)
             return xn, yn
 
-        xpn, ypn = jax.lax.fori_loop(0, nsteps - 1, body, (xp, yp))
+        xpn, ypn = jax.lax.fori_loop(0, n_loop, body, (xp, yp))
         xpn, x3p, ypn = call_x3(xpn, ypn, *consts)
 
     dt = x.dtype

@@ -2,6 +2,8 @@
 unfused reference iteration, in Pallas interpreter mode with the VMEM
 budget shrunk so several windows + halos are exercised."""
 
+import functools
+
 import numpy as np
 import pytest
 import scipy.sparse
@@ -60,9 +62,10 @@ def test_window_layout_plans_multiple_windows(small_windows):
     plan = cw.window_layout(prob.a_ineq.offsets, prob.a_ineq.offsets_t,
                             prob.n, prob.m_ineq, 4)
     assert plan is not None
-    wq, hq, gq, nw = plan
+    wq, hq, gq, nw, kk = plan
     assert nw >= 3, plan
     assert wq >= hq + gq  # windows must cover their own halo+guard
+    assert kk >= 1
 
 
 def test_cp_windowed_matches_reference(small_windows):
@@ -104,3 +107,26 @@ def test_cp_windowed_eligibility_gate():
         assert cw.cp_windowed_eligible(prob, jnp.float32)
     finally:
         cw._FORCE_INTERPRET = False
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_cp_windowed_time_tiling_k(small_windows, monkeypatch, k):
+    """K time-tiled iterations per launch must equal K unfused iterations
+    (the halo covers K stencil radii; interiors stay exact)."""
+    monkeypatch.setattr(
+        cw, "window_layout",
+        functools.partial(_layout_fixed_k, k))
+    prob, pre, x0, y0 = _dia_problem(seed=7)
+    nsteps = 2 * k + 1  # exercises full launches AND a remainder launch
+    x_r, x3_r, _ye, y_r = _reference(prob, pre, x0, y0, nsteps)
+    x_w, x3_w, y_w = cw._cp_windowed_call(prob, pre, x0, y0, nsteps, 1.0,
+                                          interpret=True)
+    np.testing.assert_allclose(x_w, x_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(y_w, y_r, rtol=2e-5, atol=2e-5)
+
+
+_orig_window_layout = cw.window_layout
+
+
+def _layout_fixed_k(k, offsets, offsets_t, n, m, iv, k_iters=None):
+    return _orig_window_layout(offsets, offsets_t, n, m, iv, k_iters=k)
