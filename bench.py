@@ -127,7 +127,10 @@ def _dia_roofline(lp, elapsed_per_iter):
     out = {"ndiag": nd, "aligned_rows": mn,
            "measured_iter_us": round(elapsed_per_iter * 1e6, 2)}
     if fused_bytes <= 10 * 1024 * 1024:
-        model_s = nd * (mn + n_new) * 9 / 600e9  # calibrated op-bound
+        # VPU op-bound floor: 8.5 equivalent-bytes/entry at the 600 GB/s
+        # rate — recalibrated r3 after a best-of-2 run measured 8.84
+        # (the old 9 made the fastest observed run read frac 1.017)
+        model_s = nd * (mn + n_new) * 8.5 / 600e9
         out.update(
             regime="fused-vmem-resident",
             op_bound_model_us=round(model_s * 1e6, 2),

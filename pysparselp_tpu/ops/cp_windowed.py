@@ -78,16 +78,24 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None):
     stays in-buffer.  ``Wq`` is the largest interior that fits the VMEM
     budget.  With ``k_iters=None`` the K maximizing useful rows per
     launch (``Wq·K`` — both HBM traffic and VPU work per iteration scale
-    as ``Qc/(Wq·K)``) is chosen, capped at ``_MAX_K``."""
+    as ``Qc/(Wq·K)``) is chosen among ``1..\\_DEFAULT_K`` (currently 1 —
+    see the constant's rationale); explicit ``k_iters`` callers are
+    bounded by ``_MAX_K``."""
     if not offsets or not offsets_t:
         return None
     min_o, max_o = min(offsets), max(offsets)
     min_t, max_t = min(offsets_t), max(offsets_t)
     g = max(abs(min_o), abs(max_o), abs(min_t), abs(max_t)) + 1
     gq = _cdiv(g, LANE * 8) * 8
-    # per-iteration dependence RADIUS (one chained application of both
-    # stencils, per side) — not the sum of both spans on both sides
-    s = max(max_o + max_t, -(min_o + min_t), 1) + 2
+    # per-iteration dependence RADIUS per side: the chained application of
+    # both stencils AND every single tap's own reach.  The single-tap
+    # terms matter for one-sided offset sets (e.g. all offsets ≥ 1200):
+    # the y-update reads x3 at +max_o, and x3 is only computed inside the
+    # compute region, so the halo itself must cover that reach — the
+    # chained terms (max_o + max_t etc.) only dominate when the two
+    # stencils straddle zero (review r3 finding, verified by repro).
+    s = max(max_o + max_t, -(min_o + min_t),
+            max_o, -min_o, max_t, -min_t, 1) + 2
     nd_all = len(offsets) + len(offsets_t)
     # bytes per compute row Qc: 6 const vectors (f32) + both vals planes
     # plus 3 state buffers at Qb = Qc + 2·Gq — all DOUBLE-BUFFERED (next
@@ -99,6 +107,7 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None):
     qc = qc // 8 * 8
 
     def plan_for(k):
+        assert 1 <= k <= _MAX_K, k
         hq = _cdiv(k * s, LANE * 8) * 8
         wq = qc - 2 * hq
         if wq < max(_MIN_WQ, hq + gq):
@@ -115,7 +124,7 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None):
     return best
 
 
-def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
+def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
                      k_iters, theta, with_sums, emit_x3):
     gpos = gq * LANE
     base = gq + hq           # buffer row where the interior starts
@@ -289,7 +298,7 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
     def make_call(emit_x3, k):
         n_out = (1 + int(emit_x3) + 1) + (2 if with_sums else 0)
         return pl.pallas_call(
-            _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc, qb,
+            _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
                              k, theta_f, with_sums, emit_x3),
             grid=(nw + 2,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
@@ -336,6 +345,7 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
     # time-tiled stepping: each launch advances K iterations; the loop
     # body never needs x3 (derived state) — only the final call emits it.
     # A short tail compiles one extra kernel variant at k = remainder.
+    assert nsteps >= 1, "windowed chunk advances at least one iteration"
     n_full, rem = divmod(nsteps, kk)
     n_loop = n_full if rem else n_full - 1
     k_final = rem if rem else kk

@@ -130,6 +130,19 @@ def cp_chunk_impl(prob: LPProblem, pre, state, nsteps: int):
 _cp_chunk = functools.partial(jax.jit, static_argnames=("nsteps",))(cp_chunk_impl)
 
 
+def _ineq_fused_call(use_fused):
+    """The ineq-only fused chunk implementation for a `use_fused` regime —
+    both share the (prob, pre, x, y, nsteps, theta_f, interpret,
+    with_sums) call contract."""
+    if use_fused == "dia":
+        from ..ops.cp_fused import _cp_fused_call
+
+        return _cp_fused_call
+    from ..ops.cp_windowed import _cp_windowed_call
+
+    return _cp_windowed_call
+
+
 def _scale_pre(pre, omega):
     """Apply the primal weight to the diagonal step sizes (τσ invariant)."""
     out = dict(pre)
@@ -160,21 +173,13 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
     def run_block(rs):
         state = rs["state"]
         pre = _scale_pre(pre_base, rs["omega"])
-        if use_fused == "dia":
-            # whole-period fused kernel (ops/cp_fused): VMEM-resident
-            # iterations that also accumulate the running sums the
-            # restart-to-average controller consumes
-            from ..ops.cp_fused import _cp_fused_call
-
-            x_n, x3_n, y_n, sx, si = _cp_fused_call(
-                prob, pre, state[0], state[3], period, theta_f,
-                interpret=jax.default_backend() != "tpu", with_sums=True)
-            state = (x_n, x3_n, state[2], y_n)
-            se = jnp.zeros_like(state[2])
-        elif use_fused == "windowed":
-            from ..ops.cp_windowed import _cp_windowed_call
-
-            x_n, x3_n, y_n, sx, si = _cp_windowed_call(
+        if use_fused in ("dia", "windowed"):
+            # whole-period fused kernels (ops/cp_fused VMEM-resident /
+            # ops/cp_windowed row-windowed): iterations that also
+            # accumulate the running sums the restart-to-average
+            # controller consumes — same ineq-only call contract
+            call = _ineq_fused_call(use_fused)
+            x_n, x3_n, y_n, sx, si = call(
                 prob, pre, state[0], state[3], period, theta_f,
                 interpret=jax.default_backend() != "tpu", with_sums=True)
             state = (x_n, x3_n, state[2], y_n)
@@ -243,19 +248,9 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
                                rstate)
     if rem:
         pre = _scale_pre(pre_base, rstate["omega"])
-        if use_fused == "dia":
-            from ..ops.cp_fused import _cp_fused_call
-
+        if use_fused in ("dia", "windowed"):
             s = rstate["state"]
-            x_n, x3_n, y_n = _cp_fused_call(
-                prob, pre, s[0], s[3], rem, theta_f,
-                interpret=jax.default_backend() != "tpu")
-            state = (x_n, x3_n, s[2], y_n)
-        elif use_fused == "windowed":
-            from ..ops.cp_windowed import _cp_windowed_call
-
-            s = rstate["state"]
-            x_n, x3_n, y_n = _cp_windowed_call(
+            x_n, x3_n, y_n = _ineq_fused_call(use_fused)(
                 prob, pre, s[0], s[3], rem, theta_f,
                 interpret=jax.default_backend() != "tpu")
             state = (x_n, x3_n, s[2], y_n)

@@ -130,3 +130,34 @@ _orig_window_layout = cw.window_layout
 
 def _layout_fixed_k(k, offsets, offsets_t, n, m, iv, k_iters=None):
     return _orig_window_layout(offsets, offsets_t, n, m, iv, k_iters=k)
+
+
+def test_cp_windowed_one_sided_offsets(small_windows):
+    """Regression (r3 review): offset sets that do NOT straddle zero need
+    the halo to cover the single-tap reach, not just the chained span —
+    with offsets all >= 1200 the y-update reads x3 at +1300 which lies
+    beyond a chained-span-only halo and silently read zeroed guard rows."""
+    n = 20000
+    rng = np.random.RandomState(5)
+    offs = (1200, 1203, 1300)
+    mats = [rng.rand(n) * 2 - 1 for _ in offs]
+    a = scipy.sparse.diags(mats, offs, shape=(n, n)).tocsr()
+    dia = DiaMatrix.from_scipy(a, dtype=jnp.float32)
+    f32 = jnp.float32
+    prob = LPProblem(
+        c=jnp.asarray(rng.rand(n), f32),
+        lb=jnp.zeros(n, f32), ub=jnp.ones(n, f32) * 2,
+        a_eq=None, b_eq=None, a_ineq=dia, b_lower=None,
+        b_upper=jnp.asarray(rng.rand(n) * 2, f32),
+        n=n, m_eq=0, m_ineq=n,
+    )
+    pre = dict(diag_t=jnp.asarray(rng.rand(n) * 0.1 + 0.01, f32),
+               theta=jnp.asarray(1.0, f32),
+               sigma_ineq=jnp.asarray(rng.rand(n) * 0.1 + 0.01, f32))
+    x0 = jnp.asarray(rng.rand(n), f32)
+    y0 = jnp.asarray(rng.rand(n) * 0.1, f32)
+    x_r, _x3r, _ye, y_r = _reference(prob, pre, x0, y0, 3)
+    x_w, _x3w, y_w = cw._cp_windowed_call(prob, pre, x0, y0, 3, 1.0,
+                                          interpret=True)
+    np.testing.assert_allclose(x_w, x_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(y_w, y_r, rtol=2e-5, atol=2e-5)
