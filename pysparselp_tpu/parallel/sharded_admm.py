@@ -36,6 +36,7 @@ try:
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
+from .mesh import pad_gather_width
 from .sharded_cp import _tiled_mv
 
 
@@ -55,23 +56,6 @@ def _chunk_tiles(a, row_lo, row_hi, dtype):
                                                dtype)
     return (np.asarray(tiles), np.asarray(cols), np.asarray(tiles_t),
             np.asarray(rows_t))
-
-
-def _pad_k(arrs_vals, arrs_idx, k_max):
-    """Pad each device's tile count K to the max (zero tiles, col 0)."""
-    out_v, out_i = [], []
-    for v, i in zip(arrs_vals, arrs_idx):
-        pad = k_max - v.shape[1]
-        if pad:
-            v = np.concatenate(
-                [v, np.zeros((v.shape[0], pad) + v.shape[2:], v.dtype)], 1
-            )
-            i = np.concatenate(
-                [i, np.zeros((i.shape[0], pad), i.dtype)], 1
-            )
-        out_v.append(v)
-        out_i.append(i)
-    return np.stack(out_v), np.stack(out_i)
 
 
 def build_sharded_system(a, b, mesh: Mesh, dtype):
@@ -99,9 +83,8 @@ def build_sharded_system(a, b, mesh: Mesh, dtype):
         tiles_tl.append(tvt)
         rows_tl.append(ri)
         bs_l.append(b[lo:hi])
-    tiles, cols = _pad_k(tiles_l, cols_l, max(t.shape[1] for t in tiles_l))
-    tiles_t, rows_t = _pad_k(tiles_tl, rows_tl,
-                             max(t.shape[1] for t in tiles_tl))
+    tiles, cols = pad_gather_width(tiles_l, cols_l)
+    tiles_t, rows_t = pad_gather_width(tiles_tl, rows_tl)
     bs = np.stack(bs_l)
     rm = (np.arange(m_pad) < m).astype(np.float64).reshape(ndev, rows_loc)
 

@@ -46,19 +46,7 @@ except ImportError:  # pragma: no cover - older jax
 from ..ops.cg import conjgrad
 from ..problem import default_dtype
 from ..solvers.base import to_np
-
-
-def _pad_k(mats_v, mats_i):
-    k = max(v.shape[1] for v in mats_v)
-    outs_v, outs_i = [], []
-    for v, i in zip(mats_v, mats_i):
-        pad = k - v.shape[1]
-        if pad:
-            v = np.concatenate([v, np.zeros((v.shape[0], pad), v.dtype)], 1)
-            i = np.concatenate([i, np.zeros((i.shape[0], pad), i.dtype)], 1)
-        outs_v.append(v)
-        outs_i.append(i)
-    return np.stack(outs_v), np.stack(outs_i)
+from .mesh import pad_gather_width
 
 
 def build_sharded_ipm_data(a, b, c, mesh: Mesh, dtype, dense_threshold):
@@ -123,8 +111,8 @@ def build_sharded_ipm_data(a, b, c, mesh: Mesh, dtype, dense_threshold):
             cs.append(np.asarray(e.cols))
             vts.append(np.asarray(e.vals_t))
             rts.append(np.asarray(e.rows_t))
-        vals, cols = _pad_k(vs, cs)
-        vals_t, rows_t = _pad_k(vts, rts)
+        vals, cols = pad_gather_width(vs, cs)
+        vals_t, rows_t = pad_gather_width(vts, rts)
         data["ell_vals"] = jax.device_put(jnp.asarray(vals, dtype), shard)
         data["ell_cols"] = jax.device_put(jnp.asarray(cols), shard)
         data["ell_vals_t"] = jax.device_put(jnp.asarray(vals_t, dtype),
