@@ -161,3 +161,36 @@ def test_cp_windowed_one_sided_offsets(small_windows):
                                           interpret=True)
     np.testing.assert_allclose(x_w, x_r, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(y_w, y_r, rtol=2e-5, atol=2e-5)
+
+
+def test_cp_windowed_with_restart_controller(small_windows, monkeypatch):
+    """The device-resident restart controller's windowed branch (sums +
+    remainder calls) must match the unfused controller's trajectory —
+    this combination only engages on TPU at >2M rows, so pin it here in
+    interpreter mode."""
+    from pysparselp_tpu.ops import cp_fused
+    from pysparselp_tpu.solvers.chambolle_pock import (
+        _cp_chunk_restart_device, _kkt_score)
+
+    prob, pre, x0, y0 = _dia_problem(seed=11)
+    f32 = jnp.float32
+    pre = dict(pre, sigma_ineq=pre["sigma_ineq"])
+    state = (x0, x0, jnp.zeros(0, f32), y0)
+    rstate0 = {
+        "state": state,
+        "omega": jnp.asarray(1.0, f32),
+        "mu_restart": _kkt_score(prob, x0, state[2], y0).astype(f32),
+        "mu_last": jnp.asarray(np.inf, f32),
+        "zx": x0, "zeq": state[2], "zineq": y0,
+    }
+    ref_rs, ref_metrics = _cp_chunk_restart_device(
+        prob, pre, rstate0, 45, 20, use_fused=None, theta_f=1.0)
+    monkeypatch.setattr(cw, "_FORCE_INTERPRET", True)
+    win_rs, win_metrics = _cp_chunk_restart_device(
+        prob, pre, rstate0, 45, 20, use_fused="windowed", theta_f=1.0)
+    np.testing.assert_allclose(win_rs["state"][0], ref_rs["state"][0],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(win_rs["omega"]),
+                               float(ref_rs["omega"]), rtol=1e-4)
+    np.testing.assert_allclose(float(win_metrics["energy1"]),
+                               float(ref_metrics["energy1"]), rtol=1e-3)
