@@ -2,7 +2,12 @@
 
 Capability parity with the reference's ``pysparselp/MPSparser.py:10-271``
 (fixed-column MPS: ROWS N/L/G/E, COLUMNS, RHS, BOUNDS UP/LO/FR/FX/MI/PL;
-RANGES and integer bounds unsupported) and ``save_mps``
+integer bounds unsupported) and ``save_mps``.  RANGES is supported *beyond*
+the reference (which raises at ``MPSparser.py:70-72``): an L row with rhs
+``b`` and range ``R`` becomes ``b-|R| <= ax <= b``, a G row ``b <= ax <=
+b+|R|``, and an E row becomes a two-sided inequality ``[b, b+R]`` (R>0) or
+``[b+R, b]`` (R<0); zero-range E rows stay equalities.  This matches the
+standard MPS convention (lp_solve / CPLEX documentation).
 (``pysparselp/SparseLP.py:280-366``, whose writer is broken there — typo
 ``a_eq.ruse_preconditioning`` at ``SparseLP.py:310`` — and fixed here).
 
@@ -41,6 +46,7 @@ def mps_parser(f, fsol=None):
     b_lower, b_upper, b_eq = {}, {}, {}
     rows, variables, v_id_to_var = {}, {}, {}
     a_ineq_list, a_eq_list = [], []
+    ranges = {}
     problem_name = costname = None
     section = None
 
@@ -53,11 +59,9 @@ def mps_parser(f, fsol=None):
         if line.startswith("NAME"):
             problem_name = line[14:].strip() or line.split()[-1]
             continue
-        if line.startswith(("ROWS", "COLUMNS", "RHS", "BOUNDS")):
+        if line.startswith(("ROWS", "COLUMNS", "RHS", "RANGES", "BOUNDS")):
             section = line.split()[0]
             continue
-        if line.startswith("RANGES"):
-            raise NotImplementedError("MPS RANGES section is not supported")
         t = _fields(line)
 
         if section == "ROWS":
@@ -124,6 +128,15 @@ def mps_parser(f, fsol=None):
                 elif r["type"] == "E":
                     b_eq[r["id"]] = v
 
+        elif section == "RANGES":
+            for k in range(2):
+                rname, sval = t[2 + 2 * k], t[3 + 2 * k]
+                if not rname.strip() or not sval:
+                    break
+                if rows[rname]["type"] == "N":
+                    raise ValueError("RANGES entry on the objective row")
+                ranges[rname] = float(sval)
+
         elif section == "BOUNDS":
             btype = line[1:3].strip()
             vname = t[2]
@@ -141,6 +154,41 @@ def mps_parser(f, fsol=None):
                 var["UP"] = np.inf
             elif btype in ("BV", "LI", "UI"):
                 raise NotImplementedError("integer MPS bounds are not supported")
+
+    if ranges:
+        # L/G rows just tighten the open side of the existing two-sided row;
+        # E rows with a nonzero range become two-sided inequality rows, so
+        # their entries move from a_eq to a_ineq and the remaining equality
+        # row ids are compacted.
+        eq_to_ineq = {}
+        for rname, rng in ranges.items():
+            r = rows[rname]
+            i = r["id"]
+            if r["type"] == "L":
+                b_lower[i] = b_upper[i] - abs(rng)
+            elif r["type"] == "G":
+                b_upper[i] = b_lower[i] + abs(rng)
+            elif r["type"] == "E" and rng != 0.0:
+                new_id = nb_ineq
+                nb_ineq += 1
+                eq_to_ineq[i] = new_id
+                rhs = b_eq[i]
+                if rng > 0:
+                    b_lower[new_id], b_upper[new_id] = rhs, rhs + rng
+                else:
+                    b_lower[new_id], b_upper[new_id] = rhs + rng, rhs
+        if eq_to_ineq:
+            kept = [i for i in range(nb_eq) if i not in eq_to_ineq]
+            eq_remap = {old: new for new, old in enumerate(kept)}
+            new_eq_list = []
+            for i, j, v in a_eq_list:
+                if i in eq_to_ineq:
+                    a_ineq_list.append((eq_to_ineq[i], j, v))
+                else:
+                    new_eq_list.append((eq_remap[i], j, v))
+            a_eq_list = new_eq_list
+            b_eq = {eq_remap[i]: b_eq[i] for i in kept}
+            nb_eq = len(kept)
 
     cost_vector = np.array([v_id_to_var[i]["cost"] for i in range(nb_var)])
     upper_bounds = np.array([v_id_to_var[i]["UP"] for i in range(nb_var)])

@@ -2,8 +2,9 @@
 
 Capability parity with the reference's cross-language reproducibility RNG
 (``pysparselp/xorshift.py:18-72``): the same integer sequence can be generated
-from Matlab/C++ for bit-identical test fixtures.  Vectorized here (the
-reference fills arrays with a Python double loop).
+from Matlab/C++ for bit-identical test fixtures.  The state recurrence is
+inherently sequential, so ``rand`` fills arrays with a scalar loop exactly
+like the reference — bit-identical sequences matter more than speed here.
 """
 
 from __future__ import annotations
