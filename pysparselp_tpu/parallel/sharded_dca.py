@@ -278,11 +278,13 @@ def dual_coordinate_ascent_sharded(
                 metrics["max_violated_equality"],
                 metrics["max_violated_inequality"],
             )
+        # same check order as the single-chip blocked loop
+        # (solvers/dual_ascent.py): timed_out first, then stall/feasible
+        if loop.timed_out:
+            break
         feas = (float(metrics["max_violated_inequality"]) <= 0
                 and float(metrics["max_violated_equality"]) == 0)
         if stalled and feas:
             break
         energy = new_energy
-        if loop.timed_out:
-            break
     return x_out, to_np(y_eq), to_np(y_ineq)

@@ -33,6 +33,14 @@ def _core():
     return core
 
 
+class HighsSemanticsError(RuntimeError):
+    """The vendored HiGHS iteration-count semantics differ from the ones this
+    bridge was verified against (simplex: per-run counts + warm-started
+    chunks; IPM: cumulative counts + growing limit).  Raised so the caller
+    can fall back to the single-point wrapper path instead of silently
+    emitting wrong or non-monotone iteration curves."""
+
+
 _SOLVER_MAP = {
     "scipy_simplex": "simplex",
     "scipy_interior_point": "ipm",
@@ -148,15 +156,29 @@ def solve_highs_curves(lp, method, nb_iter=10000, callback_func=None,
     total = 0
     while total < nb_iter:
         if warm:
-            h.setOptionValue(limit_opt, min(int(nb_iter_plot),
-                                            int(nb_iter) - total))
+            limit = min(int(nb_iter_plot), int(nb_iter) - total)
         else:
-            h.setOptionValue(limit_opt, min(total + int(nb_iter_plot),
-                                            int(nb_iter)))
+            limit = min(total + int(nb_iter_plot), int(nb_iter))
+        h.setOptionValue(limit_opt, limit)
         h.run()
         status = h.getModelStatus()
         per_run = nit_done()
+        # Runtime guard on the vendored counter semantics this loop relies
+        # on (verified empirically; a scipy upgrade could flip either):
+        # simplex counts must be per-run (a fresh run respects the per-run
+        # limit), and the emitted cumulative count must strictly increase
+        # while the solver still reports an iteration limit.
+        if warm and per_run > limit:
+            raise HighsSemanticsError(
+                f"simplex_iteration_count {per_run} exceeds the per-run "
+                f"limit {limit}: counter semantics flipped to cumulative")
+        prev_total = total
         total = total + per_run if warm else max(per_run, total)
+        if (status == core.HighsModelStatus.kIterationLimit
+                and total <= prev_total and per_run > 0):
+            raise HighsSemanticsError(
+                "iteration count did not advance across an "
+                "iteration-limited run(): counter semantics changed")
         x = emit(total) if callback_func is not None else x
         if status != core.HighsModelStatus.kIterationLimit or per_run == 0:
             break

@@ -39,7 +39,7 @@ def solve_scipy(lp, method, nb_iter=10000, callback_func=None,
         )
     start = time.perf_counter() if start_time is None else start_time
     try:
-        from .highs_bridge import solve_highs_curves
+        from .highs_bridge import HighsSemanticsError, solve_highs_curves
 
         return solve_highs_curves(
             lp, method, nb_iter=nb_iter, callback_func=callback_func,
@@ -47,6 +47,8 @@ def solve_scipy(lp, method, nb_iter=10000, callback_func=None,
         )
     except ImportError:  # pragma: no cover - vendored highspy missing
         pass
+    except HighsSemanticsError:  # pragma: no cover - scipy upgrade changed
+        pass  # counter semantics: single-point wrapper path below
     a_ineq = lp.a_inequalities.tocsr() if lp.a_inequalities.shape[0] else None
     a_eq = lp.a_equalities.tocsr() if lp.a_equalities.shape[0] else None
     sol = scipy.optimize.linprog(

@@ -165,3 +165,22 @@ def test_scipy_bridge_emits_multipoint_curves():
         assert abs(lp.pobj_curve[-1] - float(lp.costsvector @ ref)) < 1e-6
         # curve approaches the optimum from infeasible/suboptimal iterates
         assert abs(float(lp.costsvector @ x) - lp.pobj_curve[-1]) < 1e-9
+
+
+def test_scipy_bridge_falls_back_on_semantics_error(monkeypatch):
+    """If the vendored HiGHS counter semantics ever change (scipy upgrade),
+    the curve bridge raises HighsSemanticsError and solve_scipy falls back
+    to the single-point wrapper path instead of emitting wrong curves."""
+    from pysparselp_tpu.solvers import highs_bridge, scipy_bridge
+
+    def boom(*a, **k):
+        raise highs_bridge.HighsSemanticsError("simulated semantics flip")
+
+    monkeypatch.setattr(highs_bridge, "solve_highs_curves", boom)
+    lp = _small_lp()
+    points = []
+    x = scipy_bridge.solve_scipy(
+        lp, "scipy_simplex", nb_iter=1000,
+        callback_func=lambda *args: points.append(args))
+    assert np.all(np.isfinite(x))
+    assert len(points) == 1  # wrapper path emits a single post-hoc point

@@ -85,8 +85,6 @@ def test_explicit_method_with_shared_config_class(lp):
 def test_cvxopt_not_a_dead_dispatch_branch():
     """method="CVXOPT" either solves (cvxpy with a CVXOPT backend) or dies
     at the registry check — never at an unreachable dispatch branch."""
-    import sys
-
     from pysparselp_tpu.modeling import solving_methods
 
     rng = np.random.RandomState(3)
@@ -95,7 +93,9 @@ def test_cvxopt_not_a_dead_dispatch_branch():
     x = lp2.add_variables_array(cost.shape, 0, 1, costs=cost)
     lp2.add_equality_constraints(x, np.ones_like(cost), b=np.ones(4))
     if "CVXOPT" in solving_methods:
-        assert "cvxpy" in sys.modules or True  # registered => backend exists
+        import importlib.util
+
+        assert importlib.util.find_spec("cvxpy") is not None  # registered => backend exists
         sol, _ = lp2.solve(method="CVXOPT", nb_iter=50)
         assert np.all(np.isfinite(sol))
     else:
