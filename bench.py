@@ -138,10 +138,15 @@ def _dia_roofline(lp, elapsed_per_iter):
         )
         return out
     # windowed-fused kernel — preferred everywhere beyond the fused budget
-    # (r3 measurement): exact per-iteration DMA traffic of the plan
-    # (offsets_t = negated offsets; only the min/max offsets size the plan)
-    plan = window_layout((span[0], span[1]), (-span[1], -span[0]),
-                         n_new, mn, iv)
+    # (r3 measurement): exact per-iteration DMA traffic of the plan.
+    # window_layout consumes only len/min/max of each offset tuple, so
+    # synthetic tuples of the TRUE diagonal count spanning the true range
+    # reproduce the executed plan exactly (nd_all = 2*ndiag sizes the
+    # per-row VMEM cost; passing just the two endpoints understated it
+    # and reported a wq/nw the kernel never runs — advisor r3 finding)
+    offs = (span[0],) + (span[1],) * (nd - 1)
+    offs_t = tuple(sorted(-o for o in offs))
+    plan = window_layout(offs, offs_t, n_new, mn, iv)
     if plan is not None:
         wq, hq, gq, nw, kk = plan
         qc = wq + 2 * hq
@@ -225,17 +230,21 @@ def measure_potts_scale(size, nb_iter=20_000):
     kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
                   nb_iter_plot=nb_iter // 2, dtype=np.float32)
     lp.solve(**kwargs)  # warmup: compile
-    # best-of-2 measured runs after warmup: identical runs of the
-    # streaming kernels vary up to ~25% on this tunneled chip (measured
-    # Potts-1000 r3: 738 vs 973 it/s across driver runs); the faster run
-    # is the honest hardware capability, the slower one tunnel noise
-    best = np.inf
-    for _ in range(2):
+    # median-of-3 measured runs after warmup, all three recorded so the
+    # JSON is self-describing: identical runs of the streaming kernels
+    # vary up to ~25% on this tunneled chip (measured Potts-1000 r3:
+    # 738 vs 973 it/s across driver runs).  The headline is the median;
+    # min/max expose the run spread (advisor r3: best-of-2 with a
+    # single-shot CPU reference was an asymmetric methodology)
+    periods = []
+    for _ in range(3):
         lp.solve(**kwargs)
         elapsed = lp.opttime_curve[-1] - lp.opttime_curve[0]
         nit = lp.itrn_curve[-1] - lp.itrn_curve[0]
-        best = min(best, elapsed / nit)
-    return 1.0 / best, _dia_roofline(lp, best)
+        periods.append(elapsed / nit)
+    med = float(np.median(periods))
+    runs = sorted(round(1.0 / p, 1) for p in periods)
+    return 1.0 / med, runs, _dia_roofline(lp, med)
 
 
 def main():
@@ -270,11 +279,12 @@ def main():
     for size, nb_iter in scale_points:
         key = f"potts{size}"
         try:
-            rate, roof = measure_potts_scale(size, nb_iter=nb_iter)
+            rate, runs, roof = measure_potts_scale(size, nb_iter=nb_iter)
             ref_rate = REF_POTTS_SCALE_ITERS_PER_SEC[size]
             details.update({
                 f"{key}_nnz": nnz_of[size],
                 f"{key}_iters_per_sec": round(rate, 1),
+                f"{key}_iters_per_sec_runs": runs,  # sorted; median headlined
                 f"{key}_ref_cpu_iters_per_sec": ref_rate,
                 f"{key}_speedup": round(rate / ref_rate, 1),
                 f"{key}_roofline": roof,
