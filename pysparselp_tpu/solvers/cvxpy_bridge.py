@@ -8,6 +8,11 @@ reference's "not coded yet" guards.
 
 ``cvxpy`` is imported lazily so this module always imports; the dispatch
 layer only routes here when cvxpy was importable at modeling time.
+
+EXPERIMENTAL: cvxpy and its conic backends are not installed in the
+development image, so this bridge has never executed against the live
+libraries — the conversion half is tested (``tests/test_config.py`` fake
+backend), the ``cvxpy.Problem`` call surface is unverified.
 """
 
 from __future__ import annotations

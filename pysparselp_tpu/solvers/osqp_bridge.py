@@ -10,6 +10,11 @@ and emit a single metrics point (OSQP exposes no per-iteration callback).
 The ``osqp`` package is imported lazily so this module always imports; the
 dispatch layer only routes here when ``osqp`` was importable at modeling
 time (``modeling.py`` optional-method probe).
+
+EXPERIMENTAL: osqp is not installed in the development image, so this
+bridge has never executed against the live library — the conversion half
+is tested (``tests/test_config.py`` fake backend), the ``osqp.OSQP()``
+call surface is written to the documented 0.6+ API but unverified.
 """
 
 from __future__ import annotations
