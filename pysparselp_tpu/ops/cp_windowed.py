@@ -26,9 +26,18 @@ exactly once — the streaming roofline for the iteration:
   iteration loop is a ``lax.fori_loop`` over ``pallas_call``s with no
   re-padding traffic in between.
 
+Equality systems (round 4): when the problem also carries an aligned DIA
+equality operator, the kernel adds a second dual plane ``y_eq`` — two more
+value-plane sets (A_eᵀ taps into the d-update, A_e taps over x₃), its own
+``σ_eq``/``b_eq`` vectors, and an UNclamped dual ascent — so the canonical
+eq+ineq LP form runs at the same one-read-per-input streaming roofline.
+Both systems share the window grid (the anchor-aligned embedding places
+them in a common position space).
+
 Reference context: this is the large-scale regime of the flagship solver's
-hot loop (``pysparselp/ChambollePockPPD.py:195-342``); the single-chip
-driver selects it when the problem outgrows the fully-fused kernel
+hot loop (``pysparselp/ChambollePockPPD.py:195-342``, both systems every
+iteration at ``:199-217`` and ``:331-342``); the single-chip driver selects
+it when the problem outgrows the fully-fused kernel
 (``solvers/chambolle_pock.py``).
 """
 
@@ -69,7 +78,8 @@ _DEFAULT_K = 1
 _MAX_K = 4
 
 
-def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None):
+def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None,
+                  eq=None):
     """Static window plan ``(Wq, Hq, Gq, nw, K)`` in sublane rows, or None.
 
     ``Hq`` (halo) bounds the garbage growth from the buffer edges over
@@ -80,11 +90,27 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None):
     launch (``Wq·K`` — both HBM traffic and VPU work per iteration scale
     as ``Qc/(Wq·K)``) is chosen among ``1..\\_DEFAULT_K`` (currently 1 —
     see the constant's rationale); explicit ``k_iters`` callers are
-    bounded by ``_MAX_K``."""
+    bounded by ``_MAX_K``.
+
+    ``eq`` — optional ``(eq_offsets, eq_offsets_t, eq_itemsize)`` for a
+    joint eq+ineq plan: the guard/halo cover the UNION of both stencils
+    and the VMEM accounting adds the eq value planes, the ``y_eq`` state
+    buffer and the ``σ_eq``/``b_eq`` vectors."""
     if not offsets or not offsets_t:
         return None
-    min_o, max_o = min(offsets), max(offsets)
-    min_t, max_t = min(offsets_t), max(offsets_t)
+    all_o, all_t = list(offsets), list(offsets_t)
+    nd_bytes = (len(offsets) + len(offsets_t)) * vals_itemsize
+    n_vec, n_state, n_blocks = 6, 3, 5
+    if eq is not None:
+        eq_off, eq_off_t, eq_iv = eq
+        if not eq_off or not eq_off_t:
+            return None
+        all_o += list(eq_off)
+        all_t += list(eq_off_t)
+        nd_bytes += (len(eq_off) + len(eq_off_t)) * eq_iv
+        n_vec, n_state, n_blocks = 8, 4, 7
+    min_o, max_o = min(all_o), max(all_o)
+    min_t, max_t = min(all_t), max(all_t)
     g = max(abs(min_o), abs(max_o), abs(min_t), abs(max_t)) + 1
     gq = _cdiv(g, LANE * 8) * 8
     # per-iteration dependence RADIUS per side: the chained application of
@@ -96,13 +122,12 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None):
     # stencils straddle zero (review r3 finding, verified by repro).
     s = max(max_o + max_t, -(min_o + min_t),
             max_o, -min_o, max_t, -min_t, 1) + 2
-    nd_all = len(offsets) + len(offsets_t)
-    # bytes per compute row Qc: 6 const vectors (f32) + both vals planes
-    # plus 3 state buffers at Qb = Qc + 2·Gq — all DOUBLE-BUFFERED (next
-    # window's DMAs overlap the current window's compute) — plus ~5
+    # bytes per compute row Qc: the const vectors (f32) + all vals planes
+    # plus the state buffers at Qb = Qc + 2·Gq — all DOUBLE-BUFFERED (next
+    # window's DMAs overlap the current window's compute) — plus the
     # pipeline-managed (Wq,L) output blocks (bounded by Qc)
-    per_qc = LANE * ((6 * 4 + nd_all * vals_itemsize + 3 * 4) * 2 + 5 * 8)
-    const = LANE * (3 * 4) * 2 * gq * 2
+    per_qc = LANE * ((n_vec * 4 + nd_bytes + n_state * 4) * 2 + n_blocks * 8)
+    const = LANE * (n_state * 4) * 2 * gq * 2
     qc = (WINDOWED_VMEM_BUDGET - const) // per_qc
     qc = qc // 8 * 8
 
@@ -125,48 +150,86 @@ def window_layout(offsets, offsets_t, n, m, vals_itemsize, k_iters=None):
 
 
 def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
-                     k_iters, theta, with_sums, emit_x3):
+                     k_iters, theta, with_sums, emit_x3,
+                     eq_offsets=None, eq_offsets_t=None):
     gpos = gq * LANE
     base = gq + hq           # buffer row where the interior starts
+    has_eq = eq_offsets is not None
+    nbuf = 16 if has_eq else 11   # window-buffer arrays per slot
+    ndma = 15 if has_eq else 10   # HBM→VMEM copies per window
 
-    def kernel(x_hbm, y_hbm, c_hbm, t_hbm, lb_hbm, ub_hbm, s_hbm, b_hbm,
-               vt_hbm, v_hbm, *rest):
-        it = iter(rest)
+    def unpack_bufs(bset):
+        """Slot arrays in DMA order; eq entries None when absent."""
+        bi = iter(bset)
+        xb, yb = next(bi), next(bi)
+        yeb = next(bi) if has_eq else None
+        x3b = next(bi)
+        cb, tb, lbb, ubb, sb, bb = (next(bi) for _ in range(6))
+        seb = next(bi) if has_eq else None
+        beb = next(bi) if has_eq else None
+        vtb, vb = next(bi), next(bi)
+        vteb = next(bi) if has_eq else None
+        veb = next(bi) if has_eq else None
+        return (xb, yb, yeb, x3b, cb, tb, lbb, ubb, sb, bb, seb, beb,
+                vtb, vb, vteb, veb)
+
+    def kernel(*refs):
+        it = iter(refs)
+        x_hbm, y_hbm = next(it), next(it)
+        ye_hbm = next(it) if has_eq else None
+        c_hbm, t_hbm, lb_hbm, ub_hbm, s_hbm, b_hbm = (
+            next(it) for _ in range(6))
+        se_hbm = next(it) if has_eq else None
+        be_hbm = next(it) if has_eq else None
+        vt_hbm, v_hbm = next(it), next(it)
+        vte_hbm = next(it) if has_eq else None
+        ve_hbm = next(it) if has_eq else None
         x_out = next(it)
         x3_out = next(it) if emit_x3 else None
         y_out = next(it)
+        ye_out = next(it) if has_eq else None
         sx_out = next(it) if with_sums else None
         sy_out = next(it) if with_sums else None
+        sye_out = next(it) if (with_sums and has_eq) else None
         rest = tuple(it)
-        bufs = (rest[0:11], rest[11:22])   # double-buffered window slots
-        sem = rest[22]                      # DMA semaphores, (2, 10)
+        bufs = (rest[0:nbuf], rest[nbuf:2 * nbuf])  # double-buffered slots
+        sem = rest[2 * nbuf]                        # DMA sems, (2, ndma)
         g = pl.program_id(0)
 
         def window_dmas(gw, bset, p):
-            """The 10 HBM→VMEM copies for window ``gw`` into slot ``p``
+            """The HBM→VMEM copies for window ``gw`` into slot ``p``
             (window slot = gw % 2; reconstructable for start AND wait).
             wq/hq/gq are 8-multiples by construction, but Mosaic cannot
             prove dynamic slice starts divisible by the sublane tiling on
             its own — hint it."""
-            xb, yb, _x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb = bset
+            (xb, yb, yeb, _x3b, cb, tb, lbb, ubb, sb, bb, seb, beb,
+             vtb, vb, vteb, veb) = unpack_bufs(bset)
             # i32 explicitly: under jax_enable_x64 the python-int constants
             # promote the offsets to i64, which tpu.memref_slice rejects
             gw32 = jnp.asarray(gw, jnp.int32)
             r0b = pl.multiple_of(
                 gw32 * jnp.int32(wq) - jnp.int32(hq + gq), 8)
             r0c = pl.multiple_of(gw32 * jnp.int32(wq) - jnp.int32(hq), 8)
+            vec = [(x_hbm, xb, r0b), (y_hbm, yb, r0b)]
+            if has_eq:
+                vec.append((ye_hbm, yeb, r0b))
+            vec += [(c_hbm, cb, r0c), (t_hbm, tb, r0c), (lb_hbm, lbb, r0c),
+                    (ub_hbm, ubb, r0c), (s_hbm, sb, r0c), (b_hbm, bb, r0c)]
+            if has_eq:
+                vec += [(se_hbm, seb, r0c), (be_hbm, beb, r0c)]
+            planes = [(vt_hbm, vtb), (v_hbm, vb)]
+            if has_eq:
+                planes += [(vte_hbm, vteb), (ve_hbm, veb)]
             dmas = []
-            for i, (src, dst, r0) in enumerate((
-                (x_hbm, xb, r0b), (y_hbm, yb, r0b),
-                (c_hbm, cb, r0c), (t_hbm, tb, r0c),
-                (lb_hbm, lbb, r0c), (ub_hbm, ubb, r0c),
-                (s_hbm, sb, r0c), (b_hbm, bb, r0c),
-            )):
+            for i, (src, dst, r0) in enumerate(vec):
                 dmas.append(pltpu.make_async_copy(
-                    src.at[pl.ds(r0, dst.shape[0])], dst, sem.at[jnp.int32(p), jnp.int32(i)]))
-            for i, (src, dst) in enumerate(((vt_hbm, vtb), (v_hbm, vb))):
+                    src.at[pl.ds(r0, dst.shape[0])], dst,
+                    sem.at[jnp.int32(p), jnp.int32(i)]))
+            nv = len(vec)
+            for i, (src, dst) in enumerate(planes):
                 dmas.append(pltpu.make_async_copy(
-                    src.at[:, pl.ds(r0c, qc), :], dst, sem.at[jnp.int32(p), jnp.int32(8 + i)]))
+                    src.at[:, pl.ds(r0c, qc), :], dst,
+                    sem.at[jnp.int32(p), jnp.int32(nv + i)]))
             return dmas
 
         @pl.when(g == 0)
@@ -185,12 +248,17 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
             if emit_x3:
                 x3_out[:] = jnp.zeros_like(x3_out)
             y_out[:] = jnp.zeros_like(y_out)
+            if has_eq:
+                ye_out[:] = jnp.zeros_like(ye_out)
             if with_sums:
                 sx_out[:] = jnp.zeros_like(sx_out)
                 sy_out[:] = jnp.zeros_like(sy_out)
+                if has_eq:
+                    sye_out[:] = jnp.zeros_like(sye_out)
 
         def compute(bset):
-            xb, yb, x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb = bset
+            (xb, yb, yeb, x3b, cb, tb, lbb, ubb, sb, bb, seb, beb,
+             vtb, vb, vteb, veb) = unpack_bufs(bset)
             # x3 guard rows are never written by the update; zero once so
             # edge reads see neutral values (their garbage stays within
             # the halo shrink budget)
@@ -199,9 +267,18 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
             if with_sums:
                 sx_out[:] = jnp.zeros_like(sx_out)
                 sy_out[:] = jnp.zeros_like(sy_out)
+                if has_eq:
+                    sye_out[:] = jnp.zeros_like(sye_out)
 
             for _k in range(k_iters):
                 d = cb[:]
+                # eq taps first — same accumulation order as the unfused
+                # iteration (_cp_iteration: d = c + A_eᵀy_e + A_iᵀy_i)
+                if has_eq:
+                    for j, t in enumerate(eq_offsets_t):
+                        tt = t + gpos
+                        d = d + vteb[j].astype(jnp.float32) * _shift_read(
+                            yeb, tt // LANE, tt % LANE, qc)
                 for j, t in enumerate(offsets_t):
                     tt = t + gpos
                     d = d + vtb[j].astype(jnp.float32) * _shift_read(
@@ -211,6 +288,15 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
                 x3 = (1.0 + theta) * x2 - theta * x_cur
                 xb[gq:gq + qc] = x2
                 x3b[gq:gq + qc] = x3
+                if has_eq:
+                    re_ = -beb[:]
+                    for j, t in enumerate(eq_offsets):
+                        tt = t + gpos
+                        re_ = re_ + veb[j].astype(jnp.float32) * _shift_read(
+                            x3b, tt // LANE, tt % LANE, qc)
+                    # equality dual: plain ascent, no projection
+                    ye_new = yeb[gq:gq + qc] + seb[:] * re_
+                    yeb[gq:gq + qc] = ye_new
                 r = -bb[:]
                 for j, t in enumerate(offsets):
                     tt = t + gpos
@@ -221,11 +307,15 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
                 if with_sums:
                     sx_out[:] += x2[hq:hq + wq]
                     sy_out[:] += y_new[hq:hq + wq]
+                    if has_eq:
+                        sye_out[:] += ye_new[hq:hq + wq]
 
             x_out[:] = xb[base:base + wq]
             if emit_x3:
                 x3_out[:] = x3b[base:base + wq]
             y_out[:] = yb[base:base + wq]
+            if has_eq:
+                ye_out[:] = yeb[base:base + wq]
 
         for par in (0, 1):
             @pl.when((g > 0) & (g <= nw)
@@ -265,16 +355,24 @@ def _pad_vals_layout(vals, ndiag, size, wq, qtot):
 
 @functools.partial(jax.jit, static_argnames=("nsteps", "theta_f",
                                              "interpret", "with_sums"))
-def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
-                      with_sums=False):
-    """Run ``nsteps`` windowed-fused CP iterations; returns
-    ``(x, x3, y[, sum_x, sum_y])`` (sums accumulated over all iterations).
-    """
+def _cp_windowed_call_full(prob, pre, x, y_eq, y, nsteps, theta_f,
+                           interpret=False, with_sums=False):
+    """Run ``nsteps`` windowed-fused CP iterations on an (optionally
+    equality-carrying) DIA problem; returns
+    ``(x, x3, y_eq, y[, sum_x, sum_y_eq, sum_y])`` (sums accumulated over
+    all iterations; the eq outputs are empty arrays when ``prob.a_eq`` is
+    None)."""
     dia = prob.a_ineq
     n, m = prob.n, prob.m_ineq
     offsets, offsets_t = dia.offsets, dia.offsets_t
-    plan = window_layout(offsets, offsets_t, n, m,
-                         dia.vals.dtype.itemsize)
+    has_eq = prob.a_eq is not None
+    m_eq = prob.m_eq if has_eq else 0
+    eq_args = None
+    if has_eq:
+        de = prob.a_eq
+        eq_args = (de.offsets, de.offsets_t, de.vals.dtype.itemsize)
+    plan = window_layout(offsets, offsets_t, n, max(m, m_eq),
+                         dia.vals.dtype.itemsize, eq=eq_args)
     assert plan is not None, "caller must check cp_windowed_eligible"
     wq, hq, gq, nw, kk = plan
     qc = wq + 2 * hq
@@ -291,53 +389,70 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
     bp = _pad_rows_layout(prob.b_upper, wq, qtot)
     vtp = _pad_vals_layout(dia.vals_t, len(offsets_t), n, wq, qtot)
     vp = _pad_vals_layout(dia.vals, len(offsets), m, wq, qtot)
+    if has_eq:
+        de = prob.a_eq
+        yep = _pad_rows_layout(y_eq, wq, qtot)
+        sep = _pad_rows_layout(pre["sigma_eq"], wq, qtot)
+        bep = _pad_rows_layout(prob.b_eq, wq, qtot)
+        vtep = _pad_vals_layout(de.vals_t, len(de.offsets_t), n, wq, qtot)
+        vep = _pad_vals_layout(de.vals, len(de.offsets), m_eq, wq, qtot)
 
     i32 = jnp.int32
     iv = dia.vals.dtype.itemsize
 
     def make_call(emit_x3, k):
-        n_out = (1 + int(emit_x3) + 1) + (2 if with_sums else 0)
+        n_out = (1 + int(emit_x3) + 1 + int(has_eq)
+                 + ((2 + int(has_eq)) if with_sums else 0))
+        slot = [
+            pltpu.VMEM((qb, LANE), jnp.float32),           # xb
+            pltpu.VMEM((qb, LANE), jnp.float32),           # yb
+        ]
+        if has_eq:
+            slot.append(pltpu.VMEM((qb, LANE), jnp.float32))   # yeb
+        slot.append(pltpu.VMEM((qb, LANE), jnp.float32))       # x3b
+        slot += [pltpu.VMEM((qc, LANE), jnp.float32)           # c t lb ub
+                 for _ in range(6)]                            # s b
+        if has_eq:
+            slot += [pltpu.VMEM((qc, LANE), jnp.float32)       # se be
+                     for _ in range(2)]
+        slot += [
+            pltpu.VMEM((len(offsets_t), qc, LANE), dia.vals_t.dtype),
+            pltpu.VMEM((len(offsets), qc, LANE), dia.vals.dtype),
+        ]
+        if has_eq:
+            de = prob.a_eq
+            slot += [
+                pltpu.VMEM((len(de.offsets_t), qc, LANE), de.vals_t.dtype),
+                pltpu.VMEM((len(de.offsets), qc, LANE), de.vals.dtype),
+            ]
+        ndma = 15 if has_eq else 10
+        n_in = ndma  # one HBM source per DMA
+        plane_bytes = vtp.size * iv + vp.size * iv
+        if has_eq:
+            eq_iv = prob.a_eq.vals.dtype.itemsize
+            plane_bytes += (vtep.size + vep.size) * eq_iv
         return pl.pallas_call(
-            _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
-                             k, theta_f, with_sums, emit_x3),
+            _make_wcp_kernel(
+                offsets, offsets_t, nw, wq, hq, gq, qc, k, theta_f,
+                with_sums, emit_x3,
+                eq_offsets=prob.a_eq.offsets if has_eq else None,
+                eq_offsets_t=prob.a_eq.offsets_t if has_eq else None),
             grid=(nw + 2,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
             out_specs=[pl.BlockSpec((wq, LANE),
                                     lambda g: (i32(g), i32(0)))] * n_out,
             out_shape=[jax.ShapeDtypeStruct((qtot, LANE), jnp.float32)
                        ] * n_out,
-            scratch_shapes=[
-                # two full window-buffer slots (double-buffered DMA):
-                # xb, yb, x3b, cb, tb, lbb, ubb, sb, bb, vtb, vb per slot
-                pltpu.VMEM((qb, LANE), jnp.float32),
-                pltpu.VMEM((qb, LANE), jnp.float32),
-                pltpu.VMEM((qb, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((len(offsets_t), qc, LANE), dia.vals_t.dtype),
-                pltpu.VMEM((len(offsets), qc, LANE), dia.vals.dtype),
-                pltpu.VMEM((qb, LANE), jnp.float32),
-                pltpu.VMEM((qb, LANE), jnp.float32),
-                pltpu.VMEM((qb, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((qc, LANE), jnp.float32),
-                pltpu.VMEM((len(offsets_t), qc, LANE), dia.vals_t.dtype),
-                pltpu.VMEM((len(offsets), qc, LANE), dia.vals.dtype),
-                pltpu.SemaphoreType.DMA((2, 10)),
-            ],
+            scratch_shapes=(
+                # two full window-buffer slots (double-buffered DMA)
+                slot + slot + [pltpu.SemaphoreType.DMA((2, ndma))]),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=2 * (vtp.size + vp.size),
-                bytes_accessed=(vtp.size + vp.size) * iv
-                + 8 * qtot * LANE * 4 + n_out * qtot * LANE * 4,
+                flops=2 * (vtp.size + vp.size
+                           + ((vtep.size + vep.size) if has_eq else 0)),
+                bytes_accessed=plane_bytes
+                + (8 + 3 * int(has_eq)) * qtot * LANE * 4
+                + n_out * qtot * LANE * 4,
                 transcendentals=0,
             ),
         )
@@ -352,45 +467,85 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
     call = make_call(False, kk)
     call_x3 = make_call(True, k_final)
 
-    consts = (cp_, tp, lbp, ubp, sp, bp, vtp, vp)
-    if with_sums:
-        def body(_, carry):
-            xc, yc, sx, sy = carry
-            xn, yn, sxk, syk = call(xc, yc, *consts)
-            return xn, yn, sx + sxk, sy + syk
-
-        zero = jnp.zeros((qtot, LANE), jnp.float32)
-        xpn, ypn, sx, sy = jax.lax.fori_loop(
-            0, n_loop, body, (xp, yp, zero, zero))
-        xpn, x3p, ypn, sxk, syk = call_x3(xpn, ypn, *consts)
-        sx = sx + sxk
-        sy = sy + syk
+    consts = (cp_, tp, lbp, ubp, sp, bp)
+    if has_eq:
+        consts += (sep, bep, vtp, vp, vtep, vep)
     else:
-        def body(_, carry):
-            xc, yc = carry
-            xn, yn = call(xc, yc, *consts)
-            return xn, yn
+        consts += (vtp, vp)
 
-        xpn, ypn = jax.lax.fori_loop(0, n_loop, body, (xp, yp))
-        xpn, x3p, ypn = call_x3(xpn, ypn, *consts)
+    def split_state(outs):
+        """(state..., sums...) in kernel output order -> (carry, sums)."""
+        n_state = 2 + int(has_eq)       # x, y[, ye] (loop calls omit x3)
+        return tuple(outs[:n_state]), tuple(outs[n_state:])
+
+    state0 = (xp, yp) + ((yep,) if has_eq else ())
+    if with_sums:
+        nsum = 2 + int(has_eq)
+        zero = jnp.zeros((qtot, LANE), jnp.float32)
+
+        def body(_, carry):
+            st, acc = carry
+            outs = call(*st, *consts)
+            st_n, sums = split_state(outs)
+            return st_n, tuple(a + s for a, s in zip(acc, sums))
+
+        st, acc = jax.lax.fori_loop(
+            0, n_loop, body, (state0, (zero,) * nsum))
+        outs = call_x3(*st, *consts)
+        it = iter(outs)
+        xpn = next(it)
+        x3p = next(it)
+        ypn = next(it)
+        yepn = next(it) if has_eq else None
+        sums = tuple(a + s for a, s in zip(acc, tuple(it)))
+    else:
+        def body(_, st):
+            st_n, _ = split_state(call(*st, *consts))
+            return st_n
+
+        st = jax.lax.fori_loop(0, n_loop, body, state0)
+        outs = call_x3(*st, *consts)
+        it = iter(outs)
+        xpn, x3p, ypn = next(it), next(it), next(it)
+        yepn = next(it) if has_eq else None
 
     dt = x.dtype
 
     def unpad(v, size):
         return v.reshape(-1)[wq * LANE:wq * LANE + size].astype(dt)
 
-    res = (unpad(xpn, n), unpad(x3p, n), unpad(ypn, m))
+    ye_res = unpad(yepn, m_eq) if has_eq else jnp.zeros(0, dt)
+    res = (unpad(xpn, n), unpad(x3p, n), ye_res, unpad(ypn, m))
     if with_sums:
-        res += (unpad(sx, n), unpad(sy, m))
+        sx = unpad(sums[0], n)
+        sy = unpad(sums[1], m)
+        se = unpad(sums[2], m_eq) if has_eq else jnp.zeros(0, dt)
+        res += (sx, se, sy)
     return res
 
 
+def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
+                      with_sums=False):
+    """Inequality-only entry (shared call contract with
+    ``ops.cp_fused._cp_fused_call``); returns ``(x, x3, y[, sx, sy])``."""
+    res = _cp_windowed_call_full(
+        prob, pre, x, jnp.zeros(0, x.dtype), y, nsteps, theta_f,
+        interpret=interpret, with_sums=with_sums)
+    if with_sums:
+        x_n, x3_n, _ye, y_n, sx, _se, sy = res
+        return x_n, x3_n, y_n, sx, sy
+    x_n, x3_n, _ye, y_n = res
+    return x_n, x3_n, y_n
+
+
 def cp_windowed_eligible(prob, dtype) -> bool:
-    """Inequality-only DIA problems beyond the fully-fused VMEM budget
-    whose offset span admits a windowed plan."""
+    """DIA problems beyond the fully-fused VMEM budget whose offset spans
+    admit a windowed plan.  Equality systems are supported when they are
+    also DIA-lowered (the anchor-aligned embedding places both systems in
+    one position space); the plan is then joint."""
     from ..problem import DiaMatrix
 
-    if prob.a_eq is not None or prob.a_ineq is None:
+    if prob.a_ineq is None:
         return False
     if not isinstance(prob.a_ineq, DiaMatrix):
         return False
@@ -399,11 +554,22 @@ def cp_windowed_eligible(prob, dtype) -> bool:
     dia = prob.a_ineq
     if not dia.offsets or not dia.offsets_t:
         return False
+    eq_args = None
+    if prob.a_eq is not None:
+        de = prob.a_eq
+        if not isinstance(de, DiaMatrix):
+            return False
+        if de.vals.dtype not in (jnp.float32, jnp.bfloat16):
+            return False
+        if not de.offsets or not de.offsets_t:
+            return False
+        eq_args = (de.offsets, de.offsets_t, de.vals.dtype.itemsize)
     # preferred over the per-op SpMV regime everywhere beyond the
     # fully-fused budget (measured r3, double-buffered DMA: Potts-300
     # 12.7k it/s windowed vs 9.1k per-op; Potts-700 2.58k vs 1.56k)
-    plan = window_layout(dia.offsets, dia.offsets_t, prob.n, prob.m_ineq,
-                         dia.vals.dtype.itemsize)
+    plan = window_layout(dia.offsets, dia.offsets_t, prob.n,
+                         max(prob.m_ineq, prob.m_eq),
+                         dia.vals.dtype.itemsize, eq=eq_args)
     if plan is None:
         return False
     if _FORCE_INTERPRET:
@@ -413,9 +579,10 @@ def cp_windowed_eligible(prob, dtype) -> bool:
 
 def cp_windowed_chunk(prob, pre, state, nsteps: int, theta: float):
     """Run ``nsteps`` windowed-fused CP iterations; returns the new
-    (x, x3, y_eq, y_ineq) state tuple (eligibility requires ineq-only)."""
+    (x, x3, y_eq, y_ineq) state tuple."""
     x, _x3, y_eq, y_ineq = state
     interpret = jax.default_backend() != "tpu"
-    x_n, x3_n, y_n = _cp_windowed_call(prob, pre, x, y_ineq, nsteps,
-                                       float(theta), interpret=interpret)
-    return (x_n, x3_n, y_eq, y_n)
+    x_n, x3_n, ye_n, y_n = _cp_windowed_call_full(
+        prob, pre, x, y_eq, y_ineq, nsteps, float(theta),
+        interpret=interpret)
+    return (x_n, x3_n, ye_n if prob.a_eq is not None else y_eq, y_n)

@@ -131,16 +131,14 @@ _cp_chunk = functools.partial(jax.jit, static_argnames=("nsteps",))(cp_chunk_imp
 
 
 def _ineq_fused_call(use_fused):
-    """The ineq-only fused chunk implementation for a `use_fused` regime —
-    both share the (prob, pre, x, y, nsteps, theta_f, interpret,
-    with_sums) call contract."""
-    if use_fused == "dia":
-        from ..ops.cp_fused import _cp_fused_call
+    """The ineq-only fused chunk implementation for a `use_fused` regime
+    ((prob, pre, x, y, nsteps, theta_f, interpret, with_sums) contract);
+    the windowed regime uses the full eq+ineq contract instead
+    (``ops.cp_windowed._cp_windowed_call_full``)."""
+    assert use_fused == "dia", use_fused
+    from ..ops.cp_fused import _cp_fused_call
 
-        return _cp_fused_call
-    from ..ops.cp_windowed import _cp_windowed_call
-
-    return _cp_windowed_call
+    return _cp_fused_call
 
 
 def _scale_pre(pre, omega):
@@ -173,17 +171,27 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
     def run_block(rs):
         state = rs["state"]
         pre = _scale_pre(pre_base, rs["omega"])
-        if use_fused in ("dia", "windowed"):
-            # whole-period fused kernels (ops/cp_fused VMEM-resident /
-            # ops/cp_windowed row-windowed): iterations that also
-            # accumulate the running sums the restart-to-average
-            # controller consumes — same ineq-only call contract
+        if use_fused == "dia":
+            # whole-period fused kernel (ops/cp_fused VMEM-resident):
+            # iterations that also accumulate the running sums the
+            # restart-to-average controller consumes — ineq-only contract
             call = _ineq_fused_call(use_fused)
             x_n, x3_n, y_n, sx, si = call(
                 prob, pre, state[0], state[3], period, theta_f,
                 interpret=jax.default_backend() != "tpu", with_sums=True)
             state = (x_n, x3_n, state[2], y_n)
             se = jnp.zeros_like(state[2])
+        elif use_fused == "windowed":
+            # row-windowed whole-iteration kernel (ops/cp_windowed):
+            # full eq+ineq contract (se is empty when the problem has no
+            # equality system, matching the unfused branch's sums)
+            from ..ops.cp_windowed import _cp_windowed_call_full
+
+            x_n, x3_n, ye_n, yi_n, sx, se, si = _cp_windowed_call_full(
+                prob, pre, state[0], state[2], state[3], period, theta_f,
+                interpret=jax.default_backend() != "tpu", with_sums=True)
+            state = (x_n, x3_n,
+                     ye_n if prob.a_eq is not None else state[2], yi_n)
         elif use_fused == "dense":
             from ..ops.cp_fused import _cp_dense_fused_call
 
@@ -248,12 +256,21 @@ def _cp_chunk_restart_device(prob: LPProblem, pre_base, rstate, nsteps: int,
                                rstate)
     if rem:
         pre = _scale_pre(pre_base, rstate["omega"])
-        if use_fused in ("dia", "windowed"):
+        if use_fused == "dia":
             s = rstate["state"]
             x_n, x3_n, y_n = _ineq_fused_call(use_fused)(
                 prob, pre, s[0], s[3], rem, theta_f,
                 interpret=jax.default_backend() != "tpu")
             state = (x_n, x3_n, s[2], y_n)
+        elif use_fused == "windowed":
+            from ..ops.cp_windowed import _cp_windowed_call_full
+
+            s = rstate["state"]
+            x_n, x3_n, ye_n, yi_n = _cp_windowed_call_full(
+                prob, pre, s[0], s[2], s[3], rem, theta_f,
+                interpret=jax.default_backend() != "tpu")
+            state = (x_n, x3_n,
+                     ye_n if prob.a_eq is not None else s[2], yi_n)
         elif use_fused == "dense":
             from ..ops.cp_fused import _cp_dense_fused_call
 
