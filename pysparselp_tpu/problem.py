@@ -476,6 +476,81 @@ class DiaMatrix:
                          offsets_t=offsets_t, nrows=m, ncols=n)
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("blocks",),
+    meta_fields=("col_starts", "nrows", "ncols"),
+)
+@dataclasses.dataclass(frozen=True)
+class ColBlockMatrix:
+    """Composite operator: contiguous column blocks, each on its own
+    backend.
+
+    LPs with auxiliary variables — soft constraints, L1 penalizations,
+    slack forms — produce matrices of the shape ``[A | ±I | …]``: a
+    structured head over the model variables next to (near-)diagonal
+    tails over the aux columns (e.g. the L1-SVM model,
+    ``reference/pysparselp/examples/example_l1_svm.py:10-88``, whose
+    weights block is DENSE over 500 columns while the epsilon/aux columns
+    are diagonal).  No single layout serves both: dense wastes the tail,
+    gather-ELL wastes the head (TPU gathers ≈ 100 ns/element).  Splitting
+    the column space lets the head run on the MXU (DenseMatrix) and the
+    tails on diagonal shifts (DiaMatrix) — each block lowered by the same
+    auto-selector that prices whole matrices.
+
+    ``matvec`` sums the block matvecs (all blocks produce full-height
+    outputs); ``rmatvec`` concatenates the block results in column order.
+    The split points are chosen by :func:`col_split_plan`.
+    """
+
+    blocks: tuple       # lowered sub-operators, in column order
+    col_starts: tuple   # static: block b covers cols [starts[b], starts[b+1])
+    nrows: int
+    ncols: int
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nnz_padded(self):
+        return sum(b.nnz_padded for b in self.blocks)
+
+    def _slices(self, x):
+        s = self.col_starts
+        return [x[s[b]:s[b + 1]] for b in range(len(self.blocks))]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        parts = self._slices(x)
+        out = self.blocks[0].matvec(parts[0])
+        for blk, xs in zip(self.blocks[1:], parts[1:]):
+            out = out + blk.matvec(xs)
+        return out
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        return jnp.concatenate([b.rmatvec(y) for b in self.blocks])
+
+    def abs_power_rowsum(self, p: float) -> jax.Array:
+        out = self.blocks[0].abs_power_rowsum(p)
+        for blk in self.blocks[1:]:
+            out = out + blk.abs_power_rowsum(p)
+        return out
+
+    def abs_power_colsum(self, p: float) -> jax.Array:
+        return jnp.concatenate(
+            [b.abs_power_colsum(p) for b in self.blocks])
+
+    def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
+        parts = self._slices(d)
+        out = self.blocks[0].sq_rowsum_weighted(parts[0])
+        for blk, ds in zip(self.blocks[1:], parts[1:]):
+            out = out + blk.sq_rowsum_weighted(ds)
+        return out
+
+    def to_dense(self) -> jax.Array:
+        return jnp.concatenate([b.to_dense() for b in self.blocks], axis=1)
+
+
 def anchor_align(mats):
     """Anchor-aligned embedding: the diagonal-collapsing presolve.
 
@@ -833,6 +908,8 @@ def operator_cost_bytes(op) -> int:
 
     if op is None:
         return 0
+    if isinstance(op, ColBlockMatrix):
+        return sum(operator_cost_bytes(b) for b in op.blocks)
     if isinstance(op, DenseMatrix):
         return 2 * op.nrows * op.ncols * 4
     if isinstance(op, DiaMatrix):
@@ -899,6 +976,68 @@ def estimate_stream_bytes(csr, dtype=None):
     return best, candidates[best]
 
 
+# column-split search: accept a split only when it beats the best whole-
+# matrix layout by this factor (slicing + extra matvec dispatch overhead
+# must not eat a marginal win)
+COL_SPLIT_MIN_GAIN = 0.7
+COL_SPLIT_MAX_DEPTH = 2
+COL_SPLIT_TILE = 128          # candidate cuts at lane-tile boundaries
+_COL_SPLIT_DENSITY_JUMP = 4.0  # adjacent-tile nnz ratio marking a boundary
+
+
+def _candidate_cuts(csr, max_cands=6):
+    """Column indices where the per-column nnz density changes character
+    (tile-summed, ratio > _COL_SPLIT_DENSITY_JUMP), largest jumps first."""
+    n = csr.shape[1]
+    tile = COL_SPLIT_TILE
+    nt = -(-n // tile)
+    if nt < 2:
+        return []
+    colnnz = np.bincount(csr.indices, minlength=nt * tile)
+    tnnz = colnnz.reshape(nt, tile).sum(axis=1).astype(np.float64) + 1.0
+    ratio = np.maximum(tnnz[1:] / tnnz[:-1], tnnz[:-1] / tnnz[1:])
+    order = np.argsort(-ratio)
+    cuts = [(int(i) + 1) * tile for i in order[:max_cands]
+            if ratio[i] >= _COL_SPLIT_DENSITY_JUMP]
+    return [c for c in cuts if 0 < c < n]
+
+
+def col_split_plan(csr, dtype=None, depth=COL_SPLIT_MAX_DEPTH):
+    """Best contiguous column split of ``csr`` under the bytes-streamed
+    model: returns ``(effective_bytes, cuts)`` where ``cuts`` is a sorted
+    tuple of interior split columns (empty = no split helps).  Recursive
+    bisection over density-change candidates; each piece is priced by
+    :func:`estimate_stream_bytes`, so a split is kept exactly when the
+    per-block layouts (dense head / diagonal tail / …) stream fewer
+    effective bytes than any whole-matrix layout."""
+    dtype = dtype or default_dtype()
+    csr = scipy.sparse.csr_matrix(csr)
+    _, whole = estimate_stream_bytes(csr, dtype)
+    best = (whole, ())
+    if depth <= 0:
+        return best
+    cands = _candidate_cuts(csr)
+    csc = csr.tocsc() if cands else None
+    for cut in cands:
+        left = csc[:, :cut].tocsr()
+        right = csc[:, cut:].tocsr()
+        cl, cuts_l = col_split_plan(left, dtype, depth - 1)
+        cr, cuts_r = col_split_plan(right, dtype, depth - 1)
+        tot = cl + cr
+        if tot < best[0]:
+            best = (tot, cuts_l + (cut,) + tuple(c + cut for c in cuts_r))
+    return best
+
+
+def effective_stream_bytes(csr, dtype=None) -> int:
+    """Effective bytes per SpMV pair including the column-split option —
+    the quantity the layout presolve compares across permutations."""
+    dtype = dtype or default_dtype()
+    _, whole = estimate_stream_bytes(csr, dtype)
+    split, cuts = col_split_plan(csr, dtype)
+    return min(whole, split if cuts else whole)
+
+
 def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
                    prefer=None):
     """Lower a scipy sparse matrix to the best operator layout for it.
@@ -908,12 +1047,16 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
     * on TPU, larger matrices with clustered sparsity become
       :class:`~pysparselp_tpu.ops.bsr_pallas.BsrMatrix` (Pallas block-ELL:
       MXU tile matvecs with scalar-prefetched tile indices);
+    * on TPU, matrices whose column space splits into blocks with cheaper
+      per-block layouts (``[structured | ±I]`` soft-constraint shapes)
+      become :class:`ColBlockMatrix` composites (each block re-lowered
+      through this selector);
     * otherwise a plain :class:`EllMatrix` when a single ELL width wastes
       less than ``waste_threshold``× the nnz;
     * else a width-bucketed :class:`SegmentedEllMatrix`.
 
-    ``prefer`` forces a backend: "dia", "dense", "bsr", "ell", or
-    "segmented".
+    ``prefer`` forces a backend: "dia", "dense", "bsr", "ell",
+    "segmented", or "split".
     """
     from .ops.bsr_pallas import BsrMatrix, bsr_padded_entries
 
@@ -927,9 +1070,20 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
                            ncols=n)
     if prefer == "bsr":
         return BsrMatrix.from_scipy(csr, dtype=dtype)
+    if prefer == "split":
+        _, cuts = col_split_plan(csr, dtype)
+        return _lower_col_split(csr, cuts, dtype, max_buckets,
+                                waste_threshold)
     if prefer is None and jax.default_backend() == "tpu" and csr.nnz > 0:
         # bytes-streamed-per-iteration cost model (see constants above)
-        best, _ = estimate_stream_bytes(csr, dtype)
+        best, cost = estimate_stream_bytes(csr, dtype)
+        # composite column blocks: [structured | ±I | …] matrices (soft
+        # constraints, L1 penalizations, slack forms) stream far fewer
+        # bytes when the head and the aux tails get separate layouts
+        split_cost, cuts = col_split_plan(csr, dtype)
+        if cuts and split_cost < COL_SPLIT_MIN_GAIN * cost:
+            return _lower_col_split(csr, cuts, dtype, max_buckets,
+                                    waste_threshold)
         if best == "dia":
             return DiaMatrix.from_scipy(csr, dtype=dtype)
         if best == "dense":
@@ -959,6 +1113,22 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
         segs=segs, segs_t=segs_t, row_inv=row_inv, col_inv=col_inv,
         nrows=csr.shape[0], ncols=csr.shape[1],
     )
+
+
+def _lower_col_split(csr, cuts, dtype, max_buckets, waste_threshold):
+    """Lower each contiguous column block independently (each through the
+    same auto-selector) into a :class:`ColBlockMatrix`."""
+    n = csr.shape[1]
+    starts = (0,) + tuple(cuts) + (n,)
+    csc = csr.tocsc()
+    blocks = tuple(
+        ell_from_scipy(csc[:, starts[b]:starts[b + 1]].tocsr(),
+                       dtype=dtype, max_buckets=max_buckets,
+                       waste_threshold=waste_threshold)
+        for b in range(len(starts) - 1)
+    )
+    return ColBlockMatrix(blocks=blocks, col_starts=starts,
+                          nrows=csr.shape[0], ncols=n)
 
 
 @functools.partial(

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from ..problem import (DIA_AUTO_MAX_OFFSETS, LPProblem, aligned_offset_count,
                        anchor_align, apply_align_embedding,
                        apply_rcm_permutation, default_dtype, dia_cost_bytes,
-                       dispatch_iteration_cap, ell_from_scipy,
-                       estimate_stream_bytes, rcm_permutation)
+                       dispatch_iteration_cap, effective_stream_bytes,
+                       ell_from_scipy, rcm_permutation)
 from .base import HostLoop, chunk_schedule, emit_callback, to_np
 
 
@@ -349,7 +349,10 @@ def _choose_layout(mats, dtype):
     candidates = {}
 
     def total(parts, dt):
-        return sum(estimate_stream_bytes(p, dt)[1] for p in parts)
+        # effective = min(whole-matrix layout, column-split composite):
+        # permutation choices must not beat the split option by pricing
+        # the unpermuted matrix with a layout the lowering won't use
+        return sum(effective_stream_bytes(p, dt) for p in parts)
 
     candidates[None] = total(live, dtype)
 
