@@ -134,6 +134,36 @@ def build_linear_program(image_size, coef_potts, coef_mul, seed=1):
     return lp, ground_truth, indices, unary_terms
 
 
+def build_multilabel_linear_program(image_size, n_labels=4, coef_potts=0.5,
+                                    coef_mul=500, seed=1):
+    """K-label Potts LP: the standard relaxation with per-pixel simplex
+    EQUALITIES (``sum_k x[i,j,k] = 1``) plus per-label penalized
+    differences.  The binary model (:func:`build_linear_program`,
+    ``example_pott_segmentation.py:54-92``) is the tight K=1 special case;
+    the multi-label form is the canonical equality+inequality grid LP —
+    the bench's eq-system windowed-kernel workload.
+
+    Returns ``(lp, indices)``; ``indices`` has shape
+    ``(image_size, image_size, n_labels)``."""
+    rng = np.random.RandomState(seed)
+    size_image = (image_size, image_size, n_labels)
+    unary_terms = np.round(coef_mul * (rng.rand(*size_image) * 2 - 1))
+
+    lp = ImageLP()
+    indices = lp.add_variables_array(
+        shape=size_image, lower_bounds=0, upper_bounds=1,
+        costs=unary_terms / coef_mul,
+    )
+    # per-pixel label simplex: one equality row over the K label copies
+    cols = indices.reshape(-1, n_labels)
+    lp.add_equality_constraints(cols, np.ones_like(cols, np.float64),
+                                b=np.ones(cols.shape[0]))
+    coef = round(coef_potts * coef_mul) / coef_mul
+    for k in range(n_labels):
+        lp.add_pott_model(indices[:, :, k], coef)
+    return lp, indices
+
+
 def run(display=False, image_size=50, coef_mul=500, coef_potts=0.5,
         max_time=15, methods=None, nb_iter=1000000, nb_iter_plot=500):
     """Run all solvers on the Potts LP; returns per-method distance curves

@@ -40,6 +40,22 @@ def test_potts_graph_cut_oracle_is_lp_optimum():
     assert np.mean(np.abs(gt - x_lp[idx])) < 1e-9
 
 
+def test_multilabel_potts_model():
+    """K-label Potts with per-pixel simplex equalities: CP reaches the
+    scipy optimum and satisfies the equality system — the canonical
+    eq+ineq grid LP (the bench's eq-windowed workload at scale)."""
+    from pysparselp_tpu.examples.potts import build_multilabel_linear_program
+
+    lp, idx = build_multilabel_linear_program(12, n_labels=3, seed=1)
+    ref = lp.solve(method="scipy_simplex", get_timing=False)
+    sol, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=6000,
+                      nb_iter_plot=3000, dtype=np.float32)
+    label_sums = sol[idx].sum(axis=2)
+    np.testing.assert_allclose(label_sums, 1.0, atol=1e-3)
+    assert lp.cost(sol) < lp.cost(ref) + 0.05 * abs(lp.cost(ref))
+    assert lp.max_constraint_violation(sol) < 1e-3
+
+
 def test_potts_solvers_converge_to_graph_cut():
     from pysparselp_tpu.examples.potts import run
 
