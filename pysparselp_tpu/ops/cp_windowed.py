@@ -226,9 +226,15 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
                     src.at[pl.ds(r0, dst.shape[0])], dst,
                     sem.at[jnp.int32(p), jnp.int32(i)]))
             nv = len(vec)
+            # value planes come from the per-window PRE-TILED layout
+            # (nw, nd, qc, LANE): one contiguous copy per plane set
+            # instead of nd strided slices of a (nd, qtot, LANE) array —
+            # measured on-chip, the strided form issues 26 sub-copies per
+            # window and decays with the array footprint (P300 6.4 →
+            # P1000 8.9 µs/window DMA), the tiled form holds 4.7
             for i, (src, dst) in enumerate(planes):
                 dmas.append(pltpu.make_async_copy(
-                    src.at[:, pl.ds(r0c, qc), :], dst,
+                    src.at[pl.ds(gw32 - jnp.int32(1), 1)], dst,
                     sem.at[jnp.int32(p), jnp.int32(nv + i)]))
             return dmas
 
@@ -277,11 +283,11 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
                 if has_eq:
                     for j, t in enumerate(eq_offsets_t):
                         tt = t + gpos
-                        d = d + vteb[j].astype(jnp.float32) * _shift_read(
+                        d = d + vteb[0, j].astype(jnp.float32) * _shift_read(
                             yeb, tt // LANE, tt % LANE, qc)
                 for j, t in enumerate(offsets_t):
                     tt = t + gpos
-                    d = d + vtb[j].astype(jnp.float32) * _shift_read(
+                    d = d + vtb[0, j].astype(jnp.float32) * _shift_read(
                         yb, tt // LANE, tt % LANE, qc)
                 x_cur = xb[gq:gq + qc]
                 x2 = jnp.clip(x_cur - tb[:] * d, lbb[:], ubb[:])
@@ -292,7 +298,7 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
                     re_ = -beb[:]
                     for j, t in enumerate(eq_offsets):
                         tt = t + gpos
-                        re_ = re_ + veb[j].astype(jnp.float32) * _shift_read(
+                        re_ = re_ + veb[0, j].astype(jnp.float32) * _shift_read(
                             x3b, tt // LANE, tt % LANE, qc)
                     # equality dual: plain ascent, no projection
                     ye_new = yeb[gq:gq + qc] + seb[:] * re_
@@ -300,7 +306,7 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
                 r = -bb[:]
                 for j, t in enumerate(offsets):
                     tt = t + gpos
-                    r = r + vb[j].astype(jnp.float32) * _shift_read(
+                    r = r + vb[0, j].astype(jnp.float32) * _shift_read(
                         x3b, tt // LANE, tt % LANE, qc)
                 y_new = jnp.maximum(yb[gq:gq + qc] + sb[:] * r, 0.0)
                 yb[gq:gq + qc] = y_new
@@ -353,6 +359,19 @@ def _pad_vals_layout(vals, ndiag, size, wq, qtot):
     return out.at[:, wq:wq + q, :].set(v)
 
 
+def _tile_vals_layout(vals, ndiag, size, wq, hq, qc, nw, qtot):
+    """Kernel-layout DIA vals (ndiag_pad, rows_pad) -> per-window tiled
+    (nw, ndiag, qc, LANE): window ``g`` (1-based) holds padded-layout rows
+    ``[g*wq - hq, g*wq - hq + qc)`` as one contiguous block, so the kernel
+    fetches each window's whole plane set with a single DMA.  Costs a
+    ``qc/wq`` storage duplication (the halo columns appear in two windows);
+    the streamed bytes per iteration are identical to the strided layout."""
+    pad = _pad_vals_layout(vals, ndiag, size, wq, qtot)
+    starts = wq * jnp.arange(1, nw + 1) - hq          # all >= 0 (wq > hq)
+    idx = starts[:, None] + jnp.arange(qc)[None, :]   # (nw, qc), < qtot
+    return jnp.transpose(pad[:, idx, :], (1, 0, 2, 3))
+
+
 @functools.partial(jax.jit, static_argnames=("nsteps", "theta_f",
                                              "interpret", "with_sums"))
 def _cp_windowed_call_full(prob, pre, x, y_eq, y, nsteps, theta_f,
@@ -387,15 +406,18 @@ def _cp_windowed_call_full(prob, pre, x, y_eq, y, nsteps, theta_f,
     ubp = _pad_rows_layout(prob.ub, wq, qtot)
     sp = _pad_rows_layout(pre["sigma_ineq"], wq, qtot)
     bp = _pad_rows_layout(prob.b_upper, wq, qtot)
-    vtp = _pad_vals_layout(dia.vals_t, len(offsets_t), n, wq, qtot)
-    vp = _pad_vals_layout(dia.vals, len(offsets), m, wq, qtot)
+    vtp = _tile_vals_layout(dia.vals_t, len(offsets_t), n, wq, hq, qc, nw,
+                            qtot)
+    vp = _tile_vals_layout(dia.vals, len(offsets), m, wq, hq, qc, nw, qtot)
     if has_eq:
         de = prob.a_eq
         yep = _pad_rows_layout(y_eq, wq, qtot)
         sep = _pad_rows_layout(pre["sigma_eq"], wq, qtot)
         bep = _pad_rows_layout(prob.b_eq, wq, qtot)
-        vtep = _pad_vals_layout(de.vals_t, len(de.offsets_t), n, wq, qtot)
-        vep = _pad_vals_layout(de.vals, len(de.offsets), m_eq, wq, qtot)
+        vtep = _tile_vals_layout(de.vals_t, len(de.offsets_t), n, wq, hq,
+                                 qc, nw, qtot)
+        vep = _tile_vals_layout(de.vals, len(de.offsets), m_eq, wq, hq, qc,
+                                nw, qtot)
 
     i32 = jnp.int32
     iv = dia.vals.dtype.itemsize
@@ -416,14 +438,15 @@ def _cp_windowed_call_full(prob, pre, x, y_eq, y, nsteps, theta_f,
             slot += [pltpu.VMEM((qc, LANE), jnp.float32)       # se be
                      for _ in range(2)]
         slot += [
-            pltpu.VMEM((len(offsets_t), qc, LANE), dia.vals_t.dtype),
-            pltpu.VMEM((len(offsets), qc, LANE), dia.vals.dtype),
+            pltpu.VMEM((1, len(offsets_t), qc, LANE), dia.vals_t.dtype),
+            pltpu.VMEM((1, len(offsets), qc, LANE), dia.vals.dtype),
         ]
         if has_eq:
             de = prob.a_eq
             slot += [
-                pltpu.VMEM((len(de.offsets_t), qc, LANE), de.vals_t.dtype),
-                pltpu.VMEM((len(de.offsets), qc, LANE), de.vals.dtype),
+                pltpu.VMEM((1, len(de.offsets_t), qc, LANE),
+                           de.vals_t.dtype),
+                pltpu.VMEM((1, len(de.offsets), qc, LANE), de.vals.dtype),
             ]
         ndma = 15 if has_eq else 10
         n_in = ndma  # one HBM source per DMA
