@@ -67,6 +67,7 @@ class ChambollePockConfig(SolverConfig):
     y_eq0: typing.Any = None
     y_ineq0: typing.Any = None
     save_problem: bool = False
+    light_metrics: bool = False         # checkpoint cost: 1 device fetch
 
 
 @dataclasses.dataclass(frozen=True)

@@ -687,6 +687,7 @@ class SparseLP:
         force_integer=False,
         dtype=None,
         config=None,
+        light_metrics=False,
         **solver_kwargs,
     ):
         """Solve the LP; returns ``(x, elapsed)`` (or ``x`` if not get_timing).
@@ -708,7 +709,16 @@ class SparseLP:
           (row sharding) or ``admm_blocks`` (block sharding) to the
           multi-chip implementations;
         * ``inner="gauss_seidel"`` — the native sequential host mode for
-          ``admm``.
+          ``admm``;
+        * ``light_metrics=True`` (``chambolle_pock_ppd`` only) — each
+          checkpoint costs exactly ONE device fetch: the per-checkpoint
+          host-side violation recompute and solution transfer are skipped,
+          and ``max_violated_constraint`` records the device-computed
+          violation of the solver's (converted, one-sided) system instead
+          of re-deriving it from the original matrices.  Curve values are
+          materialized to floats after the solve.  Intended for remote/
+          tunneled devices where every fetch costs tens of milliseconds;
+          ground-truth distance (if requested) still fetches the solution.
 
         ``config`` accepts a typed per-solver dataclass from
         :mod:`pysparselp_tpu.config` (e.g. ``Admm2Config(adaptive_rho=True)``)
@@ -775,6 +785,41 @@ class SparseLP:
             is_active_variable=None,
             state=None,
         ):
+            if light_metrics:
+                # one-fetch checkpoints: append raw device scalars (they
+                # are materialized to floats after the solve, off the
+                # clock); never touch the solution unless a ground-truth
+                # distance was requested
+                if ground_truth is not None:
+                    gt_idx = (
+                        ground_truth_indices
+                        if ground_truth_indices is not None
+                        else np.arange(len(ground_truth))
+                    )
+                    sol_np = np.asarray(solution)
+                    self.distance_to_ground_truth.append(
+                        float(np.mean(np.abs(ground_truth - sol_np[gt_idx])))
+                    )
+                    self.distanceToGroundTruthAfterRounding.append(
+                        float(np.mean(np.abs(
+                            ground_truth - np.round(sol_np[gt_idx]))))
+                    )
+                self.itrn_curve.append(niter)
+                self.opttime_curve.append(duration)
+                self.dopttime_curve.append(duration)
+                self.dobj_curve.append(energy2)
+                self.pobj_curve.append(energy1)
+                self.max_violated_equality.append(max_violated_equality)
+                self.max_violated_inequality.append(max_violated_inequality)
+                if user_callback is not None:
+                    user_callback(
+                        niter, solution, energy1, energy2, duration,
+                        max_violated_equality, max_violated_inequality,
+                        **({"state": state}
+                           if getattr(user_callback, "wants_state", False)
+                           else {}),
+                    )
+                return
             if ground_truth is not None:
                 gt_idx = (
                     ground_truth_indices
@@ -816,7 +861,18 @@ class SparseLP:
         recording_callback.wants_state = getattr(
             user_callback, "wants_state", False
         )
+        # light mode never reads the solution (so the solver can skip the
+        # per-checkpoint device fetch + unpermute) — unless a ground-truth
+        # distance, a plot hook or a user callback needs it
+        recording_callback.wants_solution = (
+            not light_metrics
+            or ground_truth is not None
+            or plot_solution is not None
+            or user_callback is not None
+        )
 
+        if light_metrics:
+            solver_kwargs["light_metrics"] = True
         x = dispatch(
             self,
             method=method,
@@ -831,6 +887,17 @@ class SparseLP:
             **solver_kwargs,
         )
         elapsed = time.perf_counter() - start
+        if light_metrics:
+            # materialize the lazily-recorded device scalars (off the clock)
+            self.pobj_curve = [float(v) for v in self.pobj_curve]
+            self.dobj_curve = [float(v) for v in self.dobj_curve]
+            self.max_violated_equality = [
+                float(v) for v in self.max_violated_equality]
+            self.max_violated_inequality = [
+                float(v) for v in self.max_violated_inequality]
+            self.max_violated_constraint = [
+                max(a, b) for a, b in zip(self.max_violated_equality,
+                                          self.max_violated_inequality)]
         if get_timing:
             return x, elapsed
         return x

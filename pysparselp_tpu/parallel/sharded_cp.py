@@ -588,7 +588,7 @@ def chambolle_pock_ppd_sharded(
     dtype=np.float32, alpha=1.0, restart=None, omega=None, permute="auto",
     x0=None, theta=1.0, stop_tol=None, start_time=None, y_eq0=None,
     y_ineq0=None, x30=None, restart_period=None, save_problem=False,
-    force_integer=False,
+    force_integer=False, light_metrics=False,
 ):
     """Mesh-parallel CP-PPD with the standard solver contract; returns x
     (or ``(x, best_integer_solution)`` when ``force_integer=True``).
@@ -670,8 +670,12 @@ def chambolle_pock_ppd_sharded(
         if inv_cols is not None and callback_func is not None:
             user_cb = callback_func
 
-            def callback_func(niter, xp, *rest):
-                user_cb(niter, np.asarray(xp)[inv_cols], *rest)
+            if getattr(user_cb, "wants_solution", True):
+                def callback_func(niter, xp, *rest):
+                    user_cb(niter, np.asarray(xp)[inv_cols], *rest)
+            else:
+                def callback_func(niter, xp, *rest):
+                    user_cb(niter, xp, *rest)
     data, state = build_sharded_cp_data(
         c, a_eq, beq, a_one, b_ineq, lb, ub, mesh,
         alpha=alpha, dtype=dtype, x0=x0, theta=theta,
@@ -719,14 +723,28 @@ def chambolle_pock_ppd_sharded(
             if er < best_integer_energy:
                 best_integer_energy = er
                 best_integer_solution = np.round(np.asarray(state["x"]))
-        x_host = np.asarray(state["x"])  # forces the async chunk to finish
-        elapsed = time.perf_counter() - start
-        emit_callback(
-            callback_func, niter, x_host,
-            metrics["energy1"], metrics["energy2"], elapsed,
-            metrics["max_violated_equality"],
-            metrics["max_violated_inequality"],
-        )
+        if light_metrics:
+            # single-fetch checkpoint: emit_callback(light=True) fetches
+            # energy1 (which synchronizes the async chunk) and passes the
+            # sharded x through unfetched
+            emit_callback(
+                callback_func, niter, state["x"],
+                metrics["energy1"], metrics["energy2"],
+                lambda: time.perf_counter() - start,
+                metrics["max_violated_equality"],
+                metrics["max_violated_inequality"],
+                light=True,
+            )
+            elapsed = time.perf_counter() - start
+        else:
+            x_host = np.asarray(state["x"])  # forces the chunk to finish
+            elapsed = time.perf_counter() - start
+            emit_callback(
+                callback_func, niter, x_host,
+                metrics["energy1"], metrics["energy2"], elapsed,
+                metrics["max_violated_equality"],
+                metrics["max_violated_inequality"],
+            )
         if max_time is not None and elapsed > max_time:
             break
         if stop_tol is not None:

@@ -47,7 +47,8 @@ class HostLoop:
 
 
 def emit_callback(callback_func, niter, x, energy1, energy2, elapsed,
-                  max_violated_eq, max_violated_ineq, state=None):
+                  max_violated_eq, max_violated_ineq, state=None,
+                  light=False):
     """Invoke the 7-positional-arg callback protocol.
 
     ``elapsed`` may be a float or a zero-arg callable (pass
@@ -60,8 +61,32 @@ def emit_callback(callback_func, niter, x, energy1, energy2, elapsed,
     ``state`` (a dict of full solver state arrays, e.g. duals) is passed as
     an extra keyword ONLY to callbacks that opt in with a truthy
     ``wants_state`` attribute — existing positional callbacks keep working.
+
+    ``light=True`` (the ``light_metrics`` solve option): the checkpoint
+    performs exactly ONE device fetch — ``float(energy1)``, which also
+    synchronizes every queued chunk so the timestamp stays truthful — and
+    passes ``x`` and the remaining metrics through UNfetched (device
+    scalars).  Callbacks advertising ``wants_solution = False`` must not
+    convert ``x``.  Over a remote-tunneled chip each fetch costs tens of
+    milliseconds, so the default path's 5+ round trips per checkpoint can
+    otherwise dominate short chunks.
     """
     if callback_func is None:
+        return
+    if light:
+        args = (
+            int(niter),
+            x,
+            float(energy1),  # the single synchronizing fetch
+            energy2,
+            float(elapsed()) if callable(elapsed) else float(elapsed),
+            max_violated_eq,
+            max_violated_ineq,
+        )
+        if state is not None and getattr(callback_func, "wants_state", False):
+            callback_func(*args, state=state)
+        else:
+            callback_func(*args)
         return
     x_np = to_np(x)
     metric_vals = (float(energy1), float(energy2))  # forces the sync

@@ -423,6 +423,7 @@ def chambolle_pock_ppd(
     y_eq0=None,
     y_ineq0=None,
     x30=None,
+    light_metrics=False,
 ):
     """Solve the LP with preconditioned CP-PPD; returns ``(x, best_integer_solution)``.
 
@@ -514,11 +515,19 @@ def chambolle_pock_ppd(
             if callback_func is not None:
                 user_cb = callback_func
 
-                def callback_func(niter, xp, *rest, **kw):
-                    user_cb(niter, np.asarray(xp)[inv_cols], *rest, **kw)
+                if getattr(user_cb, "wants_solution", True):
+                    def callback_func(niter, xp, *rest, **kw):
+                        user_cb(niter, np.asarray(xp)[inv_cols], *rest, **kw)
+                else:
+                    # light-metrics recorder: never touches the solution —
+                    # skip the per-checkpoint device fetch + unpermute
+                    def callback_func(niter, xp, *rest, **kw):
+                        user_cb(niter, xp, *rest, **kw)
 
                 callback_func.wants_state = getattr(user_cb, "wants_state",
                                                     False)
+                callback_func.wants_solution = getattr(
+                    user_cb, "wants_solution", True)
 
     if a_eq is None and a_one is None:
         # unconstrained: minimize cᵀx over the box (``ChambollePockPPD.py:147-151``)
@@ -690,6 +699,7 @@ def chambolle_pock_ppd(
                 if getattr(callback_func, "wants_state", False)
                 else None
             ),
+            light=light_metrics,
         )
         if loop.timed_out:
             break

@@ -1,0 +1,73 @@
+"""light_metrics solve mode: one-fetch checkpoints with the same curves.
+
+The light path records device scalars lazily and materializes them after
+the solve; the trajectory is identical to the default path (the compute
+is unchanged — only the per-checkpoint host traffic differs), and
+``max_violated_constraint`` comes from the solver's converted one-sided
+system instead of a host-side recompute on the original matrices."""
+
+import numpy as np
+import pytest
+
+from pysparselp_tpu import SparseLP
+
+
+def _make_lp(seed=3):
+    rng = np.random.RandomState(seed)
+    cost = rng.rand(8, 8)
+    lp = SparseLP()
+    x = lp.add_variables_array(cost.shape, 0, 1, costs=cost)
+    lp.add_equality_constraints(x, np.ones_like(cost), b=np.ones(8))
+    lp.add_inequality_constraints(x.T, np.ones_like(cost),
+                                  upper_bounds=np.ones(8))
+    return lp
+
+
+def _curves(lp):
+    return {k: list(getattr(lp, k)) for k in
+            ("itrn_curve", "pobj_curve", "dobj_curve",
+             "max_violated_equality", "max_violated_inequality",
+             "max_violated_constraint")}
+
+
+def test_light_metrics_matches_default_curves():
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=3000,
+                  nb_iter_plot=1000, dtype=np.float64)
+    lp = _make_lp()
+    sol_d, _ = lp.solve(**kwargs)
+    default = _curves(lp)
+    sol_l, _ = lp.solve(light_metrics=True, **kwargs)
+    light = _curves(lp)
+
+    np.testing.assert_allclose(sol_l, sol_d, atol=1e-12)
+    assert light["itrn_curve"] == default["itrn_curve"]
+    for k in ("pobj_curve", "dobj_curve", "max_violated_equality",
+              "max_violated_inequality"):
+        assert all(isinstance(v, float) for v in light[k]), k
+        np.testing.assert_allclose(light[k], default[k], rtol=1e-9,
+                                   atol=1e-12, err_msg=k)
+    # converted-system violation vs the host recompute on the original
+    # matrices: same constraints (one-sided folding preserves violations)
+    np.testing.assert_allclose(light["max_violated_constraint"],
+                               default["max_violated_constraint"],
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_light_metrics_ground_truth_distance_unpermuted():
+    """With a ground truth the light path must still fetch + unpermute the
+    solution for the distance curve (wants_solution stays True)."""
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=4000,
+                  nb_iter_plot=2000, dtype=np.float64)
+    lp = _make_lp(seed=5)
+    ref, _ = lp.solve(method="scipy_simplex")
+    sol, _ = lp.solve(ground_truth=ref,
+                      ground_truth_indices=np.arange(ref.size),
+                      light_metrics=True, **kwargs)
+    d = lp.distance_to_ground_truth
+    assert len(d) == 2 and d[-1] < 0.05, d
+
+
+def test_light_metrics_rejected_for_other_solvers():
+    lp = _make_lp()
+    with pytest.raises(TypeError):
+        lp.solve(method="admm", nb_iter=10, light_metrics=True)
