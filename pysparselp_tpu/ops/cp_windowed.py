@@ -367,9 +367,12 @@ def _tile_vals_layout(vals, ndiag, size, wq, hq, qc, nw, qtot):
     ``qc/wq`` storage duplication (the halo columns appear in two windows);
     the streamed bytes per iteration are identical to the strided layout."""
     pad = _pad_vals_layout(vals, ndiag, size, wq, qtot)
-    starts = wq * jnp.arange(1, nw + 1) - hq          # all >= 0 (wq > hq)
-    idx = starts[:, None] + jnp.arange(qc)[None, :]   # (nw, qc), < qtot
-    return jnp.transpose(pad[:, idx, :], (1, 0, 2, 3))
+    # static window starts (wq > hq keeps them >= 0; ends stay < qtot) —
+    # a python loop of STATIC slices, not a general gather: XLA lowers
+    # slice+stack to cheap copies while a (nw, qc) row gather is slow on
+    # TPU at large nw
+    starts = [wq * g - hq for g in range(1, nw + 1)]
+    return jnp.stack([pad[:, s:s + qc, :] for s in starts])
 
 
 @functools.partial(jax.jit, static_argnames=("nsteps", "theta_f",
