@@ -59,16 +59,26 @@ def test_backend_cost_model_selection(monkeypatch):
     monkeypatch.setattr(pm, "DENSE_AUTO_MAX_ENTRIES", 1000)
     assert isinstance(pm.ell_from_scipy(band), pm.DiaMatrix)
 
-    # many-staircase-diagonal structured matrix (Potts-like) -> BSR beats
-    # DIA once the per-diagonal re-read traffic is accounted for
+    # many-staircase-diagonal structured matrix (Potts-like): as a WHOLE
+    # matrix, BSR beats DIA once the per-diagonal re-read traffic is
+    # accounted for...
     rows = np.arange(20000).repeat(3)
     cols_ = np.stack([rows[::3], rows[::3] // 7 + 9000,
                       rows[::3] // 3 + 14000], 1).ravel()
     m2 = scipy.sparse.coo_matrix(
         (np.ones(rows.size), (rows, np.clip(cols_, 0, 19999))),
         shape=(20000, 20000)).tocsr()
+    whole, whole_cost = pm.estimate_stream_bytes(m2, None)
+    assert whole == "bsr", (whole, whole_cost)
+    assert isinstance(pm.ell_from_scipy(m2, prefer="bsr"), BsrMatrix)
+    # ...but its column-density jumps (slope-1 / slope-1/7 / slope-1/3
+    # bands) admit a split whose per-block DIA layouts price below the
+    # whole-matrix BSR, so the auto path returns the composite (r4)
     sel = pm.ell_from_scipy(m2)
-    assert isinstance(sel, BsrMatrix)
+    assert isinstance(sel, pm.ColBlockMatrix), type(sel).__name__
+    split_cost, cuts = pm.col_split_plan(m2, None)
+    assert cuts and split_cost < pm.COL_SPLIT_MIN_GAIN * whole_cost, (
+        split_cost, whole_cost)
 
 
 def test_rcm_permutation_is_a_permutation():
