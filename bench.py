@@ -53,10 +53,35 @@ REF_ML300_ITERS_PER_SEC = 16.7
 # run is used so the published speedup is the conservative one
 REF_L1SVM_ITERS_PER_SEC = 94.0
 
-# v5e theoretical HBM bandwidth: the roofline FLOOR for the streaming
-# regimes (using the peak keeps frac_of_roofline <= 1 falsifiable; the
-# achieved GB/s is reported next to it)
+# v5e datasheet HBM bandwidth; the streaming-regime roofline floor uses
+# max(this, measured) — windowed-kernel DMA probes sustained 896-930 GB/s
+# on this tunneled chip, ABOVE the v5e figure, so an assumed constant
+# would make frac_of_roofline read > 1 and stop being falsifiable.  The
+# measured ceiling is captured per bench run (see measure_hbm_bw) and
+# recorded in bench_details.json.
 HBM_PEAK_GBS = 819.0
+HBM_FLOOR_GBS = HBM_PEAK_GBS  # raised to the measured ceiling by main()
+
+
+def measure_hbm_bw(k=50):
+    """Measured streaming ceiling: ``k`` chained ``v = v + 1`` passes over
+    a 1-GiB f32 array under one jit (each pass reads N and writes N — the
+    loop-carried dependence stops XLA fusing them away), one scalar fetch
+    to synchronize.  Returns GB/s (median of 3)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = 256 * 1024 * 1024  # 1 GiB of f32
+    x = jnp.zeros(n, jnp.float32)
+    f = jax.jit(lambda v: lax.fori_loop(0, k, lambda i, a: a + 1.0, v)[0])
+    float(f(x))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    return k * 2 * n * 4 / t / 1e9
 
 
 def _sc105_lp():
@@ -138,10 +163,13 @@ def _dia_roofline(lp, elapsed_per_iter):
     out = {"ndiag": nd, "aligned_rows": mn,
            "measured_iter_us": round(elapsed_per_iter * 1e6, 2)}
     if fused_bytes <= 10 * 1024 * 1024:
-        # VPU op-bound floor: 8.5 equivalent-bytes/entry at the 600 GB/s
-        # rate — recalibrated r3 after a best-of-2 run measured 8.84
-        # (the old 9 made the fastest observed run read frac 1.017)
-        model_s = nd * (mn + n_new) * 8.5 / 600e9
+        # VPU op-bound floor: 4.8 equivalent-bytes/entry at the 600 GB/s
+        # rate — recalibrated r4: light_metrics removed the per-checkpoint
+        # host fetches from the measured period and Potts-50 dropped
+        # 3.83 -> 2.27 us/iter (the old 8.5 was calibrated WITH that
+        # overhead and read frac 1.63); 4.8 leaves ~8% optimism on the
+        # fastest observed run
+        model_s = nd * (mn + n_new) * 4.8 / 600e9
         out.update(
             regime="fused-vmem-resident",
             op_bound_model_us=round(model_s * 1e6, 2),
@@ -167,7 +195,7 @@ def _dia_roofline(lp, elapsed_per_iter):
         hbm_bytes = (nw * ((2 * qb + 6 * qc) * lane * 4
                            + 2 * nd * qc * lane * iv)
                      + 2 * qtot * lane * 4) / kk
-        model_s = hbm_bytes / (HBM_PEAK_GBS * 1e9)
+        model_s = hbm_bytes / (HBM_FLOOR_GBS * 1e9)
         out.update(
             regime="windowed-fused",
             window_plan={"wq": wq, "hq": hq, "gq": gq, "nw": nw,
@@ -182,7 +210,7 @@ def _dia_roofline(lp, elapsed_per_iter):
         # per-op DIA kernels (x VMEM-resident per SpMV) + XLA update:
         # floor = vals streamed once per orientation + ~11 vector passes
         hbm_bytes = 2 * nd_pad * rows * lane * iv + 11 * rows * lane * 4
-        model_s = hbm_bytes / (HBM_PEAK_GBS * 1e9)
+        model_s = hbm_bytes / (HBM_FLOOR_GBS * 1e9)
         out.update(
             regime="per-op-streamed",
             hbm_bytes_per_iter=int(hbm_bytes),
@@ -312,7 +340,7 @@ def measure_potts_multilabel(size=300, n_labels=4, nb_iter=10_000):
         hbm_bytes = (nw * ((3 * qb + 8 * qc) * lane * 4
                            + nd_all * qc * lane * iv)
                      + 3 * qtot * lane * 4) / kk
-        model_s = hbm_bytes / (HBM_PEAK_GBS * 1e9)
+        model_s = hbm_bytes / (HBM_FLOOR_GBS * 1e9)
         out.update(
             regime="windowed-fused-eq",
             window_plan={"wq": wq, "hq": hq, "gq": gq, "nw": nw, "k": kk},
@@ -358,7 +386,7 @@ def measure_l1svm(nb_examples=30_000, nf=30, nb_classes=3, nb_iter=6_000):
     # vector passes of the CP update
     bytes_iter = pr.operator_cost_bytes(op) + 11 * 4 * (a1.shape[0]
                                                         + a1.shape[1])
-    model_s = bytes_iter / (HBM_PEAK_GBS * 1e9)
+    model_s = bytes_iter / (HBM_FLOOR_GBS * 1e9)
     roof = {
         "nnz": int(a1.nnz), "shape": list(a1.shape),
         "regime": "col-split-composite",
@@ -372,9 +400,43 @@ def measure_l1svm(nb_examples=30_000, nf=30, nb_classes=3, nb_iter=6_000):
     return rate, runs, roof
 
 
+def measure_sharded_overhead(size=300, nb_iter=20_000):
+    """Row-sharded CP on a 1-device mesh vs the single-chip kernel at
+    Potts-``size``: prices the shard_map machinery PLUS the regime
+    difference (the sharded path runs per-shard per-op DIA kernels, not
+    the windowed whole-iteration kernel).  Returns a dict of both
+    measured rates (median-of-3, runs recorded) and the overhead
+    fraction."""
+    from jax.sharding import Mesh
+
+    from pysparselp_tpu.examples.potts import build_linear_program
+
+    lp, _gt, _idx, _ = build_linear_program(size, 0.5, 500)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    out = {}
+    for tag, extra in (("single", {}), ("mesh1", {"mesh": mesh})):
+        kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                      nb_iter_plot=nb_iter // 2, dtype=np.float32, **extra)
+        rate, runs = _median_rate(lp, kwargs)
+        out[f"{tag}_iters_per_sec"] = round(rate, 1)
+        out[f"{tag}_iters_per_sec_runs"] = runs
+    out["overhead_frac"] = round(
+        1.0 - out["mesh1_iters_per_sec"] / out["single_iters_per_sec"], 3)
+    return out
+
+
 def main():
+    global HBM_FLOOR_GBS
+    try:
+        measured_bw = measure_hbm_bw()
+        HBM_FLOOR_GBS = max(HBM_PEAK_GBS, measured_bw)
+    except Exception:  # pragma: no cover - hardware flake guard
+        measured_bw = None
     sc105_t, sc105_iters = measure_sc105()
     details = {
+        "hbm_measured_gbs": (None if measured_bw is None
+                             else round(measured_bw, 1)),
+        "hbm_roofline_floor_gbs": round(HBM_FLOOR_GBS, 1),
         "sc105_time_to_dist1e-3_s": round(sc105_t, 3),
         "sc105_iterations": sc105_iters,
         "sc105_ref_cpu_s": REF_SC105_TIME_TO_1E3,
@@ -397,8 +459,8 @@ def main():
         details["potts50_error"] = repr(e)
     # scale ladder: every README perf row must be reproducible from this
     # driver run (round-2 judge: the 700/1000 rows were ad-hoc numbers)
-    scale_points = [(300, 20_000), (500, 10_000), (700, 6_000),
-                    (1000, 3_000)]
+    scale_points = [(300, 20_000), (500, 10_000), (700, 8_000),
+                    (1000, 6_000)]
     nnz_of = {300: 1_076_400, 500: 2_994_000, 700: 5_869_200,
               1000: 11_988_000}
     for size, nb_iter in scale_points:
@@ -440,6 +502,10 @@ def main():
         })
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["l1svm_error"] = repr(e)
+    try:
+        details["sharded_overhead_potts300"] = measure_sharded_overhead()
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["sharded_overhead_error"] = repr(e)
     details.update({
         "reference_remeasure": (
             "sys.path.insert(0,'/root/reference'); "
