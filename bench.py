@@ -53,14 +53,19 @@ REF_ML300_ITERS_PER_SEC = 16.7
 # run is used so the published speedup is the conservative one
 REF_L1SVM_ITERS_PER_SEC = 94.0
 
-# v5e datasheet HBM bandwidth; the streaming-regime roofline floor uses
-# max(this, measured) — windowed-kernel DMA probes sustained 896-930 GB/s
-# on this tunneled chip, ABOVE the v5e figure, so an assumed constant
-# would make frac_of_roofline read > 1 and stop being falsifiable.  The
-# measured ceiling is captured per bench run (see measure_hbm_bw) and
-# recorded in bench_details.json.
+# v5e datasheet HBM bandwidth: 819 GB/s.  This chip sustains MORE: the
+# timing-only windowed-DMA probe streamed 414 MB/window-set in 444.5 µs
+# = 932 GB/s (strided and tiled layouts alike), and the tiled kernel
+# with full compute sustains 908 GB/s over long dispatches — so an
+# 819-GB/s roofline floor would read frac > 1 and stop being
+# falsifiable.  The floor is therefore the highest streaming rate ever
+# OBSERVED on this chip; measure_hbm_bw (a plain XLA elementwise loop,
+# which reaches only ~550 GB/s — it is not a DMA-peak probe) is also
+# recorded per run for transparency, and main() raises the floor if
+# either measurement beats the constant.
 HBM_PEAK_GBS = 819.0
-HBM_FLOOR_GBS = HBM_PEAK_GBS  # raised to the measured ceiling by main()
+HBM_OBSERVED_CEILING_GBS = 932.0
+HBM_FLOOR_GBS = HBM_OBSERVED_CEILING_GBS  # raised further by main() if beaten
 
 
 def measure_hbm_bw(k=50):
@@ -429,7 +434,7 @@ def main():
     global HBM_FLOOR_GBS
     try:
         measured_bw = measure_hbm_bw()
-        HBM_FLOOR_GBS = max(HBM_PEAK_GBS, measured_bw)
+        HBM_FLOOR_GBS = max(HBM_OBSERVED_CEILING_GBS, measured_bw)
     except Exception:  # pragma: no cover - hardware flake guard
         measured_bw = None
     sc105_t, sc105_iters = measure_sc105()

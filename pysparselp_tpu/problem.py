@@ -844,11 +844,15 @@ DIA_REREAD_BYTES = 12                 # accumulator rmw + x slice, per entry
 DIA_OP_OVERHEAD_BYTES = 80_000
 DIA_PALLAS_COST_PER_ENTRY = 9         # measured effective bytes (op-bound)
 # windowed fused-iteration regime (x beyond the VMEM budget, offset
-# spread admits windows): calibrated r3 on Potts-1000 (972 µs/iter over
-# 128M padded entries = 4.6 equivalent bytes/entry at the 600 GB/s rate);
-# 8 leaves margin for worse halo fractions so a dispatch never outruns
-# the ~1 s budget
-DIA_WINDOWED_COST_PER_ENTRY = 8
+# spread admits windows): recalibrated r4 with the per-window tiled
+# plane layout — Potts-1000 measured 492 µs/iter over 128M padded
+# entries = 2.3 equivalent bytes/entry at the 600 GB/s rate; 4 leaves
+# ~1.7x margin for worse halo fractions so a dispatch stays well under
+# the ~1 s budget.  This also sizes the DISPATCH CAP: over a tunneled
+# chip each re-dispatch costs ~35 ms, so overpricing the kernel (the
+# old 8) cut Potts-1000 chunks to 581 iterations and charged 61 µs/iter
+# of pure dispatch latency to the solve
+DIA_WINDOWED_COST_PER_ENTRY = 4
 DENSE_AUTO_MAX_ENTRIES = 64 * 1024 * 1024   # ~256 MB f32
 BSR_AUTO_MAX_ENTRIES = 128 * 1024 * 1024
 # gather-ELL effective bytes per nnz per direction pair: TPU gathers are
