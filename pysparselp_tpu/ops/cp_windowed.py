@@ -341,6 +341,79 @@ def _make_wcp_kernel(offsets, offsets_t, nw, wq, hq, gq, qc,
     return kernel
 
 
+def build_windowed_call(wq, hq, gq, nw, k, theta_f, with_sums, emit_x3,
+                        offsets, offsets_t, vt_dtype, v_dtype,
+                        eq_offsets=None, eq_offsets_t=None, vte_dtype=None,
+                        ve_dtype=None, interpret=False):
+    """Construct the windowed whole-iteration ``pallas_call`` for a grid
+    of ``nw`` interior windows (+2 pads).  Shared between the single-chip
+    driver (:func:`_cp_windowed_call_full`) and the position-sharded
+    multi-chip path (``parallel/sharded_cp_windowed``), where each shard
+    runs this call over ITS windows and the pad windows carry
+    halo-exchanged neighbor state."""
+    has_eq = eq_offsets is not None
+    qc = wq + 2 * hq
+    qb = qc + 2 * gq
+    qtot = (nw + 2) * wq
+    i32 = jnp.int32
+    iv = v_dtype.itemsize
+    n_out = (1 + int(emit_x3) + 1 + int(has_eq)
+             + ((2 + int(has_eq)) if with_sums else 0))
+    slot = [
+        pltpu.VMEM((qb, LANE), jnp.float32),           # xb
+        pltpu.VMEM((qb, LANE), jnp.float32),           # yb
+    ]
+    if has_eq:
+        slot.append(pltpu.VMEM((qb, LANE), jnp.float32))   # yeb
+    slot.append(pltpu.VMEM((qb, LANE), jnp.float32))       # x3b
+    slot += [pltpu.VMEM((qc, LANE), jnp.float32)           # c t lb ub
+             for _ in range(6)]                            # s b
+    if has_eq:
+        slot += [pltpu.VMEM((qc, LANE), jnp.float32)       # se be
+                 for _ in range(2)]
+    slot += [
+        pltpu.VMEM((1, len(offsets_t), qc, LANE), vt_dtype),
+        pltpu.VMEM((1, len(offsets), qc, LANE), v_dtype),
+    ]
+    if has_eq:
+        slot += [
+            pltpu.VMEM((1, len(eq_offsets_t), qc, LANE), vte_dtype),
+            pltpu.VMEM((1, len(eq_offsets), qc, LANE), ve_dtype),
+        ]
+    ndma = 15 if has_eq else 10
+    n_in = ndma  # one HBM source per DMA
+    plane_entries = nw * (len(offsets) + len(offsets_t)) * qc * LANE
+    plane_bytes = plane_entries * iv
+    eq_plane_entries = 0
+    if has_eq:
+        eq_plane_entries = (nw * (len(eq_offsets) + len(eq_offsets_t))
+                            * qc * LANE)
+        plane_bytes += eq_plane_entries * ve_dtype.itemsize
+    return pl.pallas_call(
+        _make_wcp_kernel(
+            offsets, offsets_t, nw, wq, hq, gq, qc, k, theta_f,
+            with_sums, emit_x3,
+            eq_offsets=eq_offsets, eq_offsets_t=eq_offsets_t),
+        grid=(nw + 2,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec((wq, LANE),
+                                lambda g: (i32(g), i32(0)))] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((qtot, LANE), jnp.float32)
+                   ] * n_out,
+        scratch_shapes=(
+            # two full window-buffer slots (double-buffered DMA)
+            slot + slot + [pltpu.SemaphoreType.DMA((2, ndma))]),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (plane_entries + eq_plane_entries),
+            bytes_accessed=plane_bytes
+            + (8 + 3 * int(has_eq)) * qtot * LANE * 4
+            + n_out * qtot * LANE * 4,
+            transcendentals=0,
+        ),
+    )
+
+
 def _pad_rows_layout(vec, wq, qtot):
     """(len,) vector -> (qtot, LANE) padded layout: one window of zeros on
     the left, zeros through the right pad windows."""
@@ -422,66 +495,15 @@ def _cp_windowed_call_full(prob, pre, x, y_eq, y, nsteps, theta_f,
         vep = _tile_vals_layout(de.vals, len(de.offsets), m_eq, wq, hq, qc,
                                 nw, qtot)
 
-    i32 = jnp.int32
-    iv = dia.vals.dtype.itemsize
-
     def make_call(emit_x3, k):
-        n_out = (1 + int(emit_x3) + 1 + int(has_eq)
-                 + ((2 + int(has_eq)) if with_sums else 0))
-        slot = [
-            pltpu.VMEM((qb, LANE), jnp.float32),           # xb
-            pltpu.VMEM((qb, LANE), jnp.float32),           # yb
-        ]
-        if has_eq:
-            slot.append(pltpu.VMEM((qb, LANE), jnp.float32))   # yeb
-        slot.append(pltpu.VMEM((qb, LANE), jnp.float32))       # x3b
-        slot += [pltpu.VMEM((qc, LANE), jnp.float32)           # c t lb ub
-                 for _ in range(6)]                            # s b
-        if has_eq:
-            slot += [pltpu.VMEM((qc, LANE), jnp.float32)       # se be
-                     for _ in range(2)]
-        slot += [
-            pltpu.VMEM((1, len(offsets_t), qc, LANE), dia.vals_t.dtype),
-            pltpu.VMEM((1, len(offsets), qc, LANE), dia.vals.dtype),
-        ]
-        if has_eq:
-            de = prob.a_eq
-            slot += [
-                pltpu.VMEM((1, len(de.offsets_t), qc, LANE),
-                           de.vals_t.dtype),
-                pltpu.VMEM((1, len(de.offsets), qc, LANE), de.vals.dtype),
-            ]
-        ndma = 15 if has_eq else 10
-        n_in = ndma  # one HBM source per DMA
-        plane_bytes = vtp.size * iv + vp.size * iv
-        if has_eq:
-            eq_iv = prob.a_eq.vals.dtype.itemsize
-            plane_bytes += (vtep.size + vep.size) * eq_iv
-        return pl.pallas_call(
-            _make_wcp_kernel(
-                offsets, offsets_t, nw, wq, hq, gq, qc, k, theta_f,
-                with_sums, emit_x3,
-                eq_offsets=prob.a_eq.offsets if has_eq else None,
-                eq_offsets_t=prob.a_eq.offsets_t if has_eq else None),
-            grid=(nw + 2,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-            out_specs=[pl.BlockSpec((wq, LANE),
-                                    lambda g: (i32(g), i32(0)))] * n_out,
-            out_shape=[jax.ShapeDtypeStruct((qtot, LANE), jnp.float32)
-                       ] * n_out,
-            scratch_shapes=(
-                # two full window-buffer slots (double-buffered DMA)
-                slot + slot + [pltpu.SemaphoreType.DMA((2, ndma))]),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=2 * (vtp.size + vp.size
-                           + ((vtep.size + vep.size) if has_eq else 0)),
-                bytes_accessed=plane_bytes
-                + (8 + 3 * int(has_eq)) * qtot * LANE * 4
-                + n_out * qtot * LANE * 4,
-                transcendentals=0,
-            ),
-        )
+        return build_windowed_call(
+            wq, hq, gq, nw, k, theta_f, with_sums, emit_x3,
+            offsets, offsets_t, dia.vals_t.dtype, dia.vals.dtype,
+            eq_offsets=prob.a_eq.offsets if has_eq else None,
+            eq_offsets_t=prob.a_eq.offsets_t if has_eq else None,
+            vte_dtype=prob.a_eq.vals_t.dtype if has_eq else None,
+            ve_dtype=prob.a_eq.vals.dtype if has_eq else None,
+            interpret=interpret)
 
     # time-tiled stepping: each launch advances K iterations; the loop
     # body never needs x3 (derived state) — only the final call emits it.

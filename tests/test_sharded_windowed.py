@@ -1,0 +1,155 @@
+"""Position-sharded windowed CP (parallel/sharded_cp_windowed) on the
+virtual CPU mesh: stencil domain decomposition with per-iteration ppermute
+halo exchange, pinned against the unfused single-chip CP iteration."""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pysparselp_tpu.ops import cp_windowed as cw
+from pysparselp_tpu.parallel import sharded_cp_windowed as scw
+from pysparselp_tpu.problem import DiaMatrix, LPProblem
+from pysparselp_tpu.solvers.chambolle_pock import _cp_iteration
+
+OFFSETS = (-3, 0, 5, 130)
+EQ_OFFSETS = (-1, 0, 2)
+
+
+def _dia(n, offsets, rng):
+    mats = [rng.rand(n) * 2 - 1 for _ in offsets]
+    return scipy.sparse.diags(mats, offsets, shape=(n, n)).tocsr()
+
+
+def _system(n=20000, eq=False, seed=0):
+    rng = np.random.RandomState(seed)
+    a = _dia(n, OFFSETS, rng)
+    a_eq = _dia(n, EQ_OFFSETS, rng) if eq else None
+    return dict(
+        a_eq=a_eq, beq=rng.rand(n) if eq else None,
+        a_ineq=a, b_ineq=rng.rand(n) * 2,
+        c=rng.rand(n), lb=np.zeros(n), ub=np.ones(n) * 2,
+        x0=rng.rand(n), x30=None,
+        y_eq0=rng.rand(n) * 0.1 if eq else None,
+        y_ineq0=rng.rand(n) * 0.1,
+    )
+
+
+def _reference_state(sys_d, nsteps, alpha=1.0):
+    """Unfused CP iterations with the position-sharded builder's own
+    preconditioner formulas (the single-chip driver's alpha formulas)."""
+    n = sys_d["c"].size
+    a, a_eq = sys_d["a_ineq"], sys_d["a_eq"]
+    col_sum = np.zeros(n)
+    for m_ in (a_eq, a):
+        if m_ is None:
+            continue
+        aa = m_.copy()
+        aa.data = np.abs(aa.data) ** (2.0 - alpha)
+        col_sum += np.asarray(aa.sum(axis=0)).ravel()
+    col_sum[col_sum == 0] = 1.0
+
+    def sigma_of(m_):
+        aa = m_.copy()
+        aa.data = np.abs(aa.data) ** alpha
+        rs = np.asarray(aa.sum(axis=1)).ravel()
+        rs[rs == 0] = 1.0
+        return 1.0 / rs
+
+    f32 = jnp.float32
+    has_eq = a_eq is not None
+    prob = LPProblem(
+        c=jnp.asarray(sys_d["c"], f32), lb=jnp.asarray(sys_d["lb"], f32),
+        ub=jnp.asarray(sys_d["ub"], f32),
+        a_eq=DiaMatrix.from_scipy(a_eq, dtype=f32) if has_eq else None,
+        b_eq=jnp.asarray(sys_d["beq"], f32) if has_eq else None,
+        a_ineq=DiaMatrix.from_scipy(a, dtype=f32), b_lower=None,
+        b_upper=jnp.asarray(sys_d["b_ineq"], f32),
+        n=n, m_eq=n if has_eq else 0, m_ineq=n,
+    )
+    pre = dict(diag_t=jnp.asarray(1.0 / col_sum, f32),
+               theta=jnp.asarray(1.0, f32),
+               sigma_ineq=jnp.asarray(sigma_of(a), f32))
+    if has_eq:
+        pre["sigma_eq"] = jnp.asarray(sigma_of(a_eq), f32)
+    state = (jnp.asarray(sys_d["x0"], f32), jnp.asarray(sys_d["x0"], f32),
+             jnp.asarray(sys_d["y_eq0"], f32) if has_eq
+             else jnp.zeros(0, f32),
+             jnp.asarray(sys_d["y_ineq0"], f32))
+    for _ in range(nsteps):
+        state = _cp_iteration(prob, pre, state)
+    return state
+
+
+@pytest.fixture()
+def small_windows(monkeypatch):
+    # budgets tuned so a 20k-position problem plans >= 4 interior windows
+    # (the eq variant carries more planes per row, hence the bigger budget)
+    monkeypatch.setattr(cw, "_MIN_WQ", 32)
+    monkeypatch.setattr(cw, "_FORCE_INTERPRET", True)
+
+    def set_budget(nbytes):
+        monkeypatch.setattr(cw, "WINDOWED_VMEM_BUDGET", nbytes)
+
+    return set_budget
+
+
+def _mesh(ndev):
+    return Mesh(np.array(jax.devices()[:ndev]), ("pos",))
+
+
+@pytest.mark.parametrize("eq", [False, True])
+def test_position_sharded_matches_unfused(small_windows, eq):
+    small_windows(2_000_000 if eq else 1_500_000)
+    sys_d = _system(eq=eq)
+    mesh = _mesh(4)
+    info = scw.position_shard_plan(sys_d["a_eq"], sys_d["a_ineq"],
+                                   sys_d["c"].size,
+                                   sys_d["c"].size if eq else 0,
+                                   sys_d["c"].size, 4, np.float32)
+    assert info is not None
+    data, state = scw.build_position_sharded(sys_d, mesh, plan_info=info)
+    nsteps = 5
+    state = scw.sharded_windowed_chunk(data, state, mesh, nsteps)
+    x, x3, ye, y = scw.unshard_state(data, state)
+    ref = _reference_state(sys_d, nsteps)
+    np.testing.assert_allclose(x, np.asarray(ref[0]), atol=3e-5)
+    np.testing.assert_allclose(x3, np.asarray(ref[1]), atol=6e-5)
+    np.testing.assert_allclose(y, np.asarray(ref[3]), atol=3e-5)
+    if eq:
+        np.testing.assert_allclose(ye, np.asarray(ref[2]), atol=3e-5)
+
+
+def test_position_sharded_device_count_invariance(small_windows):
+    small_windows(1_500_000)
+    sys_d = _system(n=50000)
+    results = {}
+    for ndev in (1, 2, 8):
+        mesh = _mesh(ndev)
+        info = scw.position_shard_plan(sys_d["a_eq"], sys_d["a_ineq"],
+                                       sys_d["c"].size, 0,
+                                       sys_d["c"].size, ndev, np.float32)
+        assert info is not None, ndev
+        data, state = scw.build_position_sharded(sys_d, mesh,
+                                                 plan_info=info)
+        state = scw.sharded_windowed_chunk(data, state, mesh, 4)
+        results[ndev] = scw.unshard_state(data, state)
+    for ndev in (2, 8):
+        for a, b in zip(results[1], results[ndev]):
+            np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+def test_position_shard_plan_gates():
+    # dense matrix (no DIA) -> ineligible
+    rng = np.random.RandomState(0)
+    n = 4000
+    a = scipy.sparse.random(n, n, density=0.01, random_state=rng,
+                            format="csr")
+    assert scw.position_shard_plan(None, a, n, 0, n, 4, np.float32) is None
+    # f64 -> ineligible
+    band = _dia(20000, OFFSETS, rng)
+    assert scw.position_shard_plan(None, band, 20000, 0, 20000, 4,
+                                   np.float64) is None
