@@ -676,6 +676,36 @@ def chambolle_pock_ppd_sharded(
             else:
                 def callback_func(niter, xp, *rest):
                     user_cb(niter, xp, *rest)
+    # position-sharded windowed regime: for aligned DIA systems the
+    # flagship whole-iteration kernel runs per shard with ppermute halo
+    # exchange (O(halo) per-iteration communication instead of the
+    # replicated-primal psum) — see parallel/sharded_cp_windowed.  The
+    # PDLP restart controller stays on the row-sharded path for now.
+    if restart is None and np.dtype(dtype) == np.float32:
+        from .sharded_cp_windowed import (position_shard_plan,
+                                          run_position_sharded)
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        info = position_shard_plan(
+            a_eq, a_one, c.size,
+            a_eq.shape[0] if a_eq is not None else 0,
+            a_one.shape[0] if a_one is not None else 0, ndev, dtype)
+        if info is not None:
+            sys_w = dict(a_eq=a_eq, beq=beq, a_ineq=a_one, b_ineq=b_ineq,
+                         c=c, lb=lb, ub=ub, x0=x0, x30=x30,
+                         y_eq0=y_eq0, y_ineq0=y_ineq0)
+            x_final, best = run_position_sharded(
+                sys_w, mesh, info, nb_max_iter=nb_max_iter,
+                nb_iter_plot=nb_iter_plot, callback_func=callback_func,
+                max_time=max_time, start_time=start_time,
+                force_integer=force_integer, stop_tol=stop_tol,
+                light_metrics=light_metrics, theta=theta, alpha=alpha)
+            if inv_cols is not None:
+                x_final = x_final[inv_cols]
+                if best is not None:
+                    best = best[inv_cols]
+            return (x_final, best) if force_integer else x_final
+
     data, state = build_sharded_cp_data(
         c, a_eq, beq, a_one, b_ineq, lb, ub, mesh,
         alpha=alpha, dtype=dtype, x0=x0, theta=theta,

@@ -165,11 +165,13 @@ def build_position_sharded(sys_d, mesh: Mesh, alpha=1.0, theta=1.0,
     def put(x):
         return jax.device_put(x, shard)
 
+    sigma_ineq = sigma_of(a_one)
+    sigma_eq = sigma_of(a_eq) if has_eq else None
     consts = [glayout(sys_d["c"]), glayout(diag_t), glayout(sys_d["lb"]),
-              glayout(sys_d["ub"]), glayout(sigma_of(a_one)),
+              glayout(sys_d["ub"]), glayout(sigma_ineq),
               glayout(sys_d["b_ineq"])]
     if has_eq:
-        consts += [glayout(sigma_of(a_eq)), glayout(sys_d["beq"])]
+        consts += [glayout(sigma_eq), glayout(sys_d["beq"])]
     consts = [put(shards_of(g)) for g in consts]
     planes = [put(tiles_of(di.vals_t, len(di.offsets_t), n)),
               put(tiles_of(di.vals, len(di.offsets), m))]
@@ -200,7 +202,7 @@ def build_position_sharded(sys_d, mesh: Mesh, alpha=1.0, theta=1.0,
         eq_offsets_t=de.offsets_t if has_eq else None,
         vte_dtype=de.vals_t.dtype if has_eq else None,
         ve_dtype=de.vals.dtype if has_eq else None,
-        diag_t=diag_t,
+        diag_t=diag_t, sigma_ineq=sigma_ineq, sigma_eq=sigma_eq,
     )
     return data, state
 
@@ -222,6 +224,86 @@ def unshard_state(data, state):
     ye = (_unshard_vec(state["y_eq"], wq, nw_l, data["m_eq"])
           if data["has_eq"] else np.zeros(0))
     return x, x3, ye, y
+
+
+def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
+                         nb_iter_plot=100, callback_func=None,
+                         max_time=None, start_time=None,
+                         force_integer=False, stop_tol=None,
+                         light_metrics=False, theta=1.0, alpha=1.0):
+    """Host loop for the position-sharded windowed CP path.
+
+    Same contract as the row-sharded loop: chunked iterations, checkpoint
+    metrics through the standard callback protocol, ``stop_tol`` /
+    ``max_time`` / ``force_integer`` semantics.  Checkpoint metrics are
+    computed on the gathered global state with the single-chip metrics
+    evaluator (a 0-step ``_cp_chunk``) — checkpoints are rare, the
+    iterations themselves never leave the mesh.  Returns
+    ``(x_aligned, best_integer_solution)``."""
+    from ..problem import LPProblem, dispatch_iteration_cap
+    from ..solvers.base import HostLoop, chunk_schedule, emit_callback
+    from ..solvers.chambolle_pock import _cp_chunk
+
+    data, state = build_position_sharded(sys_d, mesh, alpha=alpha,
+                                         theta=theta, plan_info=info)
+    di, de = info["dia"], info["dia_eq"]
+    has_eq = de is not None
+    f32 = jnp.float32
+    n, m, m_eq = data["n"], data["m"], data["m_eq"]
+    prob = LPProblem(
+        c=jnp.asarray(sys_d["c"], f32), lb=jnp.asarray(sys_d["lb"], f32),
+        ub=jnp.asarray(sys_d["ub"], f32),
+        a_eq=de, b_eq=jnp.asarray(sys_d["beq"], f32) if has_eq else None,
+        a_ineq=di, b_lower=None,
+        b_upper=jnp.asarray(sys_d["b_ineq"], f32),
+        n=n, m_eq=m_eq, m_ineq=m)
+    pre = dict(diag_t=jnp.asarray(data["diag_t"], f32),
+               theta=jnp.asarray(theta, f32),
+               sigma_ineq=jnp.asarray(data["sigma_ineq"], f32))
+    if has_eq:
+        pre["sigma_eq"] = jnp.asarray(data["sigma_eq"], f32)
+
+    loop = HostLoop(start_time, max_time)
+    cap = dispatch_iteration_cap(de, di)
+    niter = 0
+    best_integer_solution = None
+    best_integer_energy = np.inf
+    xg = np.asarray(sys_d["x0"] if sys_d.get("x0") is not None
+                    else np.zeros(n))
+    for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
+        done = 0
+        while done < nsteps:
+            sub = min(cap, nsteps - done)
+            state = sharded_windowed_chunk(data, state, mesh, sub)
+            done += sub
+        niter += nsteps
+        xg, x3g, yeg, yg = unshard_state(data, state)
+        gstate = (jnp.asarray(xg, f32), jnp.asarray(x3g, f32),
+                  jnp.asarray(yeg, f32), jnp.asarray(yg, f32))
+        _, metrics = _cp_chunk(prob, pre, gstate, 0)
+        if force_integer and bool(metrics["rounded_feasible"]):
+            er = float(metrics["energy_rounded"])
+            if er < best_integer_energy:
+                best_integer_energy = er
+                best_integer_solution = np.round(xg)
+        emit_callback(
+            callback_func, niter, gstate[0],
+            metrics["energy1"], metrics["energy2"],
+            lambda: loop.elapsed,
+            metrics["max_violated_equality"],
+            metrics["max_violated_inequality"],
+            light=light_metrics,
+        )
+        if loop.timed_out:
+            break
+        if stop_tol is not None:
+            e1, e2 = float(metrics["energy1"]), float(metrics["energy2"])
+            gap = abs(e1 - e2) / (1.0 + abs(e1) + abs(e2))
+            feas = max(float(metrics["max_violated_equality"]),
+                       float(metrics["max_violated_inequality"]))
+            if feas < stop_tol and gap < stop_tol:
+                break
+    return np.asarray(xg, np.float64), best_integer_solution
 
 
 def sharded_windowed_chunk(data, state, mesh: Mesh, nsteps: int):

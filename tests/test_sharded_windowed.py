@@ -142,6 +142,42 @@ def test_position_sharded_device_count_invariance(small_windows):
             np.testing.assert_allclose(b, a, atol=2e-5)
 
 
+def test_position_sharded_end_to_end_solve(small_windows):
+    """lp.solve(mesh=...) routes an eligible f32 DIA system to the
+    position-sharded windowed path and matches the single-chip solve."""
+    import pysparselp_tpu.parallel.sharded_cp_windowed as mod
+    from pysparselp_tpu import SparseLP
+
+    small_windows(1_500_000)
+    rng = np.random.RandomState(3)
+    n = 20000
+    a = _dia(n, OFFSETS, rng)
+    lp = SparseLP()
+    lp.add_variables_array(n, lower_bounds=0, upper_bounds=2,
+                           costs=rng.rand(n) - 0.3)
+    lp.add_inequality_constraints_sparse(a, None, rng.rand(n) * 2 + 0.5)
+
+    calls = {"n": 0}
+    orig = mod.run_position_sharded
+
+    def spy(*a_, **kw):
+        calls["n"] += 1
+        return orig(*a_, **kw)
+
+    mod.run_position_sharded = spy
+    try:
+        x8, _ = lp.solve(method="chambolle_pock_ppd", mesh=_mesh(4),
+                         nb_iter=400, nb_iter_plot=200, dtype=np.float32,
+                         permute=False)
+    finally:
+        mod.run_position_sharded = orig
+    assert calls["n"] == 1, "position-sharded path was not taken"
+    x1, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=400,
+                     nb_iter_plot=200, dtype=np.float32, permute=False)
+    np.testing.assert_allclose(x8, x1, atol=1e-4)
+    assert len(lp.itrn_curve) == 2      # checkpoint contract intact
+
+
 def test_position_shard_plan_gates():
     # dense matrix (no DIA) -> ineligible
     rng = np.random.RandomState(0)
