@@ -406,18 +406,22 @@ def measure_l1svm(nb_examples=30_000, nf=30, nb_classes=3, nb_iter=6_000):
 
 
 def measure_sharded_overhead(size=300, nb_iter=20_000):
-    """Row-sharded CP on a 1-device mesh vs the single-chip kernel at
-    Potts-``size``: prices the shard_map machinery PLUS the regime
-    difference (the sharded path runs per-shard per-op DIA kernels, not
-    the windowed whole-iteration kernel).  Returns a dict of both
-    measured rates (median-of-3, runs recorded) and the overhead
-    fraction."""
+    """Sharded CP on a 1-device mesh vs the single-chip kernel at
+    Potts-``size``.  Since the position-sharded windowed regime landed,
+    an f32 DIA-aligned ``mesh=`` solve runs the SAME whole-iteration
+    windowed kernel per shard (``parallel/sharded_cp_windowed``), so the
+    overhead fraction prices only the shard_map/halo machinery — the
+    executed regime is recorded so a routing change can't silently
+    repoint the comparison.  Returns a dict of both measured rates
+    (median-of-3, runs recorded) and the overhead fraction."""
     from jax.sharding import Mesh
 
     from pysparselp_tpu.examples.potts import build_linear_program
+    from pysparselp_tpu.parallel import sharded_cp_windowed as scw
 
     lp, _gt, _idx, _ = build_linear_program(size, 0.5, 500)
     mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    scw.last_run_info = None
     out = {}
     for tag, extra in (("single", {}), ("mesh1", {"mesh": mesh})):
         kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
@@ -425,6 +429,12 @@ def measure_sharded_overhead(size=300, nb_iter=20_000):
         rate, runs = _median_rate(lp, kwargs)
         out[f"{tag}_iters_per_sec"] = round(rate, 1)
         out[f"{tag}_iters_per_sec_runs"] = runs
+    info = scw.last_run_info
+    out["mesh1_regime"] = (
+        "position-sharded-windowed" if info is not None
+        else "row-sharded-per-op")
+    if info is not None:
+        out["mesh1_window_plan"] = list(info["plan"])
     out["overhead_frac"] = round(
         1.0 - out["mesh1_iters_per_sec"] / out["single_iters_per_sec"], 3)
     return out

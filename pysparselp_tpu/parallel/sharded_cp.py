@@ -680,8 +680,9 @@ def chambolle_pock_ppd_sharded(
     # flagship whole-iteration kernel runs per shard with ppermute halo
     # exchange (O(halo) per-iteration communication instead of the
     # replicated-primal psum) — see parallel/sharded_cp_windowed.  The
-    # PDLP restart controller stays on the row-sharded path for now.
-    if restart is None and np.dtype(dtype) == np.float32:
+    # PDLP restart controller runs device-resident there too
+    # (sharded_windowed_chunk_restart: scalar-psum KKT scoring).
+    if restart in (None, "average") and np.dtype(dtype) == np.float32:
         from .sharded_cp_windowed import (position_shard_plan,
                                           run_position_sharded)
 
@@ -699,7 +700,9 @@ def chambolle_pock_ppd_sharded(
                 nb_iter_plot=nb_iter_plot, callback_func=callback_func,
                 max_time=max_time, start_time=start_time,
                 force_integer=force_integer, stop_tol=stop_tol,
-                light_metrics=light_metrics, theta=theta, alpha=alpha)
+                light_metrics=light_metrics, theta=theta, alpha=alpha,
+                omega=omega, restart=restart,
+                restart_period=restart_period)
             if inv_cols is not None:
                 x_final = x_final[inv_cols]
                 if best is not None:

@@ -43,6 +43,12 @@ from ..ops.cp_windowed import (LANE, _pad_rows_layout, _pad_vals_layout,
                                build_windowed_call, window_layout)
 
 
+#: telemetry for bench/diagnostics — set each time the position-sharded
+#: loop actually runs (executed plan + device count), so a measurement
+#: can assert which regime it priced.
+last_run_info = None
+
+
 def _mesh_ndev(mesh: Mesh) -> int:
     return int(np.prod(list(mesh.shape.values())))
 
@@ -93,12 +99,15 @@ def position_shard_plan(a_eq, a_ineq, n, m_eq, m_ineq, ndev, dtype):
 
 
 def build_position_sharded(sys_d, mesh: Mesh, alpha=1.0, theta=1.0,
-                           plan_info=None):
+                           plan_info=None, omega=1.0):
     """Host-side setup: per-shard stacked arrays in the padded window
     layout, placed with their shardings.
 
     ``sys_d`` is the ALIGNED system dict (scipy matrices + numpy vectors):
     keys ``a_eq, beq, a_ineq, b_ineq, c, lb, ub, x0, x30, y_eq0, y_ineq0``.
+    ``omega`` statically applies the primal weight (τ·ω, σ/ω — the τσ
+    invariant, mirroring the single-chip ``_scale_pre``); the restart
+    controller instead builds with ``omega=1`` and scales dynamically.
     """
     import scipy.sparse
 
@@ -132,14 +141,14 @@ def build_position_sharded(sys_d, mesh: Mesh, alpha=1.0, theta=1.0,
         aa.data = np.abs(aa.data) ** (2.0 - alpha)
         col_sum += np.asarray(aa.sum(axis=0)).ravel()
     col_sum[col_sum == 0] = 1.0
-    diag_t = 1.0 / col_sum
+    diag_t = omega / col_sum
 
     def sigma_of(a):
         aa = scipy.sparse.csr_matrix(a).copy()
         aa.data = np.abs(aa.data) ** alpha
         rs = np.asarray(aa.sum(axis=1)).ravel()
         rs[rs == 0] = 1.0
-        return 1.0 / rs
+        return 1.0 / (rs * omega)
 
     f32 = jnp.float32
 
@@ -230,7 +239,8 @@ def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
                          nb_iter_plot=100, callback_func=None,
                          max_time=None, start_time=None,
                          force_integer=False, stop_tol=None,
-                         light_metrics=False, theta=1.0, alpha=1.0):
+                         light_metrics=False, theta=1.0, alpha=1.0,
+                         omega=1.0, restart=None, restart_period=None):
     """Host loop for the position-sharded windowed CP path.
 
     Same contract as the row-sharded loop: chunked iterations, checkpoint
@@ -238,14 +248,22 @@ def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
     ``max_time`` / ``force_integer`` semantics.  Checkpoint metrics are
     computed on the gathered global state with the single-chip metrics
     evaluator (a 0-step ``_cp_chunk``) — checkpoints are rare, the
-    iterations themselves never leave the mesh.  Returns
+    iterations themselves never leave the mesh.  ``omega`` applies the
+    primal weight; ``restart="average"`` runs the device-resident PDLP
+    controller (:func:`sharded_windowed_chunk_restart`).  Returns
     ``(x_aligned, best_integer_solution)``."""
     from ..problem import LPProblem, dispatch_iteration_cap
     from ..solvers.base import HostLoop, chunk_schedule, emit_callback
-    from ..solvers.chambolle_pock import _cp_chunk
+    from ..solvers.chambolle_pock import _cp_chunk, _kkt_score
 
-    data, state = build_position_sharded(sys_d, mesh, alpha=alpha,
-                                         theta=theta, plan_info=info)
+    global last_run_info
+    last_run_info = {"regime": "position-sharded-windowed",
+                     "plan": tuple(int(v) for v in info["plan"]),
+                     "ndev": _mesh_ndev(mesh),
+                     "restart": restart}
+    data, state = build_position_sharded(
+        sys_d, mesh, alpha=alpha, theta=theta, plan_info=info,
+        omega=1.0 if restart == "average" else float(omega))
     di, de = info["dia"], info["dia_eq"]
     has_eq = de is not None
     f32 = jnp.float32
@@ -270,12 +288,46 @@ def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
     best_integer_energy = np.inf
     xg = np.asarray(sys_d["x0"] if sys_d.get("x0") is not None
                     else np.zeros(n))
+    rstate = None
+    if restart == "average":
+        # seed the controller with the KKT score of the initial point
+        # (single-chip seeding, chambolle_pock.py) — a one-time host-side
+        # evaluation on the compact system
+        period = int(min(restart_period or nb_iter_plot, nb_iter_plot,
+                         cap))
+
+        def compact(key, size):
+            v = sys_d.get(key)
+            return jnp.asarray(np.zeros(size) if v is None else v, f32)
+
+        mu0 = _kkt_score(prob, compact("x0", n),
+                         compact("y_eq0", m_eq) if has_eq
+                         else jnp.zeros(0, f32),
+                         compact("y_ineq0", m))
+        rstate = {
+            "state": dict(state),
+            "omega": jnp.asarray(float(omega), f32),
+            "mu_restart": mu0.astype(f32),
+            "mu_last": jnp.asarray(np.inf, f32),
+            "zx": state["x"],
+            "zeq": state.get("y_eq"),
+            "zineq": state["y_ineq"],
+        }
     for nsteps in chunk_schedule(nb_max_iter, nb_iter_plot):
         done = 0
-        while done < nsteps:
-            sub = min(cap, nsteps - done)
-            state = sharded_windowed_chunk(data, state, mesh, sub)
-            done += sub
+        if restart == "average":
+            cap_r = max(period, cap // period * period)
+            while done < nsteps:
+                sub = min(cap_r, nsteps - done)
+                rstate = sharded_windowed_chunk_restart(
+                    data, rstate, mesh, sub, period)
+                done += sub
+            state = rstate["state"]
+        else:
+            while done < nsteps:
+                sub = min(cap, nsteps - done)
+                state = sharded_windowed_chunk(data, state, mesh, sub)
+                done += sub
         niter += nsteps
         xg, x3g, yeg, yg = unshard_state(data, state)
         gstate = (jnp.asarray(xg, f32), jnp.asarray(x3g, f32),
@@ -304,6 +356,265 @@ def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
             if feas < stop_tol and gap < stop_tol:
                 break
     return np.asarray(xg, np.float64), best_integer_solution
+
+
+def _interior_matvec(planes, offsets, arr, wq, hq, nw_l):
+    """DIA mat/rmatvec restricted to a shard's INTERIOR positions.
+
+    ``planes`` is the per-shard tiled value layout ``(nw_l, nd, qc, LANE)``
+    (possibly bf16); ``arr`` a padded shard layout ``(qtot_l, LANE)`` whose
+    halo rows are fresh.  Result[p] = Σ_j vals[j, p] · arr[p + off_j] for
+    the ``nw_l·wq·LANE`` interior positions — every tap is a STATIC slice
+    of the flattened layout (|off| ≤ gq·LANE ≤ wq·LANE, so reads stay
+    inside the pad windows)."""
+    qc = planes.shape[2]
+    af = arr.reshape(-1)
+    base = wq * LANE
+    size = nw_l * wq * LANE
+    out = jnp.zeros((size,), jnp.float32)
+    # tile center rows hq:hq+wq of window j = interior window j's values
+    cent = planes[:, :, hq:hq + wq, :]         # (nw_l, nd, wq, LANE)
+    assert cent.shape[2] == wq and qc == wq + 2 * hq
+    for j, off in enumerate(offsets):
+        v = cent[:, j].astype(jnp.float32).reshape(size)
+        out = out + v * jax.lax.slice(af, (base + off,),
+                                      (base + off + size,))
+    return out
+
+
+def sharded_windowed_chunk_restart(data, rstate, mesh: Mesh, nsteps: int,
+                                   period: int):
+    """Device-resident PDLP restart controller for the position-sharded
+    windowed path: ``nsteps`` iterations with a restart-to-average check
+    every ``period`` iterations, entirely on the mesh.
+
+    Multi-chip twin of ``solvers.chambolle_pock._cp_chunk_restart_device``
+    (windowed branch) — per-shard windowed kernels emit the running sums,
+    and the KKT progress score reduces with SCALAR psums only: unlike the
+    row-sharded controller (which all-reduces the O(n) dual-transpose
+    vector), every vector quantity here — Ax, Aᵀy, the box-dual — is
+    computable locally from the halo-refreshed shard state, so a restart
+    check costs a handful of scalar collectives on top of one extra local
+    SpMV pair.  ``rstate`` carries the sharded solver state, the sharded
+    restart point (``zx``/``zeq``/``zineq``), and the replicated
+    controller scalars (ω, score at last restart, last candidate score).
+    """
+    assert nsteps >= 1 and period >= 1
+    axis = data["axis"]
+    ndev = data["ndev"]
+    wq, hq, gq, nw_l = data["plan"]
+    has_eq = data["has_eq"]
+    h = hq + gq
+    lo = wq
+    hi = wq + nw_l * wq
+    size = nw_l * wq * LANE           # interior positions per shard
+    interpret = jax.default_backend() != "tpu"
+    beta_suf, beta_nec = 0.2, 0.8
+    nblocks, rem = divmod(nsteps, period)
+
+    def make_call(emit_x3):
+        # sums variants only: the remainder iterations reuse them (their
+        # sums are discarded) so the chunk compiles two kernels, not four
+        return build_windowed_call(
+            wq, hq, gq, nw_l, 1, data["theta"], True, emit_x3,
+            data["offsets"], data["offsets_t"], data["vt_dtype"],
+            data["v_dtype"], eq_offsets=data["eq_offsets"],
+            eq_offsets_t=data["eq_offsets_t"],
+            vte_dtype=data["vte_dtype"], ve_dtype=data["ve_dtype"],
+            interpret=interpret)
+
+    call_s = make_call(False)
+    call_sx3 = make_call(True)
+    fwd = [(s, s + 1) for s in range(ndev - 1)]
+    bwd = [(s + 1, s) for s in range(ndev - 1)]
+
+    def refresh(arr):
+        from_left = jax.lax.ppermute(arr[hi - h:hi], axis, fwd)
+        from_right = jax.lax.ppermute(arr[lo:lo + h], axis, bwd)
+        arr = arr.at[lo - h:lo].set(from_left)
+        return arr.at[hi:hi + h].set(from_right)
+
+    def body(consts, planes, rs):
+        consts = tuple(a[0] for a in consts)
+        planes = tuple(a[0] for a in planes)
+        rs = dict(rs)
+        rs["state"] = tuple(a[0] for a in rs["state"])
+        for k in ("zx", "zeq", "zineq"):
+            rs[k] = rs[k][0]
+        cb, tb, lbb, ubb, sb, bb = consts[:6]
+        seb, beb = (consts[6], consts[7]) if has_eq else (None, None)
+        vt_p, v_p = planes[0], planes[1]
+        vte_p, ve_p = (planes[2], planes[3]) if has_eq else (None, None)
+
+        def interior(a):
+            return a[lo:hi].reshape(-1)
+
+        c_i, lb_i, ub_i, b_i = (interior(cb), interior(lbb), interior(ubb),
+                                interior(bb))
+        be_i = interior(beb) if has_eq else None
+
+        def score(xr, yr, yer):
+            """KKT progress score of halo-fresh layouts (scalar psums)."""
+            x_i, y_i = interior(xr), interior(yr)
+            dd = c_i + _interior_matvec(vt_p, data["offsets_t"], yr, wq,
+                                        hq, nw_l)
+            r = jnp.maximum(
+                _interior_matvec(v_p, data["offsets"], xr, wq, hq, nw_l)
+                - b_i, 0.0)
+            pviol = jnp.sum(r * r)
+            dual = -jnp.dot(y_i, b_i)
+            if has_eq:
+                ye_i = interior(yer)
+                dd = dd + _interior_matvec(vte_p, data["eq_offsets_t"],
+                                           yer, wq, hq, nw_l)
+                re_ = (_interior_matvec(ve_p, data["eq_offsets"], xr, wq,
+                                        hq, nw_l) - be_i)
+                pviol = pviol + jnp.sum(re_ * re_)
+                dual = dual - jnp.dot(ye_i, be_i)
+            dual = dual + jnp.sum(jnp.where(dd < 0, dd * ub_i, dd * lb_i))
+            pobj = jax.lax.psum(jnp.dot(c_i, x_i), axis)
+            dual = jax.lax.psum(dual, axis)
+            pviol = jax.lax.psum(pviol, axis)
+            gap = jnp.abs(pobj - dual) / (
+                1.0 + jnp.abs(pobj) + jnp.abs(dual))
+            return jnp.sqrt(pviol + gap * gap)
+
+        def one(xc, yc, yec, om, emit):
+            """One halo-exchange + windowed iteration at primal weight ω;
+            returns (state..., sums...)."""
+            ins = (cb, tb * om, lbb, ubb, sb / om, bb)
+            if has_eq:
+                ins += (seb / om, beb)
+            ins += (vt_p, v_p) + ((vte_p, ve_p) if has_eq else ())
+            xc, yc = refresh(xc), refresh(yc)
+            call = call_sx3 if emit else call_s
+            if has_eq:
+                yec = refresh(yec)
+                outs = call(xc, yc, yec, *ins)
+            else:
+                outs = call(xc, yc, *ins)
+            it = iter(outs)
+            xn = next(it)
+            x3n = next(it) if emit else None
+            yn = next(it)
+            yen = next(it) if has_eq else yec
+            sums = tuple(it)            # (sx, sy[, sye])
+            return xn, x3n, yn, yen, sums
+
+        def run_block(rs):
+            x, x3, y, ye = rs["state"]
+            om = rs["omega"]
+            zero = jnp.zeros_like(x)
+            nsum = 3 if has_eq else 2
+
+            def iter_body(_, carry):
+                (xc, yc, yec), acc = carry
+                xn, _, yn, yen, sums = one(xc, yc, yec, om, False)
+                return (xn, yn, yen), tuple(a + s
+                                            for a, s in zip(acc, sums))
+
+            (x, y, ye), acc = jax.lax.fori_loop(
+                0, period - 1, iter_body, ((x, y, ye), (zero,) * nsum))
+            x, x3, y, ye, sums = one(x, y, ye, om, True)
+            acc = tuple(a + s for a, s in zip(acc, sums))
+            inv = 1.0 / period
+            ax = refresh(acc[0] * inv)
+            ay = refresh(acc[1] * inv)
+            aye = refresh(acc[2] * inv) if has_eq else ye
+            xf, yf = refresh(x), refresh(y)
+            yef = refresh(ye) if has_eq else ye
+            s_cur = score(xf, yf, yef)
+            s_avg = score(ax, ay, aye)
+            mu_c = jnp.minimum(s_cur, s_avg)
+            do = (mu_c <= beta_suf * rs["mu_restart"]) | (
+                (mu_c <= beta_nec * rs["mu_restart"])
+                & (mu_c > rs["mu_last"]))
+            use_avg = s_avg < s_cur
+            zx = jnp.where(use_avg, ax, xf)
+            zineq = jnp.where(use_avg, ay, yf)
+            zeq = jnp.where(use_avg, aye, yef) if has_eq else ye
+            dx = jnp.sqrt(jax.lax.psum(
+                jnp.sum((interior(zx) - interior(rs["zx"])) ** 2), axis))
+            dy2 = jnp.sum((interior(zineq) - interior(rs["zineq"])) ** 2)
+            if has_eq:
+                dy2 = dy2 + jnp.sum(
+                    (interior(zeq) - interior(rs["zeq"])) ** 2)
+            dy = jnp.sqrt(jax.lax.psum(dy2, axis))
+            valid = (dx > 1e-30) & (dy > 1e-30)
+            om_new = jnp.where(
+                do & valid,
+                jnp.exp(0.5 * jnp.log(dx / jnp.maximum(dy, 1e-30))
+                        + 0.5 * jnp.log(om)),
+                om,
+            )
+            new_state = (
+                jnp.where(do, zx, x),
+                jnp.where(do, zx, x3),
+                jnp.where(do, zineq, y),
+                jnp.where(do, zeq, ye) if has_eq else ye,
+            )
+            return {
+                "state": new_state,
+                "omega": om_new,
+                "mu_restart": jnp.where(do, mu_c, rs["mu_restart"]),
+                "mu_last": jnp.where(do, jnp.asarray(jnp.inf, mu_c.dtype),
+                                     mu_c),
+                "zx": jnp.where(do, zx, rs["zx"]),
+                "zeq": jnp.where(do, zeq, rs["zeq"]) if has_eq
+                else rs["zeq"],
+                "zineq": jnp.where(do, zineq, rs["zineq"]),
+            }
+
+        # uniform carry: blocks update x3 at their final call, so the
+        # state tuple keeps (x, x3, y, ye) throughout
+        rs = jax.lax.fori_loop(0, nblocks, lambda _, r: run_block(r), rs)
+        if rem:
+            x, x3, y, ye = rs["state"]
+            om = rs["omega"]
+
+            def tail_body(_, carry):
+                xc, yc, yec = carry
+                xn, _, yn, yen, _s = one(xc, yc, yec, om, False)
+                return xn, yn, yen
+
+            x, y, ye = jax.lax.fori_loop(0, rem - 1, tail_body, (x, y, ye))
+            x, x3, y, ye, _s = one(x, y, ye, om, True)
+            rs = dict(rs, state=(x, x3, y, ye))
+        st = tuple(a[None] for a in rs["state"])
+        return (st, rs["omega"], rs["mu_restart"], rs["mu_last"],
+                rs["zx"][None], rs["zeq"][None], rs["zineq"][None])
+
+    spec = P(axis)
+    rspec = P()
+    n_c = len(data["consts"])
+    n_p = len(data["planes"])
+    st_spec = (spec,) * 4
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=((spec,) * n_c, (spec,) * n_p,
+                  {"state": st_spec, "omega": rspec, "mu_restart": rspec,
+                   "mu_last": rspec, "zx": spec, "zeq": spec,
+                   "zineq": spec}),
+        out_specs=(st_spec, rspec, rspec, rspec, spec, spec, spec),
+        check_vma=False,
+    )
+    st_in = rstate["state"]
+    dummy = st_in.get("y_eq", st_in["y_ineq"])
+    rs_in = {
+        "state": (st_in["x"], st_in["x3"], st_in["y_ineq"],
+                  st_in.get("y_eq", dummy)),
+        "omega": rstate["omega"], "mu_restart": rstate["mu_restart"],
+        "mu_last": rstate["mu_last"], "zx": rstate["zx"],
+        "zeq": rstate["zeq"] if rstate["zeq"] is not None else dummy,
+        "zineq": rstate["zineq"],
+    }
+    st, om, mu_r, mu_l, zx, zeq, zineq = sharded(
+        data["consts"], data["planes"], rs_in)
+    state_out = dict(st_in, x=st[0], x3=st[1], y_ineq=st[2])
+    if has_eq:
+        state_out["y_eq"] = st[3]
+    return dict(state=state_out, omega=om, mu_restart=mu_r, mu_last=mu_l,
+                zx=zx, zeq=zeq if has_eq else None, zineq=zineq)
 
 
 def sharded_windowed_chunk(data, state, mesh: Mesh, nsteps: int):

@@ -38,9 +38,9 @@ def _system(n=20000, eq=False, seed=0):
     )
 
 
-def _reference_state(sys_d, nsteps, alpha=1.0):
-    """Unfused CP iterations with the position-sharded builder's own
-    preconditioner formulas (the single-chip driver's alpha formulas)."""
+def _reference_prob(sys_d, alpha=1.0):
+    """Single-chip (prob, pre, state0) with the position-sharded builder's
+    own preconditioner formulas (the single-chip driver's alpha formulas)."""
     n = sys_d["c"].size
     a, a_eq = sys_d["a_ineq"], sys_d["a_eq"]
     col_sum = np.zeros(n)
@@ -79,6 +79,17 @@ def _reference_state(sys_d, nsteps, alpha=1.0):
              jnp.asarray(sys_d["y_eq0"], f32) if has_eq
              else jnp.zeros(0, f32),
              jnp.asarray(sys_d["y_ineq0"], f32))
+    return prob, pre, state
+
+
+def _reference_state(sys_d, nsteps, alpha=1.0, pre_scale=None):
+    """Unfused CP iterations from :func:`_reference_prob`; ``pre_scale``
+    applies a primal weight via the single-chip ``_scale_pre``."""
+    from pysparselp_tpu.solvers.chambolle_pock import _scale_pre
+
+    prob, pre, state = _reference_prob(sys_d, alpha)
+    if pre_scale is not None:
+        pre = _scale_pre(pre, pre_scale)
     for _ in range(nsteps):
         state = _cp_iteration(prob, pre, state)
     return state
@@ -176,6 +187,113 @@ def test_position_sharded_end_to_end_solve(small_windows):
                      nb_iter_plot=200, dtype=np.float32, permute=False)
     np.testing.assert_allclose(x8, x1, atol=1e-4)
     assert len(lp.itrn_curve) == 2      # checkpoint contract intact
+
+
+def test_position_sharded_omega(small_windows):
+    """A static primal weight must rescale the sharded steps exactly like
+    the single-chip ``_scale_pre`` (regression: ``omega`` used to be
+    dropped on the position-sharded route)."""
+    small_windows(1_500_000)
+    sys_d = _system()
+    mesh = _mesh(2)
+    n = sys_d["c"].size
+    info = scw.position_shard_plan(None, sys_d["a_ineq"], n, 0, n, 2,
+                                   np.float32)
+    assert info is not None
+    data, state = scw.build_position_sharded(sys_d, mesh, plan_info=info,
+                                             omega=2.5)
+    state = scw.sharded_windowed_chunk(data, state, mesh, 4)
+    x, _x3, _ye, y = scw.unshard_state(data, state)
+    ref = _reference_state(sys_d, 4, pre_scale=2.5)
+    np.testing.assert_allclose(x, np.asarray(ref[0]), atol=3e-5)
+    np.testing.assert_allclose(y, np.asarray(ref[3]), atol=3e-5)
+
+
+@pytest.mark.parametrize("eq", [False, True])
+def test_position_sharded_restart_matches_single_chip(small_windows, eq):
+    """The device-resident restart controller on the position-sharded path
+    (scalar-psum KKT scoring, sharded restart point) must track the
+    single-chip controller's trajectory AND its ω updates."""
+    from pysparselp_tpu.solvers.chambolle_pock import (
+        _cp_chunk_restart_device, _kkt_score)
+
+    small_windows(2_000_000 if eq else 1_500_000)
+    sys_d = _system(eq=eq, seed=5)
+    mesh = _mesh(4)
+    n = sys_d["c"].size
+    info = scw.position_shard_plan(sys_d["a_eq"], sys_d["a_ineq"], n,
+                                   n if eq else 0, n, 4, np.float32)
+    assert info is not None
+    prob, pre, state0 = _reference_prob(sys_d)
+    f32 = jnp.float32
+    mu0 = _kkt_score(prob, state0[0], state0[2], state0[3]).astype(f32)
+    rstate0 = {
+        "state": state0,
+        "omega": jnp.asarray(1.0, f32),
+        "mu_restart": mu0,
+        "mu_last": jnp.asarray(np.inf, f32),
+        "zx": state0[0], "zeq": state0[2], "zineq": state0[3],
+    }
+    nsteps, period = 45, 20
+    ref_rs, _m = _cp_chunk_restart_device(prob, pre, rstate0, nsteps,
+                                          period, use_fused=None,
+                                          theta_f=1.0)
+
+    data, st = scw.build_position_sharded(sys_d, mesh, plan_info=info)
+    rs = {"state": st, "omega": jnp.asarray(1.0, f32),
+          "mu_restart": mu0, "mu_last": jnp.asarray(np.inf, f32),
+          "zx": st["x"], "zeq": st.get("y_eq"), "zineq": st["y_ineq"]}
+    rs = scw.sharded_windowed_chunk_restart(data, rs, mesh, nsteps, period)
+    x, x3, ye, y = scw.unshard_state(data, rs["state"])
+    np.testing.assert_allclose(float(rs["omega"]), float(ref_rs["omega"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(rs["mu_restart"]),
+                               float(ref_rs["mu_restart"]), rtol=2e-3)
+    np.testing.assert_allclose(x, np.asarray(ref_rs["state"][0]),
+                               atol=3e-4)
+    np.testing.assert_allclose(x3, np.asarray(ref_rs["state"][1]),
+                               atol=5e-4)
+    np.testing.assert_allclose(y, np.asarray(ref_rs["state"][3]),
+                               atol=3e-4)
+    if eq:
+        np.testing.assert_allclose(ye, np.asarray(ref_rs["state"][2]),
+                                   atol=3e-4)
+
+
+def test_position_sharded_restart_end_to_end(small_windows):
+    """``lp.solve(mesh=..., restart="average")`` routes to the
+    position-sharded path (not the row-sharded fallback) and matches the
+    single-chip accelerated solve."""
+    import pysparselp_tpu.parallel.sharded_cp_windowed as mod
+    from pysparselp_tpu import SparseLP
+
+    small_windows(1_500_000)
+    rng = np.random.RandomState(7)
+    n = 20000
+    a = _dia(n, OFFSETS, rng)
+    lp = SparseLP()
+    lp.add_variables_array(n, lower_bounds=0, upper_bounds=2,
+                           costs=rng.rand(n) - 0.3)
+    lp.add_inequality_constraints_sparse(a, None, rng.rand(n) * 2 + 0.5)
+
+    calls = {"n": 0}
+    orig = mod.run_position_sharded
+
+    def spy(*a_, **kw):
+        calls["n"] += 1
+        return orig(*a_, **kw)
+
+    mod.run_position_sharded = spy
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=120,
+                  nb_iter_plot=60, restart="average", restart_period=30,
+                  omega=1.3, dtype=np.float32, permute=False)
+    try:
+        x_mesh, _ = lp.solve(mesh=_mesh(4), **kwargs)
+    finally:
+        mod.run_position_sharded = orig
+    assert calls["n"] == 1, "position-sharded restart path was not taken"
+    x_one, _ = lp.solve(**kwargs)
+    np.testing.assert_allclose(x_mesh, x_one, atol=1e-3)
 
 
 def test_position_shard_plan_gates():
