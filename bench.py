@@ -72,7 +72,10 @@ def measure_hbm_bw(k=50):
     """Measured streaming ceiling: ``k`` chained ``v = v + 1`` passes over
     a 1-GiB f32 array under one jit (each pass reads N and writes N — the
     loop-carried dependence stops XLA fusing them away), one scalar fetch
-    to synchronize.  Returns GB/s (median of 3)."""
+    to synchronize.  Returns GB/s from the FASTEST of 3 runs: this
+    estimates a hardware ceiling, and tunnel/host noise only ever slows a
+    run (a 546 GB/s median was once captured on a chip that sustains
+    900+ in the same session)."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -85,7 +88,7 @@ def measure_hbm_bw(k=50):
         t0 = time.perf_counter()
         float(f(x))
         ts.append(time.perf_counter() - t0)
-    t = float(np.median(ts))
+    t = float(np.min(ts))
     return k * 2 * n * 4 / t / 1e9
 
 

@@ -286,8 +286,12 @@ def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
     niter = 0
     best_integer_solution = None
     best_integer_energy = np.inf
-    xg = np.asarray(sys_d["x0"] if sys_d.get("x0") is not None
-                    else np.zeros(n))
+    # light checkpoints with a solution-less recorder never leave the
+    # mesh: metrics reduce on-device (sharded_windowed_metrics) and the
+    # single synchronizing fetch is emit_callback's float(energy1)
+    wants_x = (callback_func is not None
+               and getattr(callback_func, "wants_solution", True))
+    device_metrics = light_metrics and not wants_x
     rstate = None
     if restart == "average":
         # seed the controller with the KKT score of the initial point
@@ -329,17 +333,24 @@ def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
                 state = sharded_windowed_chunk(data, state, mesh, sub)
                 done += sub
         niter += nsteps
-        xg, x3g, yeg, yg = unshard_state(data, state)
-        gstate = (jnp.asarray(xg, f32), jnp.asarray(x3g, f32),
-                  jnp.asarray(yeg, f32), jnp.asarray(yg, f32))
-        _, metrics = _cp_chunk(prob, pre, gstate, 0)
+        if device_metrics:
+            metrics = sharded_windowed_metrics(data, state, mesh)
+            x_cb = state["x"]   # light contract: never converted
+        else:
+            xg, x3g, yeg, yg = unshard_state(data, state)
+            gstate = (jnp.asarray(xg, f32), jnp.asarray(x3g, f32),
+                      jnp.asarray(yeg, f32), jnp.asarray(yg, f32))
+            _, metrics = _cp_chunk(prob, pre, gstate, 0)
+            x_cb = gstate[0]
         if force_integer and bool(metrics["rounded_feasible"]):
             er = float(metrics["energy_rounded"])
             if er < best_integer_energy:
                 best_integer_energy = er
-                best_integer_solution = np.round(xg)
+                best_integer_solution = np.round(
+                    unshard_state(data, state)[0] if device_metrics
+                    else xg)
         emit_callback(
-            callback_func, niter, gstate[0],
+            callback_func, niter, x_cb,
             metrics["energy1"], metrics["energy2"],
             lambda: loop.elapsed,
             metrics["max_violated_equality"],
@@ -355,6 +366,8 @@ def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
                        float(metrics["max_violated_inequality"]))
             if feas < stop_tol and gap < stop_tol:
                 break
+    # one final gather — with device_metrics the loop never materialized x
+    xg = unshard_state(data, state)[0]
     return np.asarray(xg, np.float64), best_integer_solution
 
 
@@ -615,6 +628,116 @@ def sharded_windowed_chunk_restart(data, rstate, mesh: Mesh, nsteps: int,
         state_out["y_eq"] = st[3]
     return dict(state=state_out, omega=om, mu_restart=mu_r, mu_last=mu_l,
                 zx=zx, zeq=zeq if has_eq else None, zineq=zineq)
+
+
+def sharded_windowed_metrics(data, state, mesh: Mesh):
+    """Checkpoint metrics computed ON the mesh — multi-chip twin of the
+    single-chip metrics block (``chambolle_pock.cp_chunk_impl``), exact up
+    to f32 reduction order.
+
+    Everything reduces with SCALAR psums/pmaxes: the Lagrangian value
+    ``energy1``, the box-dual lower bound ``energy2`` (its dual-feasible
+    minimizer ``x4`` is local given one extra halo refresh), the true-row
+    violation maxima (position masking keeps ``max_violated_inequality``
+    exact — it can be negative — despite the layout's neutral padding),
+    and the ``force_integer`` rounding stats.  With ``light_metrics`` the
+    position-sharded host loop fetches ONE of these scalars per
+    checkpoint instead of gathering the full sharded state."""
+    axis = data["axis"]
+    ndev = data["ndev"]
+    wq, hq, gq, nw_l = data["plan"]
+    has_eq = data["has_eq"]
+    h = hq + gq
+    lo = wq
+    hi = wq + nw_l * wq
+    size = nw_l * wq * LANE
+    m, m_eq = data["m"], data["m_eq"]
+    fwd = [(s, s + 1) for s in range(ndev - 1)]
+    bwd = [(s + 1, s) for s in range(ndev - 1)]
+
+    def refresh(arr):
+        from_left = jax.lax.ppermute(arr[hi - h:hi], axis, fwd)
+        from_right = jax.lax.ppermute(arr[lo:lo + h], axis, bwd)
+        arr = arr.at[lo - h:lo].set(from_left)
+        return arr.at[hi:hi + h].set(from_right)
+
+    def body(consts, planes, x, y, ye):
+        consts = tuple(a[0] for a in consts)
+        planes = tuple(a[0] for a in planes)
+        x, y, ye = x[0], y[0], ye[0]
+        cb, _tb, lbb, ubb, _sb, bb = consts[:6]
+        beb = consts[7] if has_eq else None
+        vt_p, v_p = planes[0], planes[1]
+        vte_p, ve_p = (planes[2], planes[3]) if has_eq else (None, None)
+
+        def interior(a):
+            return a[lo:hi].reshape(-1)
+
+        def matvec(p, offs, arr):
+            return _interior_matvec(p, offs, arr, wq, hq, nw_l)
+
+        def embed(vec_i):
+            pad = jnp.zeros((x.shape[0] * LANE,), jnp.float32)
+            pad = pad.at[lo * LANE:hi * LANE].set(vec_i)
+            return refresh(pad.reshape(x.shape[0], LANE))
+
+        x, y = refresh(x), refresh(y)
+        if has_eq:
+            ye = refresh(ye)
+        c_i, lb_i, ub_i, b_i = (interior(cb), interior(lbb),
+                                interior(ubb), interior(bb))
+        x_i, y_i = interior(x), interior(y)
+        pos = (jax.lax.axis_index(axis) * size
+               + jax.lax.iota(jnp.int32, size))
+
+        d_i = c_i + matvec(vt_p, data["offsets_t"], y)
+        if has_eq:
+            d_i = d_i + matvec(vte_p, data["eq_offsets_t"], ye)
+        x4 = embed(jnp.where(d_i < 0, ub_i, lb_i))
+        xr = jnp.round(x)
+
+        r_in = matvec(v_p, data["offsets"], x) - b_i
+        energy1 = jnp.dot(c_i, x_i) + jnp.dot(y_i, r_in)
+        energy2 = (jnp.dot(c_i, interior(x4))
+                   + jnp.dot(y_i, matvec(v_p, data["offsets"], x4) - b_i))
+        energy_rounded = jnp.dot(c_i, interior(xr))
+        max_v_in = jnp.max(jnp.where(pos < m, r_in, -jnp.inf))
+        feas_r = jnp.max(matvec(v_p, data["offsets"], xr) - b_i) <= 0
+        max_v_eq = jnp.asarray(-jnp.inf, jnp.float32)
+        if has_eq:
+            ye_i, be_i = interior(ye), interior(beb)
+            r_eq = matvec(ve_p, data["eq_offsets"], x) - be_i
+            energy1 = energy1 + jnp.dot(ye_i, r_eq)
+            energy2 = energy2 + jnp.dot(
+                ye_i, matvec(ve_p, data["eq_offsets"], x4) - be_i)
+            max_v_eq = jnp.max(jnp.abs(r_eq))
+            feas_r &= jnp.max(jnp.abs(
+                matvec(ve_p, data["eq_offsets"], xr) - be_i)) == 0
+        energy1 = jax.lax.psum(energy1, axis)
+        energy2 = jax.lax.psum(energy2, axis)
+        energy_rounded = jax.lax.psum(energy_rounded, axis)
+        max_v_in = jax.lax.pmax(max_v_in, axis)
+        max_v_eq = jax.lax.pmax(max_v_eq, axis)
+        feas_r = jax.lax.pmin(feas_r.astype(jnp.int32), axis) > 0
+        return energy1, energy2, max_v_eq, max_v_in, energy_rounded, feas_r
+
+    spec = P(axis)
+    rspec = P()
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=((spec,) * len(data["consts"]),
+                  (spec,) * len(data["planes"]), spec, spec, spec),
+        out_specs=(rspec,) * 6,
+        check_vma=False,
+    )
+    ye0 = state.get("y_eq", state["y_ineq"])
+    e1, e2, mveq, mvin, er, rf = sharded(
+        data["consts"], data["planes"], state["x"], state["y_ineq"], ye0)
+    return dict(energy1=e1, energy2=e2,
+                max_violated_equality=(mveq if has_eq
+                                       else jnp.asarray(0.0, jnp.float32)),
+                max_violated_inequality=mvin,
+                energy_rounded=er, rounded_feasible=rf)
 
 
 def sharded_windowed_chunk(data, state, mesh: Mesh, nsteps: int):

@@ -296,6 +296,89 @@ def test_position_sharded_restart_end_to_end(small_windows):
     np.testing.assert_allclose(x_mesh, x_one, atol=1e-3)
 
 
+@pytest.mark.parametrize("eq", [False, True])
+def test_sharded_windowed_metrics_matches_single_chip(small_windows, eq):
+    """Device-resident checkpoint metrics (scalar psums/pmaxes on the mesh)
+    must equal the single-chip metrics block evaluated on the gathered
+    state — same energies, true-row violation maxima, rounding stats."""
+    from pysparselp_tpu.solvers.chambolle_pock import _cp_chunk
+
+    small_windows(2_000_000 if eq else 1_500_000)
+    sys_d = _system(eq=eq, seed=11)
+    mesh = _mesh(4)
+    n = sys_d["c"].size
+    info = scw.position_shard_plan(sys_d["a_eq"], sys_d["a_ineq"], n,
+                                   n if eq else 0, n, 4, np.float32)
+    assert info is not None
+    data, state = scw.build_position_sharded(sys_d, mesh, plan_info=info)
+    state = scw.sharded_windowed_chunk(data, state, mesh, 6)
+    got = scw.sharded_windowed_metrics(data, state, mesh)
+
+    x, x3, ye, y = scw.unshard_state(data, state)
+    prob, pre, _ = _reference_prob(sys_d)
+    f32 = jnp.float32
+    gstate = (jnp.asarray(x, f32), jnp.asarray(x3, f32),
+              jnp.asarray(ye, f32), jnp.asarray(y, f32))
+    _, want = _cp_chunk(prob, pre, gstate, 0)
+    for k in ("energy1", "energy2", "energy_rounded"):
+        np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                   rtol=2e-5, atol=1e-5, err_msg=k)
+    for k in ("max_violated_equality", "max_violated_inequality"):
+        np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    assert bool(got["rounded_feasible"]) == bool(want["rounded_feasible"])
+
+
+def test_position_sharded_light_metrics_end_to_end(small_windows):
+    """``lp.solve(mesh=..., light_metrics=True)`` without a ground truth
+    keeps checkpoints entirely on the mesh (solution-less recorder) and
+    still reproduces the default path's curves and solution."""
+    import pysparselp_tpu.parallel.sharded_cp_windowed as mod
+    from pysparselp_tpu import SparseLP
+
+    small_windows(1_500_000)
+    rng = np.random.RandomState(9)
+    n = 20000
+    a = _dia(n, OFFSETS, rng)
+
+    def build():
+        lp = SparseLP()
+        lp.add_variables_array(n, lower_bounds=0, upper_bounds=2,
+                               costs=rng_costs)
+        lp.add_inequality_constraints_sparse(a, None, bvec)
+        return lp
+
+    rng_costs = rng.rand(n) - 0.3
+    bvec = rng.rand(n) * 2 + 0.5
+    kwargs = dict(method="chambolle_pock_ppd", mesh=_mesh(4), nb_iter=400,
+                  nb_iter_plot=200, dtype=np.float32, permute=False)
+    calls = {"n": 0}
+    orig = mod.run_position_sharded
+
+    def spy(*a_, **kw):
+        calls["n"] += 1
+        assert kw.get("light_metrics"), "light flag must reach the loop"
+        return orig(*a_, **kw)
+
+    lp = build()
+    mod.run_position_sharded = spy
+    try:
+        x_l, _ = lp.solve(light_metrics=True, **kwargs)
+    finally:
+        mod.run_position_sharded = orig
+    assert calls["n"] == 1
+    light = {k: list(getattr(lp, k)) for k in
+             ("itrn_curve", "pobj_curve", "dobj_curve",
+              "max_violated_inequality")}
+    lp2 = build()
+    x_d, _ = lp2.solve(**kwargs)
+    np.testing.assert_allclose(x_l, x_d, atol=1e-6)
+    assert light["itrn_curve"] == list(lp2.itrn_curve)
+    for k in ("pobj_curve", "dobj_curve", "max_violated_inequality"):
+        np.testing.assert_allclose(light[k], list(getattr(lp2, k)),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_position_shard_plan_gates():
     # dense matrix (no DIA) -> ineligible
     rng = np.random.RandomState(0)
