@@ -27,6 +27,8 @@ TPU distributes a stencil — by position, not by matrix row blocks.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -395,6 +397,27 @@ def _interior_matvec(planes, offsets, arr, wq, hq, nw_l):
     return out
 
 
+def _static_of(data):
+    """Hashable static-config key of a ``build_position_sharded`` data
+    dict — everything the chunk factories close over besides the arrays.
+    Factories cache on it (plus mesh/nsteps) so repeated host-loop chunks
+    reuse ONE jitted executable instead of re-tracing a fresh ``shard_map``
+    closure per call (the re-trace + remote lowering costs seconds per
+    chunk over a tunneled chip)."""
+    def tup(v):
+        return None if v is None else tuple(int(o) for o in v)
+
+    return (data["axis"], int(data["ndev"]),
+            tuple(int(v) for v in data["plan"]),
+            bool(data["has_eq"]), float(data["theta"]),
+            tup(data["offsets"]), tup(data["offsets_t"]),
+            np.dtype(data["vt_dtype"]), np.dtype(data["v_dtype"]),
+            tup(data["eq_offsets"]), tup(data["eq_offsets_t"]),
+            None if data["vte_dtype"] is None else np.dtype(data["vte_dtype"]),
+            None if data["ve_dtype"] is None else np.dtype(data["ve_dtype"]),
+            len(data["consts"]), len(data["planes"]))
+
+
 def sharded_windowed_chunk_restart(data, rstate, mesh: Mesh, nsteps: int,
                                    period: int):
     """Device-resident PDLP restart controller for the position-sharded
@@ -413,15 +436,38 @@ def sharded_windowed_chunk_restart(data, rstate, mesh: Mesh, nsteps: int,
     controller scalars (ω, score at last restart, last candidate score).
     """
     assert nsteps >= 1 and period >= 1
-    axis = data["axis"]
-    ndev = data["ndev"]
-    wq, hq, gq, nw_l = data["plan"]
     has_eq = data["has_eq"]
+    fn = _restart_callable(_static_of(data), mesh, int(nsteps),
+                           int(period),
+                           jax.default_backend() != "tpu")
+    st_in = rstate["state"]
+    dummy = st_in.get("y_eq", st_in["y_ineq"])
+    rs_in = {
+        "state": (st_in["x"], st_in["x3"], st_in["y_ineq"],
+                  st_in.get("y_eq", dummy)),
+        "omega": rstate["omega"], "mu_restart": rstate["mu_restart"],
+        "mu_last": rstate["mu_last"], "zx": rstate["zx"],
+        "zeq": rstate["zeq"] if rstate["zeq"] is not None else dummy,
+        "zineq": rstate["zineq"],
+    }
+    st, om, mu_r, mu_l, zx, zeq, zineq = fn(
+        data["consts"], data["planes"], rs_in)
+    state_out = dict(st_in, x=st[0], x3=st[1], y_ineq=st[2])
+    if has_eq:
+        state_out["y_eq"] = st[3]
+    return dict(state=state_out, omega=om, mu_restart=mu_r, mu_last=mu_l,
+                zx=zx, zeq=zeq if has_eq else None, zineq=zineq)
+
+
+@functools.lru_cache(maxsize=64)
+def _restart_callable(static, mesh, nsteps, period, interpret):
+    (axis, ndev, plan, has_eq, theta, offsets, offsets_t, vt_dtype,
+     v_dtype, eq_offsets, eq_offsets_t, vte_dtype, ve_dtype, n_c,
+     n_p) = static
+    wq, hq, gq, nw_l = plan
     h = hq + gq
     lo = wq
     hi = wq + nw_l * wq
-    size = nw_l * wq * LANE           # interior positions per shard
-    interpret = jax.default_backend() != "tpu"
     beta_suf, beta_nec = 0.2, 0.8
     nblocks, rem = divmod(nsteps, period)
 
@@ -429,12 +475,10 @@ def sharded_windowed_chunk_restart(data, rstate, mesh: Mesh, nsteps: int,
         # sums variants only: the remainder iterations reuse them (their
         # sums are discarded) so the chunk compiles two kernels, not four
         return build_windowed_call(
-            wq, hq, gq, nw_l, 1, data["theta"], True, emit_x3,
-            data["offsets"], data["offsets_t"], data["vt_dtype"],
-            data["v_dtype"], eq_offsets=data["eq_offsets"],
-            eq_offsets_t=data["eq_offsets_t"],
-            vte_dtype=data["vte_dtype"], ve_dtype=data["ve_dtype"],
-            interpret=interpret)
+            wq, hq, gq, nw_l, 1, theta, True, emit_x3,
+            offsets, offsets_t, vt_dtype, v_dtype, eq_offsets=eq_offsets,
+            eq_offsets_t=eq_offsets_t, vte_dtype=vte_dtype,
+            ve_dtype=ve_dtype, interpret=interpret)
 
     call_s = make_call(False)
     call_sx3 = make_call(True)
@@ -469,18 +513,18 @@ def sharded_windowed_chunk_restart(data, rstate, mesh: Mesh, nsteps: int,
         def score(xr, yr, yer):
             """KKT progress score of halo-fresh layouts (scalar psums)."""
             x_i, y_i = interior(xr), interior(yr)
-            dd = c_i + _interior_matvec(vt_p, data["offsets_t"], yr, wq,
+            dd = c_i + _interior_matvec(vt_p, offsets_t, yr, wq,
                                         hq, nw_l)
             r = jnp.maximum(
-                _interior_matvec(v_p, data["offsets"], xr, wq, hq, nw_l)
+                _interior_matvec(v_p, offsets, xr, wq, hq, nw_l)
                 - b_i, 0.0)
             pviol = jnp.sum(r * r)
             dual = -jnp.dot(y_i, b_i)
             if has_eq:
                 ye_i = interior(yer)
-                dd = dd + _interior_matvec(vte_p, data["eq_offsets_t"],
+                dd = dd + _interior_matvec(vte_p, eq_offsets_t,
                                            yer, wq, hq, nw_l)
-                re_ = (_interior_matvec(ve_p, data["eq_offsets"], xr, wq,
+                re_ = (_interior_matvec(ve_p, eq_offsets, xr, wq,
                                         hq, nw_l) - be_i)
                 pviol = pviol + jnp.sum(re_ * re_)
                 dual = dual - jnp.dot(ye_i, be_i)
@@ -599,8 +643,6 @@ def sharded_windowed_chunk_restart(data, rstate, mesh: Mesh, nsteps: int,
 
     spec = P(axis)
     rspec = P()
-    n_c = len(data["consts"])
-    n_p = len(data["planes"])
     st_spec = (spec,) * 4
     sharded = shard_map(
         body, mesh=mesh,
@@ -611,23 +653,7 @@ def sharded_windowed_chunk_restart(data, rstate, mesh: Mesh, nsteps: int,
         out_specs=(st_spec, rspec, rspec, rspec, spec, spec, spec),
         check_vma=False,
     )
-    st_in = rstate["state"]
-    dummy = st_in.get("y_eq", st_in["y_ineq"])
-    rs_in = {
-        "state": (st_in["x"], st_in["x3"], st_in["y_ineq"],
-                  st_in.get("y_eq", dummy)),
-        "omega": rstate["omega"], "mu_restart": rstate["mu_restart"],
-        "mu_last": rstate["mu_last"], "zx": rstate["zx"],
-        "zeq": rstate["zeq"] if rstate["zeq"] is not None else dummy,
-        "zineq": rstate["zineq"],
-    }
-    st, om, mu_r, mu_l, zx, zeq, zineq = sharded(
-        data["consts"], data["planes"], rs_in)
-    state_out = dict(st_in, x=st[0], x3=st[1], y_ineq=st[2])
-    if has_eq:
-        state_out["y_eq"] = st[3]
-    return dict(state=state_out, omega=om, mu_restart=mu_r, mu_last=mu_l,
-                zx=zx, zeq=zeq if has_eq else None, zineq=zineq)
+    return jax.jit(sharded)
 
 
 def sharded_windowed_metrics(data, state, mesh: Mesh):
@@ -643,15 +669,29 @@ def sharded_windowed_metrics(data, state, mesh: Mesh):
     and the ``force_integer`` rounding stats.  With ``light_metrics`` the
     position-sharded host loop fetches ONE of these scalars per
     checkpoint instead of gathering the full sharded state."""
-    axis = data["axis"]
-    ndev = data["ndev"]
-    wq, hq, gq, nw_l = data["plan"]
+    fn = _metrics_callable(_static_of(data), mesh, int(data["m"]),
+                           int(data["m_eq"]))
     has_eq = data["has_eq"]
+    ye0 = state.get("y_eq", state["y_ineq"])
+    e1, e2, mveq, mvin, er, rf = fn(
+        data["consts"], data["planes"], state["x"], state["y_ineq"], ye0)
+    return dict(energy1=e1, energy2=e2,
+                max_violated_equality=(mveq if has_eq
+                                       else jnp.asarray(0.0, jnp.float32)),
+                max_violated_inequality=mvin,
+                energy_rounded=er, rounded_feasible=rf)
+
+
+@functools.lru_cache(maxsize=64)
+def _metrics_callable(static, mesh, m, m_eq):
+    (axis, ndev, plan, has_eq, _theta, offsets, offsets_t, _vt_dtype,
+     _v_dtype, eq_offsets, eq_offsets_t, _vte_dtype, _ve_dtype, n_c,
+     n_p) = static
+    wq, hq, gq, nw_l = plan
     h = hq + gq
     lo = wq
     hi = wq + nw_l * wq
     size = nw_l * wq * LANE
-    m, m_eq = data["m"], data["m_eq"]
     fwd = [(s, s + 1) for s in range(ndev - 1)]
     bwd = [(s + 1, s) for s in range(ndev - 1)]
 
@@ -690,29 +730,29 @@ def sharded_windowed_metrics(data, state, mesh: Mesh):
         pos = (jax.lax.axis_index(axis) * size
                + jax.lax.iota(jnp.int32, size))
 
-        d_i = c_i + matvec(vt_p, data["offsets_t"], y)
+        d_i = c_i + matvec(vt_p, offsets_t, y)
         if has_eq:
-            d_i = d_i + matvec(vte_p, data["eq_offsets_t"], ye)
+            d_i = d_i + matvec(vte_p, eq_offsets_t, ye)
         x4 = embed(jnp.where(d_i < 0, ub_i, lb_i))
         xr = jnp.round(x)
 
-        r_in = matvec(v_p, data["offsets"], x) - b_i
+        r_in = matvec(v_p, offsets, x) - b_i
         energy1 = jnp.dot(c_i, x_i) + jnp.dot(y_i, r_in)
         energy2 = (jnp.dot(c_i, interior(x4))
-                   + jnp.dot(y_i, matvec(v_p, data["offsets"], x4) - b_i))
+                   + jnp.dot(y_i, matvec(v_p, offsets, x4) - b_i))
         energy_rounded = jnp.dot(c_i, interior(xr))
         max_v_in = jnp.max(jnp.where(pos < m, r_in, -jnp.inf))
-        feas_r = jnp.max(matvec(v_p, data["offsets"], xr) - b_i) <= 0
+        feas_r = jnp.max(matvec(v_p, offsets, xr) - b_i) <= 0
         max_v_eq = jnp.asarray(-jnp.inf, jnp.float32)
         if has_eq:
             ye_i, be_i = interior(ye), interior(beb)
-            r_eq = matvec(ve_p, data["eq_offsets"], x) - be_i
+            r_eq = matvec(ve_p, eq_offsets, x) - be_i
             energy1 = energy1 + jnp.dot(ye_i, r_eq)
             energy2 = energy2 + jnp.dot(
-                ye_i, matvec(ve_p, data["eq_offsets"], x4) - be_i)
+                ye_i, matvec(ve_p, eq_offsets, x4) - be_i)
             max_v_eq = jnp.max(jnp.abs(r_eq))
             feas_r &= jnp.max(jnp.abs(
-                matvec(ve_p, data["eq_offsets"], xr) - be_i)) == 0
+                matvec(ve_p, eq_offsets, xr) - be_i)) == 0
         energy1 = jax.lax.psum(energy1, axis)
         energy2 = jax.lax.psum(energy2, axis)
         energy_rounded = jax.lax.psum(energy_rounded, axis)
@@ -725,19 +765,11 @@ def sharded_windowed_metrics(data, state, mesh: Mesh):
     rspec = P()
     sharded = shard_map(
         body, mesh=mesh,
-        in_specs=((spec,) * len(data["consts"]),
-                  (spec,) * len(data["planes"]), spec, spec, spec),
+        in_specs=((spec,) * n_c, (spec,) * n_p, spec, spec, spec),
         out_specs=(rspec,) * 6,
         check_vma=False,
     )
-    ye0 = state.get("y_eq", state["y_ineq"])
-    e1, e2, mveq, mvin, er, rf = sharded(
-        data["consts"], data["planes"], state["x"], state["y_ineq"], ye0)
-    return dict(energy1=e1, energy2=e2,
-                max_violated_equality=(mveq if has_eq
-                                       else jnp.asarray(0.0, jnp.float32)),
-                max_violated_inequality=mvin,
-                energy_rounded=er, rounded_feasible=rf)
+    return jax.jit(sharded)
 
 
 def sharded_windowed_chunk(data, state, mesh: Mesh, nsteps: int):
@@ -747,23 +779,38 @@ def sharded_windowed_chunk(data, state, mesh: Mesh, nsteps: int):
     neighbors (``ppermute``), then one windowed whole-iteration
     ``pallas_call`` over the shard's ``nw_l`` windows."""
     assert nsteps >= 1
-    axis = data["axis"]
-    ndev = data["ndev"]
-    wq, hq, gq, nw_l = data["plan"]
     has_eq = data["has_eq"]
+    fn = _chunk_callable(_static_of(data), mesh, int(nsteps),
+                         jax.default_backend() != "tpu")
+    ye0 = state.get("y_eq")
+    if ye0 is None:
+        # uniform pytree for the no-eq case: a zero dummy with the same
+        # leading axis (never read by the kernel)
+        ye0 = state["y_ineq"]
+    x, x3, y, ye = fn(data["consts"], data["planes"], state["x"],
+                      state["x3"], state["y_ineq"], ye0)
+    out = dict(state, x=x, x3=x3, y_ineq=y)
+    if has_eq:
+        out["y_eq"] = ye
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _chunk_callable(static, mesh, nsteps, interpret):
+    (axis, ndev, plan, has_eq, theta, offsets, offsets_t, vt_dtype,
+     v_dtype, eq_offsets, eq_offsets_t, vte_dtype, ve_dtype, n_c,
+     n_p) = static
+    wq, hq, gq, nw_l = plan
     h = hq + gq
     lo = wq                      # first interior row
     hi = wq + nw_l * wq          # one past last interior row
-    interpret = jax.default_backend() != "tpu"
 
     def make_call(emit_x3):
         return build_windowed_call(
-            wq, hq, gq, nw_l, 1, data["theta"], False, emit_x3,
-            data["offsets"], data["offsets_t"], data["vt_dtype"],
-            data["v_dtype"], eq_offsets=data["eq_offsets"],
-            eq_offsets_t=data["eq_offsets_t"],
-            vte_dtype=data["vte_dtype"], ve_dtype=data["ve_dtype"],
-            interpret=interpret)
+            wq, hq, gq, nw_l, 1, theta, False, emit_x3,
+            offsets, offsets_t, vt_dtype, v_dtype, eq_offsets=eq_offsets,
+            eq_offsets_t=eq_offsets_t, vte_dtype=vte_dtype,
+            ve_dtype=ve_dtype, interpret=interpret)
 
     call = make_call(False)
     call_x3 = make_call(True)
@@ -812,22 +859,10 @@ def sharded_windowed_chunk(data, state, mesh: Mesh, nsteps: int):
         return x[None], x3[None], y[None], ye[None]
 
     spec = P(axis)
-    n_c = len(data["consts"])
-    n_p = len(data["planes"])
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=((spec,) * n_c, (spec,) * n_p, spec, spec, spec, spec),
         out_specs=(spec, spec, spec, spec),
         check_vma=False,
     )
-    ye0 = state.get("y_eq")
-    if ye0 is None:
-        # uniform pytree for the no-eq case: a zero dummy with the same
-        # leading axis (never read by the kernel)
-        ye0 = state["y_ineq"]
-    x, x3, y, ye = sharded(data["consts"], data["planes"], state["x"],
-                           state["x3"], state["y_ineq"], ye0)
-    out = dict(state, x=x, x3=x3, y_ineq=y)
-    if has_eq:
-        out["y_eq"] = ye
-    return out
+    return jax.jit(sharded)
