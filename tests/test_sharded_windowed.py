@@ -134,6 +134,29 @@ def test_position_sharded_matches_unfused(small_windows, eq):
         np.testing.assert_allclose(ye, np.asarray(ref[2]), atol=3e-5)
 
 
+def test_chunk_callables_are_cached(small_windows):
+    """Repeated host-loop chunks must reuse ONE jitted executable — a
+    fresh shard_map closure per chunk re-traces and re-lowers every time
+    (seconds per chunk over a tunneled chip)."""
+    small_windows(1_500_000)
+    sys_d = _system()
+    mesh = _mesh(2)
+    info = scw.position_shard_plan(sys_d["a_eq"], sys_d["a_ineq"],
+                                   sys_d["c"].size, 0, sys_d["c"].size,
+                                   2, np.float32)
+    data, state = scw.build_position_sharded(sys_d, mesh, plan_info=info)
+    for fn in (scw._chunk_callable, scw._metrics_callable):
+        fn.cache_clear()
+    state = scw.sharded_windowed_chunk(data, state, mesh, 3)
+    scw.sharded_windowed_metrics(data, state, mesh)
+    state = scw.sharded_windowed_chunk(data, state, mesh, 3)
+    scw.sharded_windowed_metrics(data, state, mesh)
+    assert scw._chunk_callable.cache_info().misses == 1
+    assert scw._chunk_callable.cache_info().hits == 1
+    assert scw._metrics_callable.cache_info().misses == 1
+    assert scw._metrics_callable.cache_info().hits == 1
+
+
 def test_position_sharded_device_count_invariance(small_windows):
     small_windows(1_500_000)
     sys_d = _system(n=50000)
