@@ -811,6 +811,11 @@ class SparseLP:
                 self.pobj_curve.append(energy1)
                 self.max_violated_equality.append(max_violated_equality)
                 self.max_violated_inequality.append(max_violated_inequality)
+                if plot_solution is not None:
+                    # a plot hook forces wants_solution=True below, so the
+                    # solver fetched/unpermuted the solution already
+                    plot_solution(niter, np.asarray(solution),
+                                  is_active_variable=is_active_variable)
                 if user_callback is not None:
                     user_callback(
                         niter, solution, energy1, energy2, duration,

@@ -576,6 +576,9 @@ def _cp_windowed_call(prob, pre, x, y, nsteps, theta_f, interpret=False,
                       with_sums=False):
     """Inequality-only entry (shared call contract with
     ``ops.cp_fused._cp_fused_call``); returns ``(x, x3, y[, sx, sy])``."""
+    assert prob.a_eq is None, (
+        "eq-carrying problem through the ineq-only contract would "
+        "silently zero its eq dual — use _cp_windowed_call_full")
     res = _cp_windowed_call_full(
         prob, pre, x, jnp.zeros(0, x.dtype), y, nsteps, theta_f,
         interpret=interpret, with_sums=with_sums)

@@ -676,6 +676,13 @@ def chambolle_pock_ppd_sharded(
             else:
                 def callback_func(niter, xp, *rest):
                     user_cb(niter, xp, *rest)
+            # keep the protocol attributes visible to the downstream
+            # loops (run_position_sharded gates its device-resident
+            # checkpoint metrics on wants_solution)
+            callback_func.wants_state = getattr(user_cb, "wants_state",
+                                                False)
+            callback_func.wants_solution = getattr(user_cb,
+                                                   "wants_solution", True)
     # position-sharded windowed regime: for aligned DIA systems the
     # flagship whole-iteration kernel runs per shard with ppermute halo
     # exchange (O(halo) per-iteration communication instead of the

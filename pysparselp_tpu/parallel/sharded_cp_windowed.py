@@ -71,17 +71,29 @@ def position_shard_plan(a_eq, a_ineq, n, m_eq, m_ineq, ndev, dtype):
         return None
     if not (cw._FORCE_INTERPRET or jax.default_backend() == "tpu"):
         return None
-    di = DiaMatrix.from_scipy(scipy.sparse.csr_matrix(a_ineq),
-                              dtype=jnp.float32)
+    # cheap O(nnz) diagonal-count probe BEFORE materializing DIA storage:
+    # a non-banded system (rcm/unpermuted presolve choice) can have ~m
+    # distinct diagonals, and DiaMatrix would allocate O(ndiag * n) host
+    # memory just to learn the plan is ineligible
+    from ..problem import DIA_AUTO_MAX_OFFSETS, dia_offset_count
+
+    csr_in = scipy.sparse.csr_matrix(a_ineq)
+    if dia_offset_count(csr_in) > DIA_AUTO_MAX_OFFSETS:
+        return None
+    csr_eq = None
+    if a_eq is not None and a_eq.shape[0] > 0:
+        csr_eq = scipy.sparse.csr_matrix(a_eq)
+        if dia_offset_count(csr_eq) > DIA_AUTO_MAX_OFFSETS:
+            return None
+    di = DiaMatrix.from_scipy(csr_in, dtype=jnp.float32)
     if di.vals.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     if not di.offsets or not di.offsets_t:
         return None
     de = None
     eq_args = None
-    if a_eq is not None and a_eq.shape[0] > 0:
-        de = DiaMatrix.from_scipy(scipy.sparse.csr_matrix(a_eq),
-                                  dtype=jnp.float32)
+    if csr_eq is not None:
+        de = DiaMatrix.from_scipy(csr_eq, dtype=jnp.float32)
         if de.vals.dtype not in (jnp.float32, jnp.bfloat16):
             return None
         if not de.offsets or not de.offsets_t:
@@ -284,7 +296,11 @@ def run_position_sharded(sys_d, mesh: Mesh, info, nb_max_iter=1000,
         pre["sigma_eq"] = jnp.asarray(data["sigma_eq"], f32)
 
     loop = HostLoop(start_time, max_time)
-    cap = dispatch_iteration_cap(de, di)
+    # per-SHARD dispatch budget: each device streams ~1/ndev of the
+    # operator bytes per iteration, so the whole-problem cap would cut
+    # dispatches to ~budget/ndev seconds and charge the ~35 ms re-dispatch
+    # latency ndev times as often
+    cap = dispatch_iteration_cap(de, di) * _mesh_ndev(mesh)
     niter = 0
     best_integer_solution = None
     best_integer_energy = np.inf

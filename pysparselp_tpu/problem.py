@@ -1039,7 +1039,12 @@ def effective_stream_bytes(csr, dtype=None) -> int:
     dtype = dtype or default_dtype()
     _, whole = estimate_stream_bytes(csr, dtype)
     split, cuts = col_split_plan(csr, dtype)
-    return min(whole, split if cuts else whole)
+    # same acceptance gate as the lowering (ell_from_scipy): pricing a
+    # split the selector would reject lets the permutation chooser pick a
+    # layout whose realized operator streams `whole` bytes
+    if cuts and split < COL_SPLIT_MIN_GAIN * whole:
+        return split
+    return whole
 
 
 def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,

@@ -103,8 +103,14 @@ def dispatch(
                     x=m_change @ state["x"] + shift,
                     x3=m_change @ state["x3"] + shift,
                 )
+            if not back.wants_solution:
+                # light-metrics contract: a solution-less callback must not
+                # trigger the device fetch the untransform would cost
+                xb = sol
+            else:
+                xb = m_change @ np.asarray(sol) + shift
             callback_func(
-                niter, m_change @ sol + shift, e1, e2, dur, mveq, mvineq,
+                niter, xb, e1, e2, dur, mveq, mvineq,
                 **(
                     {"state": state}
                     if getattr(callback_func, "wants_state", False)
@@ -113,6 +119,7 @@ def dispatch(
             )
 
         back.wants_state = getattr(callback_func, "wants_state", False)
+        back.wants_solution = getattr(callback_func, "wants_solution", True)
 
         a_ineq_r, _ = _csr_with_blocks(lp_reduced.a_inequalities)
         a_eq_r, _ = _csr_with_blocks(lp_reduced.a_equalities)

@@ -38,6 +38,18 @@ def solve_scipy(lp, method, nb_iter=10000, callback_func=None,
             "using convert_to_one_sided_inequality_system"
         )
     start = time.perf_counter() if start_time is None else start_time
+    # the semantics guard can fire AFTER chunk checkpoints were emitted;
+    # track the last emitted iteration so the fallback's single point
+    # continues a monotone curve instead of restarting the count
+    last_emitted = 0
+    if callback_func is not None:
+        user_cb = callback_func
+
+        def callback_func(niter, *rest):
+            nonlocal last_emitted
+            last_emitted = max(last_emitted, int(niter))
+            user_cb(niter, *rest)
+
     try:
         from .highs_bridge import HighsSemanticsError, solve_highs_curves
 
@@ -64,7 +76,7 @@ def solve_scipy(lp, method, nb_iter=10000, callback_func=None,
     x = np.asarray(sol.x, dtype=np.float64)
     if callback_func is not None:
         callback_func(
-            int(getattr(sol, "nit", 0)),
+            last_emitted + int(getattr(sol, "nit", 0)),
             x,
             float(lp.costsvector.dot(x)),
             float(lp.costsvector.dot(x)),
