@@ -71,3 +71,39 @@ def test_light_metrics_rejected_for_other_solvers():
     lp = _make_lp()
     with pytest.raises(TypeError):
         lp.solve(method="admm", nb_iter=10, light_metrics=True)
+
+
+def test_dispatch_back_wrapper_preserves_wants_solution():
+    """The fixed-variable untransform wrapper in ``solvers.dispatch`` must
+    mirror ``wants_solution`` and skip the untransform (and its device
+    fetch) for solution-less light callbacks."""
+    import jax
+
+    from pysparselp_tpu.solvers import dispatch
+
+    lp = _make_lp()
+    # fix one variable so remove_fixed_variables yields a real m_change
+    lp.set_bounds_on_variables(np.array([5]), 0.25, 0.25)
+
+    received = []
+
+    def cb(niter, sol, *rest):
+        received.append(sol)
+
+    cb.wants_solution = False
+    dispatch(lp, method="chambolle_pock_ppd", x0=None, nb_iter=200,
+             max_time=None, callback_func=cb, nb_iter_plot=100,
+             start_time=None, light_metrics=True)
+    assert received
+    # no untransform: the device array reaches the callback as-is
+    assert all(isinstance(s, jax.Array) for s in received)
+
+    received.clear()
+    cb.wants_solution = True
+    dispatch(lp, method="chambolle_pock_ppd", x0=None, nb_iter=200,
+             max_time=None, callback_func=cb, nb_iter_plot=100,
+             start_time=None, light_metrics=True)
+    assert received
+    # untransformed to the ORIGINAL variable space, fixed value restored
+    assert all(isinstance(s, np.ndarray) and s.size == lp.nb_variables
+               and abs(s[5] - 0.25) < 1e-9 for s in received)
