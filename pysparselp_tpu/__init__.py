@@ -10,6 +10,7 @@ device-resident problem on which JAX solvers run as compiled loops, sharded
 over ``jax.sharding`` meshes for multi-chip execution.
 """
 
+from .batch import solve_cp_batch
 from .checkpoint import (
     CheckpointingCallback,
     load_checkpoint,
@@ -26,6 +27,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "CheckpointingCallback",
+    "solve_cp_batch",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,131 @@
+"""Batched serving API (`pysparselp_tpu.batch.solve_cp_batch`): one
+constraint matrix, many cost/rhs/bound variants, one vmapped CP loop."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pysparselp_tpu import SparseLP
+from pysparselp_tpu.batch import _lower_xla, solve_cp_batch
+from pysparselp_tpu.problem import DenseMatrix, EllMatrix
+from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+
+def _template(seed=11):
+    lp, _ = generate_random_lp(nbvar=24, n_eq=4, n_ineq=18, sparsity=0.3,
+                               seed=seed)
+    return lp
+
+
+def test_batch_matches_single_problem_trajectory():
+    """Each batch element's iterates equal the single-problem per-op CP
+    chunk run on the same operators/preconditioners (exact vmap parity)."""
+    from pysparselp_tpu.batch import _batched_chunk  # noqa: F401
+    from pysparselp_tpu.solvers.chambolle_pock import cp_chunk_impl
+
+    lp = _template()
+    rng = np.random.RandomState(0)
+    B = 3
+    C = lp.costsvector[None, :] * (1.0 + 0.3 * rng.rand(B, lp.nb_variables))
+    X, info = solve_cp_batch(lp, costs=C, nb_iter=40, nb_iter_plot=40,
+                             dtype=np.float64)
+
+    # rebuild the identical unbatched problem per element and re-run
+    import scipy.sparse
+
+    from pysparselp_tpu.problem import LPProblem
+    from pysparselp_tpu.solvers.chambolle_pock import _fold_one_sided
+
+    a_one, b_one = _fold_one_sided(lp.a_inequalities.tocsr(),
+                                   lp.b_lower, lp.b_upper)
+    a_eq = lp.a_equalities.tocsr()
+    eq_m = _lower_xla(a_eq, jnp.float64)
+    in_m = _lower_xla(a_one, jnp.float64)
+    n = lp.nb_variables
+    col_sum = np.zeros(n)
+    pre = {"theta": jnp.asarray(1.0, jnp.float64)}
+    for key, a in (("sigma_eq", a_eq), ("sigma_ineq", a_one)):
+        aa = scipy.sparse.csr_matrix(a).copy()
+        aa.data = np.abs(aa.data)
+        col_sum += np.asarray(aa.sum(axis=0)).ravel()
+        rs = np.asarray(aa.sum(axis=1)).ravel()
+        rs[rs == 0] = 1.0
+        pre[key] = jnp.asarray(1.0 / rs, jnp.float64)
+    col_sum[col_sum == 0] = 1.0
+    pre["diag_t"] = jnp.asarray(1.0 / col_sum, jnp.float64)
+
+    for b in range(B):
+        prob = LPProblem(
+            c=jnp.asarray(C[b]), lb=jnp.asarray(lp.lower_bounds * 1.0),
+            ub=jnp.asarray(lp.upper_bounds * 1.0),
+            a_eq=eq_m, b_eq=jnp.asarray(lp.b_equalities * 1.0),
+            a_ineq=in_m, b_lower=None, b_upper=jnp.asarray(b_one),
+            n=n, m_eq=eq_m.nrows, m_ineq=in_m.nrows)
+        st = (jnp.zeros(n), jnp.zeros(n), jnp.zeros(eq_m.nrows),
+              jnp.zeros(in_m.nrows))
+        st, metrics = cp_chunk_impl(prob, pre, st, 40)
+        np.testing.assert_allclose(X[b], np.asarray(st[0]), atol=1e-12)
+        np.testing.assert_allclose(info["energy1"][-1][b],
+                                   float(metrics["energy1"]), atol=1e-12)
+
+
+def test_batch_costs_converge_to_ground_truth():
+    lp = _template(seed=7)
+    rng = np.random.RandomState(1)
+    B = 4
+    C = lp.costsvector[None, :] + 0.2 * rng.randn(B, lp.nb_variables)
+    X, info = solve_cp_batch(lp, costs=C, nb_iter=30000, nb_iter_plot=30000,
+                             dtype=np.float64)
+    assert info["energy1"].shape == (1, B)
+    import copy
+
+    for b in range(B):
+        lp_b = copy.deepcopy(lp)
+        lp_b.costsvector = C[b].copy()
+        ref, _ = lp_b.solve(method="scipy_simplex")
+        assert float(np.dot(C[b], X[b])) <= float(np.dot(C[b], ref)) + 2e-2
+        assert lp_b.max_constraint_violation(X[b]) < 2e-2
+
+
+def test_batch_rhs_and_bounds():
+    lp = _template(seed=5)
+    B = 3
+    rng = np.random.RandomState(2)
+    m_in = lp.a_inequalities.shape[0]
+    BU = lp.b_upper[None, :] + 0.5 * rng.rand(B, m_in)
+    UB = np.broadcast_to(lp.upper_bounds * 1.0, (B, lp.nb_variables)).copy()
+    UB[1] += 1.0   # loosen (tightening can make the equalities infeasible;
+    #                multiplying tightens NEGATIVE upper bounds)
+    X, info = solve_cp_batch(lp, b_upper=BU, ub=UB, nb_iter=20000,
+                             nb_iter_plot=10000, dtype=np.float64)
+    assert X.shape == (B, lp.nb_variables)
+    assert info["itrn"].tolist() == [10000, 20000]
+    # each element respects ITS bound variant
+    for b in range(B):
+        assert np.all(X[b] <= UB[b] + 1e-6)
+        viol = lp.a_inequalities.tocsr() @ X[b] - BU[b]
+        assert float(np.max(viol)) < 2e-2
+
+
+def test_batch_validation_errors():
+    lp = _template()
+    with pytest.raises(ValueError, match="at least one batched"):
+        solve_cp_batch(lp)
+    with pytest.raises(ValueError, match="inconsistent batch sizes"):
+        solve_cp_batch(lp, costs=np.zeros((2, lp.nb_variables)),
+                       ub=np.ones((3, lp.nb_variables)))
+    lp_eq_only = SparseLP()
+    lp_eq_only.add_variables_array(4, 0, 1, costs=np.arange(4.0))
+    with pytest.raises(ValueError, match="at least one constraint"):
+        solve_cp_batch(lp_eq_only, costs=np.zeros((2, 4)))
+
+
+def test_lower_xla_backend_choice():
+    import scipy.sparse
+
+    small = scipy.sparse.random(20, 30, density=0.2, random_state=0,
+                                format="csr")
+    assert isinstance(_lower_xla(small, jnp.float64), DenseMatrix)
+    big = scipy.sparse.diags([np.ones(9_000_000)], [0]).tocsr()
+    assert isinstance(_lower_xla(big, jnp.float64), EllMatrix)
