@@ -20,6 +20,7 @@ one jitted dispatch per checkpoint.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -28,19 +29,95 @@ import scipy.sparse
 import jax
 import jax.numpy as jnp
 
-from .problem import (DENSE_AUTO_MAX_ENTRIES, DenseMatrix, EllMatrix,
-                      LPProblem, dispatch_iteration_cap)
+from .problem import (DENSE_AUTO_MAX_ENTRIES, DIA_AUTO_MAX_OFFSETS,
+                      DIA_REREAD_BYTES, DISPATCH_BUDGET_BYTES, DenseMatrix,
+                      EllMatrix, LPProblem, dia_offset_count,
+                      operator_cost_bytes)
 from .solvers.chambolle_pock import _fold_one_sided, cp_chunk_impl
+
+
+def _dia_planes(csr, dtype):
+    """Row-aligned diagonal planes: ``vals[d, i] = A[i, i + off_d]``."""
+    m, _n = csr.shape
+    from .problem import dia_offsets
+
+    offs = [int(o) for o in dia_offsets(csr)]
+    vals = np.zeros((len(offs), m))
+    for d, off in enumerate(offs):
+        diag = csr.diagonal(off)
+        start = max(0, -off)
+        vals[d, start:start + diag.size] = diag
+    return jnp.asarray(vals, dtype), tuple(offs)
+
+
+def _dia_shift_mv(vals, offsets, x, n_in, n_out):
+    """XLA shift-loop DIA matvec (static slices — vmappable, MXU-free)."""
+    compute = jnp.float32 if vals.dtype == jnp.bfloat16 else vals.dtype
+    left = max(0, -min(offsets))
+    right = max(0, max(offsets) + n_out - n_in)
+    xp = jnp.pad(x.astype(compute), (left, right))
+    y = jnp.zeros((n_out,), compute)
+    for d, off in enumerate(offsets):
+        y = y + vals[d].astype(compute) * jax.lax.slice(
+            xp, (left + off,), (left + off + n_out,))
+    return y
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("vals", "vals_t"),
+    meta_fields=("offsets", "offsets_t", "nrows", "ncols"),
+)
+@dataclasses.dataclass(frozen=True)
+class XlaDiaMatrix:
+    """DIA operator pinned to the XLA shift-loop path.
+
+    The main :class:`~pysparselp_tpu.problem.DiaMatrix` routes to Pallas
+    kernels on TPU, which do not ``vmap``; the batched solver needs the
+    plain shift loop (one static slice + multiply-add per diagonal) so a
+    banded batch stays bandwidth-proportional instead of falling back to
+    gather-ELL."""
+
+    vals: jax.Array       # (ndiag, nrows): vals[d, i] = A[i, i + off_d]
+    vals_t: jax.Array     # (ndiag_t, ncols) of the transpose
+    offsets: tuple
+    offsets_t: tuple
+    nrows: int
+    ncols: int
+
+    @staticmethod
+    def from_scipy(csr, dtype):
+        csr = scipy.sparse.csr_matrix(csr)
+        vals, offs = _dia_planes(csr, dtype)
+        vals_t, offs_t = _dia_planes(csr.T.tocsr(), dtype)
+        return XlaDiaMatrix(vals=vals, vals_t=vals_t, offsets=offs,
+                            offsets_t=offs_t, nrows=csr.shape[0],
+                            ncols=csr.shape[1])
+
+    @property
+    def nnz_padded(self):
+        return self.vals.size + self.vals_t.size
+
+    def matvec(self, x):
+        return _dia_shift_mv(self.vals, self.offsets, x, self.ncols,
+                             self.nrows)
+
+    def rmatvec(self, y):
+        return _dia_shift_mv(self.vals_t, self.offsets_t, y, self.nrows,
+                             self.ncols)
 
 
 def _lower_xla(a, dtype):
     """Lower to an XLA-safe (vmappable) operator: dense (MXU matmuls for
-    the whole batch) when the dense form is affordable, else plain ELL."""
+    the whole batch) when the dense form is affordable; the shift-loop
+    DIA for banded systems; else plain ELL."""
     csr = scipy.sparse.csr_matrix(a)
     m, n = csr.shape
     if m * n <= DENSE_AUTO_MAX_ENTRIES:
         return DenseMatrix(a=jnp.asarray(csr.toarray(), dtype), nrows=m,
                            ncols=n)
+    if dia_offset_count(csr) <= DIA_AUTO_MAX_OFFSETS:
+        return XlaDiaMatrix.from_scipy(csr, dtype)
     return EllMatrix.from_scipy(csr, dtype=dtype)
 
 
@@ -209,8 +286,19 @@ def solve_cp_batch(lp, costs=None, b_eq=None, b_lower=None, b_upper=None,
     state = (dev(x_b), dev(x_b),
              jnp.zeros((bsz, m_eq), dtype), jnp.zeros((bsz, m_in), dtype))
 
+    def _cap_bytes(op):
+        # the shared cost model doesn't know XlaDiaMatrix — price its
+        # shift loop like the XLA DIA regime (per-entry re-read traffic)
+        if op is None:
+            return 0
+        if isinstance(op, XlaDiaMatrix):
+            return op.nnz_padded * (op.vals.dtype.itemsize
+                                    + DIA_REREAD_BYTES)
+        return operator_cost_bytes(op)
+
     nb_iter_plot = nb_iter_plot or nb_iter
-    cap = max(1, dispatch_iteration_cap(eq_m, in_m) // bsz)
+    bytes_iter = max(1, (_cap_bytes(eq_m) + _cap_bytes(in_m)) * bsz)
+    cap = max(1, int(DISPATCH_BUDGET_BYTES / bytes_iter))
     curves = {k: [] for k in ("energy1", "energy2",
                               "max_violated_equality",
                               "max_violated_inequality")}

@@ -4,6 +4,8 @@ constraint matrix, many cost/rhs/bound variants, one vmapped CP loop."""
 import numpy as np
 import pytest
 
+import jax
+
 import jax.numpy as jnp
 
 from pysparselp_tpu import SparseLP
@@ -124,8 +126,40 @@ def test_batch_validation_errors():
 def test_lower_xla_backend_choice():
     import scipy.sparse
 
+    from pysparselp_tpu.batch import XlaDiaMatrix
+
     small = scipy.sparse.random(20, 30, density=0.2, random_state=0,
                                 format="csr")
     assert isinstance(_lower_xla(small, jnp.float64), DenseMatrix)
-    big = scipy.sparse.diags([np.ones(9_000_000)], [0]).tocsr()
-    assert isinstance(_lower_xla(big, jnp.float64), EllMatrix)
+    banded = scipy.sparse.diags(
+        [np.ones(9_000_000), np.ones(9_000_000 - 3)], [0, -3]).tocsr()
+    assert isinstance(_lower_xla(banded, jnp.float64), XlaDiaMatrix)
+    rng = np.random.RandomState(0)
+    scattered = scipy.sparse.random(20000, 20000, density=5e-4,
+                                    random_state=rng, format="csr")
+    assert isinstance(_lower_xla(scattered, jnp.float64), EllMatrix)
+
+
+def test_xla_dia_matvec_parity():
+    import scipy.sparse
+
+    from pysparselp_tpu.batch import XlaDiaMatrix
+
+    rng = np.random.RandomState(4)
+    m, n = 60, 75
+    a = scipy.sparse.diags(
+        [rng.randn(min(m, n)), rng.randn(min(m, n - 5)),
+         rng.randn(min(m - 2, n))], [0, 5, -2], shape=(m, n)).tocsr()
+    op = XlaDiaMatrix.from_scipy(a, jnp.float64)
+    x = rng.randn(n)
+    y = rng.randn(m)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))),
+                               a @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(jnp.asarray(y))),
+                               a.T @ y, atol=1e-12)
+    # vmap (the whole point of the class)
+    X = rng.randn(4, n)
+    Y = jnp.stack([jnp.asarray(a @ xi) for xi in X])
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(op.matvec)(jnp.asarray(X))), np.asarray(Y),
+        atol=1e-12)
