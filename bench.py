@@ -408,6 +408,49 @@ def measure_l1svm(nb_examples=30_000, nf=30, nb_classes=3, nb_iter=6_000):
     return rate, runs, roof
 
 
+def measure_batch_serving(bsz=64, nbvar=512, nb_iter=20_000):
+    """Batched serving throughput: ``bsz`` cost variants of one random LP
+    solved in a single vmapped CP loop (``pysparselp_tpu.solve_cp_batch``,
+    dense backend = whole batch on the MXU), vs the single-problem
+    per-op solver on the same template.  Headline: problem-iterations/s
+    (batch rate x B) and the batching efficiency over B sequential
+    single solves."""
+    from pysparselp_tpu import solve_cp_batch
+    from pysparselp_tpu.utils.random_lp import generate_random_lp
+
+    lp, _ = generate_random_lp(nbvar=nbvar, n_eq=nbvar // 8,
+                               n_ineq=3 * nbvar // 4, sparsity=0.02,
+                               seed=17)
+    rng = np.random.RandomState(0)
+    C = lp.costsvector[None, :] + 0.1 * rng.randn(bsz, lp.nb_variables)
+
+    kwargs = dict(costs=C, nb_iter=nb_iter, nb_iter_plot=nb_iter,
+                  dtype=np.float32)
+    _, info = solve_cp_batch(lp, **kwargs)          # warmup/compile
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve_cp_batch(lp, **kwargs)                # returns synced np x
+        rates.append(nb_iter / (time.perf_counter() - t0))
+    rates.sort()
+    rate = rates[1]
+
+    # single-problem per-op solver on the same template (median-of-3)
+    single_kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                         nb_iter_plot=nb_iter // 2, dtype=np.float32)
+    single_rate, single_runs = _median_rate(lp, single_kwargs)
+    return {
+        "batch_size": bsz,
+        "backend": info["backend"],
+        "batch_iters_per_sec": round(rate, 1),
+        "batch_iters_per_sec_runs": [round(r, 1) for r in rates],
+        "problem_iters_per_sec": round(rate * bsz, 1),
+        "single_iters_per_sec": round(single_rate, 1),
+        "single_iters_per_sec_runs": single_runs,
+        "batching_efficiency_x": round(rate * bsz / single_rate, 2),
+    }
+
+
 def measure_sharded_overhead(size=300, nb_iter=20_000):
     """Sharded CP on a 1-device mesh vs the single-chip kernel at
     Potts-``size``.  Since the position-sharded windowed regime landed,
@@ -524,6 +567,10 @@ def main():
         details["sharded_overhead_potts300"] = measure_sharded_overhead()
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["sharded_overhead_error"] = repr(e)
+    try:
+        details["batch_serving"] = measure_batch_serving()
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["batch_serving_error"] = repr(e)
     details.update({
         "reference_remeasure": (
             "sys.path.insert(0,'/root/reference'); "
