@@ -493,7 +493,18 @@ def main():
         HBM_FLOOR_GBS = max(HBM_OBSERVED_CEILING_GBS, measured_bw)
     except Exception:  # pragma: no cover - hardware flake guard
         measured_bw = None
-    sc105_t, sc105_iters = measure_sc105()
+    try:
+        sc105_t, sc105_iters = measure_sc105()
+    except Exception as e:  # pragma: no cover - chip down at bench time
+        # still emit a VALID one-line JSON record instead of a stack
+        # trace (observed 2026-08-18: the tunneled backend can be
+        # UNAVAILABLE for hours after a killed-mid-dispatch process)
+        print(json.dumps({
+            "metric": "netlib_sc105_time_to_dist1e-3",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": repr(e),
+        }))
+        return
     details = {
         "hbm_measured_gbs": (None if measured_bw is None
                              else round(measured_bw, 1)),
