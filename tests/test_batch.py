@@ -163,3 +163,24 @@ def test_xla_dia_matvec_parity():
     np.testing.assert_allclose(
         np.asarray(jax.vmap(op.matvec)(jnp.asarray(X))), np.asarray(Y),
         atol=1e-12)
+
+
+def test_batch_segmentation_matches_graph_cut():
+    """Batched Potts serving demo: each frame's thresholded relaxation
+    matches its own graph-cut optimum."""
+    from pysparselp_tpu.examples.potts import (graph_cut_segmentation,
+                                               solve_batch_segmentation)
+
+    rng = np.random.RandomState(3)
+    B, size, coef_mul = 3, 12, 500
+    imgs = np.round(coef_mul * (rng.rand(B, size, size) * 2 - 1)) / coef_mul
+    coef = round(0.5 * coef_mul) / coef_mul
+    segs, info = solve_batch_segmentation(imgs, coef, nb_iter=30000,
+                                          nb_iter_plot=30000,
+                                          dtype=np.float64)
+    assert segs.shape == (B, size, size)
+    for b in range(B):
+        gt = graph_cut_segmentation(imgs[b] * coef_mul,
+                                    round(coef * coef_mul))
+        agree = np.mean((segs[b] > 0.5) == (gt > 0.5))
+        assert agree > 0.97, (b, agree)
