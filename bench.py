@@ -408,6 +408,15 @@ def measure_l1svm(nb_examples=30_000, nf=30, nb_classes=3, nb_iter=6_000):
     return rate, runs, roof
 
 
+# Reference CP-PPD on the batch-serving template (512 vars, 64 eq + 384
+# ineq rows, sparsity 0.02, seed 17), measured 2026-08-18 on THIS host CPU
+# through the reference's own API (py3.12 shims, warm, nb_iter_plot=10k so
+# the metrics block is amortized): median-of-3 = 8937 it/s.  The reference
+# serves variants SEQUENTIALLY, so its aggregate problem-iterations/s for
+# any batch size equals its single-problem rate.
+REF_BATCH_ITERS_PER_SEC = 8937.2
+
+
 def measure_batch_serving(bsz=64, nbvar=512, nb_iter=20_000):
     """Batched serving throughput: ``bsz`` cost variants of one random LP
     solved in a single vmapped CP loop (``pysparselp_tpu.solve_cp_batch``,
@@ -448,6 +457,9 @@ def measure_batch_serving(bsz=64, nbvar=512, nb_iter=20_000):
         "single_iters_per_sec": round(single_rate, 1),
         "single_iters_per_sec_runs": single_runs,
         "batching_efficiency_x": round(rate * bsz / single_rate, 2),
+        "ref_cpu_problem_iters_per_sec": REF_BATCH_ITERS_PER_SEC,
+        "speedup_vs_ref_serving": round(rate * bsz
+                                        / REF_BATCH_ITERS_PER_SEC, 1),
     }
 
 
