@@ -33,7 +33,8 @@ from .problem import (DENSE_AUTO_MAX_ENTRIES, DIA_AUTO_MAX_OFFSETS,
                       DIA_REREAD_BYTES, DISPATCH_BUDGET_BYTES, DenseMatrix,
                       EllMatrix, LPProblem, dia_offset_count,
                       operator_cost_bytes)
-from .solvers.chambolle_pock import _fold_one_sided, cp_chunk_impl
+from .solvers.chambolle_pock import (_fold_one_sided, cp_chunk_impl,
+                                     host_preconditioners)
 
 
 def _dia_planes(csr, dtype):
@@ -155,7 +156,6 @@ def solve_cp_batch(lp, costs=None, b_eq=None, b_lower=None, b_upper=None,
     ``max_violated_equality``, ``max_violated_inequality`` all ``(P, B)``).
     """
     from .problem import default_dtype
-
     from .solvers import _csr_with_blocks
 
     dtype = dtype or default_dtype()
@@ -179,7 +179,7 @@ def solve_cp_batch(lp, costs=None, b_eq=None, b_lower=None, b_upper=None,
         raise ValueError(f"inconsistent batch sizes: {sorted(bs)}")
     bsz = bs.pop() if bs else 1
 
-    def pick(v, template, size, m_valid):
+    def pick(v, template, size, name):
         """Batched (B, size) array from the override or the template."""
         if v is None:
             base = np.zeros(size) if template is None else np.asarray(
@@ -189,7 +189,7 @@ def solve_cp_batch(lp, costs=None, b_eq=None, b_lower=None, b_upper=None,
         if v.ndim == 1:
             v = np.broadcast_to(v, (bsz, size))
         if v.shape != (bsz, size):
-            raise ValueError(f"{m_valid} batch must be (B, {size}), got "
+            raise ValueError(f"{name} batch must be (B, {size}), got "
                              f"{v.shape}")
         return v, True
 
@@ -235,25 +235,14 @@ def solve_cp_batch(lp, costs=None, b_eq=None, b_lower=None, b_upper=None,
         "ineq": type(in_m).__name__ if in_m is not None else None,
     }
 
-    # diagonal preconditioners from the SHARED matrix (identical formulas
-    # to the single-problem driver, ``ChambollePockPPD.py:122-179``)
-    col_sum = np.zeros(n)
-    pre = {"theta": jnp.asarray(theta, dtype)}
-    sigmas = {}
-    for key, a in (("sigma_eq", a_eq), ("sigma_ineq", a_one)):
-        if a is None:
-            continue
-        aa = scipy.sparse.csr_matrix(a).copy()
-        aa.data = np.abs(aa.data) ** (2.0 - alpha)
-        col_sum += np.asarray(aa.sum(axis=0)).ravel()
-        ab = scipy.sparse.csr_matrix(a).copy()
-        ab.data = np.abs(ab.data) ** alpha
-        rs = np.asarray(ab.sum(axis=1)).ravel()
-        rs[rs == 0] = 1.0
-        sigmas[key] = jnp.asarray(1.0 / rs, dtype)
-    col_sum[col_sum == 0] = 1.0
-    pre["diag_t"] = jnp.asarray(1.0 / col_sum, dtype)
-    pre.update(sigmas)
+    # diagonal preconditioners from the SHARED matrix
+    diag_t, sig_eq, sig_in = host_preconditioners(a_eq, a_one, alpha)
+    pre = {"theta": jnp.asarray(theta, dtype),
+           "diag_t": jnp.asarray(diag_t, dtype)}
+    if sig_eq is not None:
+        pre["sigma_eq"] = jnp.asarray(sig_eq, dtype)
+    if sig_in is not None:
+        pre["sigma_ineq"] = jnp.asarray(sig_in, dtype)
 
     def dev(v):
         return jnp.asarray(v, dtype)
@@ -312,8 +301,12 @@ def solve_cp_batch(lp, costs=None, b_eq=None, b_lower=None, b_upper=None,
             state, metrics = _batched_chunk(prob, pre, state, nsteps, axes)
             done += nsteps
         itrn.append(done)
-        for k in curves:
-            curves[k].append(np.asarray(metrics[k], np.float64))
+        # ONE device fetch per checkpoint (over a tunneled chip each
+        # fetch costs tens of ms): stack the four (B,) metric vectors
+        stacked = np.asarray(jnp.stack([metrics[k] for k in curves]),
+                             np.float64)
+        for i, k in enumerate(curves):
+            curves[k].append(stacked[i])
     info = {"backend": backend, "itrn": np.asarray(itrn)}
     info.update({k: np.stack(v) for k, v in curves.items()})
     return np.asarray(state[0], np.float64), info

@@ -606,7 +606,8 @@ def chambolle_pock_ppd_sharded(
     import time
 
 
-    from ..solvers.base import chunk_schedule, emit_callback
+    from ..solvers.base import (chunk_schedule, emit_callback,
+                                mirror_callback_attrs)
     from ..solvers.chambolle_pock import _fold_one_sided, estimate_omega
 
     del save_problem  # repro dumps are handled by utils.save_arguments
@@ -679,10 +680,7 @@ def chambolle_pock_ppd_sharded(
             # keep the protocol attributes visible to the downstream
             # loops (run_position_sharded gates its device-resident
             # checkpoint metrics on wants_solution)
-            callback_func.wants_state = getattr(user_cb, "wants_state",
-                                                False)
-            callback_func.wants_solution = getattr(user_cb,
-                                                   "wants_solution", True)
+            mirror_callback_attrs(callback_func, user_cb)
     # position-sharded windowed regime: for aligned DIA systems the
     # flagship whole-iteration kernel runs per shard with ppermute halo
     # exchange (O(halo) per-iteration communication instead of the

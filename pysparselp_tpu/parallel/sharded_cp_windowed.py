@@ -123,8 +123,6 @@ def build_position_sharded(sys_d, mesh: Mesh, alpha=1.0, theta=1.0,
     invariant, mirroring the single-chip ``_scale_pre``); the restart
     controller instead builds with ``omega=1`` and scales dynamically.
     """
-    import scipy.sparse
-
     axis = mesh.axis_names[0]
     ndev = _mesh_ndev(mesh)
     n = sys_d["c"].size
@@ -146,23 +144,11 @@ def build_position_sharded(sys_d, mesh: Mesh, alpha=1.0, theta=1.0,
     qtot_l = (nw_l + 2) * wq        # per-shard layout rows
 
     # diagonal preconditioners: identical formulas to the single-chip
-    # driver (``ChambollePockPPD.py:123-178``)
-    col_sum = np.zeros(n)
-    for a in (a_eq, a_one):
-        if a is None:
-            continue
-        aa = scipy.sparse.csr_matrix(a).copy()
-        aa.data = np.abs(aa.data) ** (2.0 - alpha)
-        col_sum += np.asarray(aa.sum(axis=0)).ravel()
-    col_sum[col_sum == 0] = 1.0
-    diag_t = omega / col_sum
+    # driver (shared helper, ``ChambollePockPPD.py:123-178``)
+    from ..solvers.chambolle_pock import host_preconditioners
 
-    def sigma_of(a):
-        aa = scipy.sparse.csr_matrix(a).copy()
-        aa.data = np.abs(aa.data) ** alpha
-        rs = np.asarray(aa.sum(axis=1)).ravel()
-        rs[rs == 0] = 1.0
-        return 1.0 / (rs * omega)
+    diag_t, sigma_eq, sigma_ineq = host_preconditioners(
+        a_eq, a_one, alpha=alpha, omega=omega)
 
     f32 = jnp.float32
 
@@ -188,8 +174,6 @@ def build_position_sharded(sys_d, mesh: Mesh, alpha=1.0, theta=1.0,
     def put(x):
         return jax.device_put(x, shard)
 
-    sigma_ineq = sigma_of(a_one)
-    sigma_eq = sigma_of(a_eq) if has_eq else None
     consts = [glayout(sys_d["c"]), glayout(diag_t), glayout(sys_d["lb"]),
               glayout(sys_d["ub"]), glayout(sigma_ineq),
               glayout(sys_d["b_ineq"])]
@@ -413,6 +397,22 @@ def _interior_matvec(planes, offsets, arr, wq, hq, nw_l):
     return out
 
 
+def _halo_refresh(axis, ndev, lo, hi, h):
+    """Build the per-array halo exchange: overwrite the pad-window halo
+    rows with fresh neighbor edges via two ``ppermute``s (mesh-edge shards
+    receive zeros = the global layout's neutral pads)."""
+    fwd = [(s, s + 1) for s in range(ndev - 1)]
+    bwd = [(s + 1, s) for s in range(ndev - 1)]
+
+    def refresh(arr):
+        from_left = jax.lax.ppermute(arr[hi - h:hi], axis, fwd)
+        from_right = jax.lax.ppermute(arr[lo:lo + h], axis, bwd)
+        arr = arr.at[lo - h:lo].set(from_left)
+        return arr.at[hi:hi + h].set(from_right)
+
+    return refresh
+
+
 def _static_of(data):
     """Hashable static-config key of a ``build_position_sharded`` data
     dict — everything the chunk factories close over besides the arrays.
@@ -498,14 +498,7 @@ def _restart_callable(static, mesh, nsteps, period, interpret):
 
     call_s = make_call(False)
     call_sx3 = make_call(True)
-    fwd = [(s, s + 1) for s in range(ndev - 1)]
-    bwd = [(s + 1, s) for s in range(ndev - 1)]
-
-    def refresh(arr):
-        from_left = jax.lax.ppermute(arr[hi - h:hi], axis, fwd)
-        from_right = jax.lax.ppermute(arr[lo:lo + h], axis, bwd)
-        arr = arr.at[lo - h:lo].set(from_left)
-        return arr.at[hi:hi + h].set(from_right)
+    refresh = _halo_refresh(axis, ndev, lo, hi, h)
 
     def body(consts, planes, rs):
         consts = tuple(a[0] for a in consts)
@@ -708,14 +701,7 @@ def _metrics_callable(static, mesh, m, m_eq):
     lo = wq
     hi = wq + nw_l * wq
     size = nw_l * wq * LANE
-    fwd = [(s, s + 1) for s in range(ndev - 1)]
-    bwd = [(s + 1, s) for s in range(ndev - 1)]
-
-    def refresh(arr):
-        from_left = jax.lax.ppermute(arr[hi - h:hi], axis, fwd)
-        from_right = jax.lax.ppermute(arr[lo:lo + h], axis, bwd)
-        arr = arr.at[lo - h:lo].set(from_left)
-        return arr.at[hi:hi + h].set(from_right)
+    refresh = _halo_refresh(axis, ndev, lo, hi, h)
 
     def body(consts, planes, x, y, ye):
         consts = tuple(a[0] for a in consts)
@@ -830,17 +816,7 @@ def _chunk_callable(static, mesh, nsteps, interpret):
 
     call = make_call(False)
     call_x3 = make_call(True)
-    fwd = [(s, s + 1) for s in range(ndev - 1)]
-    bwd = [(s + 1, s) for s in range(ndev - 1)]
-
-    def refresh(arr):
-        """Overwrite the pad-window halo rows with fresh neighbor edges
-        (mesh-edge shards receive ppermute's zeros = the global layout's
-        neutral pads)."""
-        from_left = jax.lax.ppermute(arr[hi - h:hi], axis, fwd)
-        from_right = jax.lax.ppermute(arr[lo:lo + h], axis, bwd)
-        arr = arr.at[lo - h:lo].set(from_left)
-        return arr.at[hi:hi + h].set(from_right)
+    refresh = _halo_refresh(axis, ndev, lo, hi, h)
 
     def body(consts, planes, x, x3, y, ye):
         x, x3, y, ye = x[0], x3[0], y[0], ye[0]

@@ -118,8 +118,9 @@ def dispatch(
                 ),
             )
 
-        back.wants_state = getattr(callback_func, "wants_state", False)
-        back.wants_solution = getattr(callback_func, "wants_solution", True)
+        from .base import mirror_callback_attrs
+
+        mirror_callback_attrs(back, callback_func)
 
         a_ineq_r, _ = _csr_with_blocks(lp_reduced.a_inequalities)
         a_eq_r, _ = _csr_with_blocks(lp_reduced.a_equalities)

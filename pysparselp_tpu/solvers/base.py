@@ -46,6 +46,15 @@ class HostLoop:
         return self.max_time is not None and self.elapsed > self.max_time
 
 
+def mirror_callback_attrs(wrapper, user_cb):
+    """Copy the callback-protocol attributes onto a wrapping closure so
+    downstream loops (light-metrics gating, state forwarding) still see
+    the user callback's declarations; returns the wrapper."""
+    wrapper.wants_state = getattr(user_cb, "wants_state", False)
+    wrapper.wants_solution = getattr(user_cb, "wants_solution", True)
+    return wrapper
+
+
 def emit_callback(callback_func, niter, x, energy1, energy2, elapsed,
                   max_violated_eq, max_violated_ineq, state=None,
                   light=False):

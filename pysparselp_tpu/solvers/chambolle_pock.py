@@ -53,6 +53,34 @@ def _fold_one_sided(a_ineq, b_lower, b_upper):
     return a, b
 
 
+def host_preconditioners(a_eq, a_ineq, alpha=1.0, omega=1.0):
+    """Diagonal CP preconditioners from host scipy matrices (the driver's
+    formulas, ``ChambollePockPPD.py:122-179``):
+    ``T_jj = omega / sum_i |a_ij|^(2-alpha)``,
+    ``Sigma_ii = 1 / (omega * sum_j |a_ij|^alpha)`` per system.
+    Returns ``(diag_t, sigma_eq, sigma_ineq)`` numpy arrays (sigmas are
+    ``None`` for absent systems).  Shared by the batched solver and the
+    position-sharded builder — the device driver computes the same
+    quantities with operator ops."""
+    n = (a_eq if a_eq is not None else a_ineq).shape[1]
+    col_sum = np.zeros(n)
+    sigmas = []
+    for a in (a_eq, a_ineq):
+        if a is None:
+            sigmas.append(None)
+            continue
+        aa = scipy.sparse.csr_matrix(a).copy()
+        aa.data = np.abs(aa.data) ** (2.0 - alpha)
+        col_sum += np.asarray(aa.sum(axis=0)).ravel()
+        ab = scipy.sparse.csr_matrix(a).copy()
+        ab.data = np.abs(ab.data) ** alpha
+        rs = np.asarray(ab.sum(axis=1)).ravel()
+        rs[rs == 0] = 1.0
+        sigmas.append(1.0 / (rs * omega))
+    col_sum[col_sum == 0] = 1.0
+    return omega / col_sum, sigmas[0], sigmas[1]
+
+
 def _cp_iteration(prob: LPProblem, pre, s):
     """One CP-PPD iteration (primal prox + over-relaxation + dual ascent)."""
     theta = pre["theta"]
