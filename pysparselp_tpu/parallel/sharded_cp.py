@@ -125,30 +125,22 @@ def build_sharded_cp_data(c, a_eq, b_eq, a_ineq, b_ineq, lb, ub, mesh: Mesh,
     eq = build_system(a_eq, b_eq)
     ineq = build_system(a_ineq, b_ineq)
 
-    # diagonal preconditioners computed globally on host (setup-time)
-    col_sum = np.zeros(n)
-    for sys_, a in ((eq, a_eq), (ineq, a_ineq)):
-        if sys_ is None:
-            continue
-        aa = scipy.sparse.csr_matrix(a).copy()
-        aa.data = np.abs(aa.data) ** (2.0 - alpha)
-        col_sum += np.asarray(aa.sum(axis=0)).ravel()
-    col_sum[col_sum == 0] = 1.0
-    diag_t = 1.0 / col_sum
+    # diagonal preconditioners computed globally on host (setup-time;
+    # shared formulas — solvers.chambolle_pock.host_preconditioners)
+    from ..solvers.chambolle_pock import host_preconditioners
 
-    def sigma_of(sys_, a):
+    diag_t, sig_eq_raw, sig_ineq_raw = host_preconditioners(
+        a_eq if eq is not None else None,
+        a_ineq if ineq is not None else None, alpha=alpha)
+
+    def pad_sigma(sys_, sig):
         if sys_ is None:
             return None
-        aa = scipy.sparse.csr_matrix(a).copy()
-        aa.data = np.abs(aa.data) ** alpha
-        rs = np.asarray(aa.sum(axis=1)).ravel()
-        rs[rs == 0] = 1.0
-        sig = 1.0 / rs
         sig = np.concatenate([sig, np.zeros(sys_["m_pad"] - sys_["m"])])
-        return sig.reshape(int(np.prod(list(mesh.shape.values()))), -1)
+        return sig.reshape(ndev, -1)
 
-    sig_eq = sigma_of(eq, a_eq)
-    sig_ineq = sigma_of(ineq, a_ineq)
+    sig_eq = pad_sigma(eq, sig_eq_raw)
+    sig_ineq = pad_sigma(ineq, sig_ineq_raw)
 
     shard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
