@@ -1,0 +1,377 @@
+"""Routed gather-ELL SpMV: unstructured sparse matvec on the TPU VPU.
+
+TPU has no scatter/gather memory unit — XLA lowers an arbitrary
+``jnp.take`` at ~2 µs per thousand elements (the calibrated
+``ELL_GATHER_BYTES_PER_NNZ = 2000`` in :mod:`~pysparselp_tpu.problem`),
+which prices unstructured matrices out of every hot path.  What the
+hardware *does* have is ``tpu.dynamic_gather``: a vector-unit gather
+over a VMEM-resident 2-D tile along either the sublane axis (within a
+lane) or the lane axis (within a sublane row).  Mosaic exposes exactly
+two forms, both requiring the index tile to have the same shape as the
+table tile (``jnp.take_along_axis(table, idx, axis=0 | 1)``).
+
+An arbitrary gather ``out[so, lo] = x[sx, lx]`` does not fit either
+form, but — exactly like routing a permutation through a 3-stage Clos
+network — it factors into lane → sublane → lane moves:
+
+*  stage A (lane shuffle in the source row):  ``tA[sx, λ] = x[sx, lx]``
+*  stage B (sublane gather in lane λ):        ``tB[so, λ] = tA[sx, λ]``
+*  stage C (lane shuffle in the output row):  ``out[so, lo] = tB[so, λ]``
+
+for a per-demand intermediate lane ``λ`` chosen at *lowering time* (the
+sparsity pattern is static) such that no two distinct elements claim the
+same A-slot ``(sx, λ)`` or B-slot ``(so, λ)``.  Demands for the same
+element multicast for free: within an output row through stage C, and
+across output rows through stage B reading one A-slot.  The greedy
+host-side colorer below assigns λs plane by plane; demands it cannot
+place within 128 lanes spill to overflow planes (for uniform random
+sparsity spills are rare — the expected free-lane count at a conflicted
+demand is ``128·e^{-2} ≈ 17``).
+
+The SpMV then runs as one ``pallas_call`` over ELL planes: the dense
+vector sits VMEM-resident while each plane streams three i32 index
+tiles and one value tile from HBM and issues three ``dynamic_gather``s
+plus a multiply-accumulate — ~16 bytes of HBM traffic per (padded)
+nonzero instead of the ~2000-byte effective cost of the XLA gather.
+
+Reference context: the reference keeps every operator in scipy CSR and
+SpMV is ``scipy.sparse.csr_matrix @ vector`` (e.g. the CP-PPD hot loop,
+``pysparselp/ChambollePockPPD.py:199-217``); this backend exists so the
+same unstructured matrices have a TPU-native representation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+
+LANE = 128
+# do not claim more than this many planes' worth of spill rounds before
+# giving up (a pathological pattern would fall back to the XLA gather
+# backends at selection time — build_routes raises, it never mis-routes)
+_MAX_SPILL_PLANES = 64
+_MAX_ROUNDS = 64
+
+
+def _route_plane(so, lo, sx, lx, vals, q, rng):
+    """Assign an intermediate lane λ to each demand of one plane.
+
+    Returns ``(a, b, c, v, spilled)`` — the three i32 index tiles and the
+    value tile, all ``(q, LANE)``, plus the boolean mask of demands that
+    could not be placed (to be re-routed in an overflow plane).
+
+    Claim tables are keyed by element id, so duplicates of one element
+    share slots (multicast) instead of conflicting.
+    """
+    nd = so.shape[0]
+    eid = sx.astype(np.int64) * LANE + lx
+    # flat claim tables: -1 = free, else the eid routed through the slot
+    a_slot = np.full(q * LANE, -1, np.int64)
+    b_slot = np.full(q * LANE, -1, np.int64)
+    lam = np.full(nd, -1, np.int32)
+
+    unassigned = np.arange(nd)
+    for t in range(_MAX_ROUNDS):
+        if unassigned.size == 0:
+            break
+        u = unassigned
+        if t == 0:
+            prop = lx[u].astype(np.int32)  # identity-ish first try
+        else:
+            prop = rng.randint(0, LANE, u.size).astype(np.int32)
+        key_a = sx[u].astype(np.int64) * LANE + prop
+        key_b = so[u].astype(np.int64) * LANE + prop
+        e = eid[u]
+        # slot compatibility: free, or already carrying the same element
+        ok_a = (a_slot[key_a] == -1) | (a_slot[key_a] == e)
+        ok_b = (b_slot[key_b] == -1) | (b_slot[key_b] == e)
+        cand = ok_a & ok_b
+        # among this round's candidates, slots must also not be claimed
+        # twice with different elements: keep, per key, only candidates
+        # whose eid matches the first candidate's eid for that key
+        ci = np.nonzero(cand)[0]
+        if ci.size:
+            for key in (key_a, key_b):
+                k = key[ci]
+                order = np.argsort(k, kind="stable")
+                ks, es = k[order], e[ci][order]
+                first = np.ones(ks.size, bool)
+                first[1:] = ks[1:] != ks[:-1]
+                # eid of the first candidate per key, broadcast down runs
+                run_id = np.cumsum(first) - 1
+                first_e = es[np.nonzero(first)[0]][run_id]
+                keep = es == first_e
+                sel = np.ones(ci.size, bool)
+                sel[order] = keep
+                ci = ci[sel]
+        if ci.size:
+            idx = u[ci]
+            lam[idx] = prop[ci]
+            a_slot[key_a[ci]] = e[ci]
+            b_slot[key_b[ci]] = e[ci]
+        unassigned = u[lam[u] == -1]
+
+    spilled = np.zeros(nd, bool)
+    spilled[unassigned] = True
+
+    placed = np.nonzero(~spilled)[0]
+    a = np.zeros((q, LANE), np.int32)
+    b = np.zeros((q, LANE), np.int32)
+    c = np.zeros((q, LANE), np.int32)
+    v = np.zeros((q, LANE), np.float64)
+    pl_, pso, plo = lam[placed], so[placed], lo[placed]
+    a[sx[placed], pl_] = lx[placed]
+    b[pso, pl_] = sx[placed]
+    c[pso, plo] = pl_
+    v[pso, plo] = vals[placed]
+    return a, b, c, v, spilled
+
+
+def build_routes(csr, seed=0):
+    """Route a CSR matrix's gather pattern into stacked index planes.
+
+    Returns a dict with i32 arrays ``a, b, c`` and f64 ``v``, each shaped
+    ``(n_planes, q, LANE)`` where ``q = ceil(max(nrows, ncols)/LANE)``,
+    satisfying, for ``x_t = pad(x).reshape(q, LANE)``::
+
+        A @ x == (sum_p v[p] * C-gather(B-gather(A-gather(x_t))))[:nrows]
+    """
+    csr = scipy.sparse.csr_matrix(csr)
+    csr.sum_duplicates()
+    m, n = csr.shape
+    q = max(-(-m // LANE), -(-n // LANE), 1)
+    rng = np.random.RandomState(seed)
+
+    cnt = np.diff(csr.indptr)
+    nnz = csr.nnz
+    if nnz == 0:
+        z = np.zeros((1, q, LANE), np.int32)
+        return {"a": z, "b": z.copy(), "c": z.copy(),
+                "v": np.zeros((1, q, LANE), np.float64), "q": q,
+                "shape": (m, n), "n_planes": 1, "spill_planes": 0}
+    rows = np.repeat(np.arange(m), cnt)
+    # plane = position of the entry within its (column-sorted) row
+    pos = np.arange(nnz) - np.repeat(csr.indptr[:-1], cnt)
+    cols = csr.indices.astype(np.int64)
+    so_all = (rows // LANE).astype(np.int32)
+    lo_all = (rows % LANE).astype(np.int32)
+    sx_all = (cols // LANE).astype(np.int32)
+    lx_all = (cols % LANE).astype(np.int32)
+    vals_all = csr.data.astype(np.float64)
+
+    planes = []
+    k_max = int(pos.max()) + 1
+    pending_sel = [np.nonzero(pos == k)[0] for k in range(k_max)]
+    spill_budget = _MAX_SPILL_PLANES
+    base_planes = 0
+    while pending_sel:
+        sel = pending_sel.pop(0)
+        a, b, c, v, spilled = _route_plane(
+            so_all[sel], lo_all[sel], sx_all[sel], lx_all[sel],
+            vals_all[sel], q, rng)
+        planes.append((a, b, c, v))
+        base_planes += 1
+        sp = sel[spilled]
+        if sp.size:
+            if spill_budget <= 0:
+                raise RuntimeError(
+                    f"gather routing did not converge: {sp.size} demands "
+                    f"left after {_MAX_SPILL_PLANES} spill planes")
+            spill_budget -= 1
+            # overflow planes may hold at most one demand per matrix row
+            # (one (so, lo) slot each) — split multiples across planes
+            srows = rows[sp]
+            order = np.argsort(srows, kind="stable")
+            s_sorted = sp[order]
+            occ = np.ones(sp.size, np.int64)
+            rr = srows[order]
+            same = np.nonzero(rr[1:] == rr[:-1])[0]
+            for i in same:  # tiny in practice: duplicates per row are rare
+                occ[i + 1] = occ[i] + 1
+            for o in range(1, int(occ.max()) + 1):
+                grp = s_sorted[occ == o]
+                if grp.size:
+                    pending_sel.append(grp)
+    arrs = {k: np.stack([p[i] for p in planes])
+            for i, k in enumerate(("a", "b", "c", "v"))}
+    arrs.update(q=q, shape=(m, n), n_planes=len(planes),
+                spill_planes=len(planes) - k_max)
+    return arrs
+
+
+def route_gather_reference(x, route):
+    """Numpy 3-stage simulation of the routed SpMV (test oracle)."""
+    m, n = route["shape"]
+    q = route["q"]
+    xt = np.zeros(q * LANE, np.float64)
+    xt[:n] = np.asarray(x, np.float64)
+    xt = xt.reshape(q, LANE)
+    acc = np.zeros((q, LANE), np.float64)
+    for a, b, c, v in zip(route["a"], route["b"], route["c"], route["v"]):
+        ta = np.take_along_axis(xt, a, axis=1)
+        tb = np.take_along_axis(ta, b, axis=0)
+        g = np.take_along_axis(tb, c, axis=1)
+        acc += v * g
+    return acc.reshape(-1)[:m]
+
+
+# ---------------------------------------------------------------------------
+# device kernel
+# ---------------------------------------------------------------------------
+
+# VMEM budget for the plane pipeline: 4 double-buffered (q, LANE) blocks
+# (a, b, c, v), the resident table and output, plus Mosaic stack
+# temporaries for the three gather stages
+_ROUTED_VMEM_BUDGET = 10 * 1024 * 1024
+_BYTES_PER_Q_ROW = LANE * 4 * (4 * 2 + 2 + 3)
+
+# test hook: force interpreter mode off-TPU (mirrors cp_windowed)
+_FORCE_INTERPRET = False
+
+
+def routed_q_limit() -> int:
+    """Largest table sublane count q the plane pipeline can hold."""
+    return _ROUTED_VMEM_BUDGET // _BYTES_PER_Q_ROW
+
+
+def _routed_kernel(x_ref, a_ref, b_ref, c_ref, v_ref, o_ref):
+    from jax.experimental import pallas as pl
+
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    ta = jnp.take_along_axis(x_ref[...], a_ref[0], axis=1)
+    tb = jnp.take_along_axis(ta, b_ref[0], axis=0)
+    g = jnp.take_along_axis(tb, c_ref[0], axis=1)
+    o_ref[...] += v_ref[0] * g
+
+
+@functools.partial(jax.jit, static_argnames=("q", "n_planes", "interpret"))
+def _routed_spmv_call(xt, a, b, c, v, q, n_planes, interpret=False):
+    from jax.experimental import pallas as pl
+
+    i32 = jnp.int32
+    grid = (n_planes,)
+    plane_spec = pl.BlockSpec((1, q, LANE),
+                              lambda p: (i32(p), i32(0), i32(0)))
+    fixed_spec = pl.BlockSpec((q, LANE), lambda p: (i32(0), i32(0)))
+    call = pl.pallas_call(
+        _routed_kernel,
+        grid=grid,
+        in_specs=[fixed_spec, plane_spec, plane_spec, plane_spec,
+                  plane_spec],
+        out_specs=fixed_spec,
+        out_shape=jax.ShapeDtypeStruct((q, LANE), xt.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_planes * q * LANE,
+            bytes_accessed=n_planes * q * LANE * 16 + 2 * q * LANE * 4,
+            transcendentals=0,
+        ),
+    )
+    return call(xt, a, b, c, v)
+
+
+def _as_table(x, q, dtype):
+    xt = jnp.zeros((q * LANE,), dtype)
+    xt = xt.at[: x.shape[0]].set(x.astype(dtype))
+    return xt.reshape(q, LANE)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("a", "b", "c", "v", "at", "bt", "ct", "vt"),
+    meta_fields=("q", "qt", "nrows", "ncols", "true_nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class RoutedEllMatrix:
+    """Unstructured sparse operator backed by the routed-gather kernel.
+
+    Both orientations carry their own route stacks (``q`` covers
+    ``max(nrows, ncols)`` so forward and transpose share the table
+    geometry).  The auxiliary reductions (`abs_power_*`) never gather —
+    the value planes are already laid out per output slot.
+    """
+
+    a: jax.Array   # (P, q, LANE) i32 — stage-A lane shuffle
+    b: jax.Array   # (P, q, LANE) i32 — stage-B sublane gather
+    c: jax.Array   # (P, q, LANE) i32 — stage-C lane shuffle
+    v: jax.Array   # (P, q, LANE) values at output slots
+    at: jax.Array  # transpose orientation
+    bt: jax.Array
+    ct: jax.Array
+    vt: jax.Array
+    q: int
+    qt: int
+    nrows: int
+    ncols: int
+    true_nnz: int
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nnz_padded(self):
+        return self.v.size + self.vt.size
+
+    def _interpret(self) -> bool:
+        return _FORCE_INTERPRET or jax.default_backend() != "tpu"
+
+    def _spmv(self, x, a, b, c, v, q, n_out):
+        xt = _as_table(x, q, v.dtype)
+        out = _routed_spmv_call(xt, a, b, c, v, q, int(a.shape[0]),
+                                interpret=self._interpret())
+        return out.reshape(-1)[:n_out].astype(x.dtype)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return self._spmv(x, self.a, self.b, self.c, self.v, self.q,
+                          self.nrows)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        return self._spmv(y, self.at, self.bt, self.ct, self.vt, self.qt,
+                          self.ncols)
+
+    def abs_power_rowsum(self, p: float) -> jax.Array:
+        s = jnp.sum(jnp.abs(self.v) ** p, axis=0)
+        return s.reshape(-1)[: self.nrows]
+
+    def abs_power_colsum(self, p: float) -> jax.Array:
+        s = jnp.sum(jnp.abs(self.vt) ** p, axis=0)
+        return s.reshape(-1)[: self.ncols]
+
+    def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
+        return self._spmv(d, self.a, self.b, self.c, self.v**2, self.q,
+                          self.nrows)
+
+    @staticmethod
+    def from_scipy(m, dtype=None, seed=0) -> "RoutedEllMatrix":
+        from ..problem import default_dtype
+
+        dtype = dtype or default_dtype()
+        csr = scipy.sparse.csr_matrix(m)
+        fwd = build_routes(csr, seed=seed)
+        bwd = build_routes(csr.T.tocsr(), seed=seed)
+        return RoutedEllMatrix(
+            a=jnp.asarray(fwd["a"]), b=jnp.asarray(fwd["b"]),
+            c=jnp.asarray(fwd["c"]), v=jnp.asarray(fwd["v"], dtype),
+            at=jnp.asarray(bwd["a"]), bt=jnp.asarray(bwd["b"]),
+            ct=jnp.asarray(bwd["c"]), vt=jnp.asarray(bwd["v"], dtype),
+            q=fwd["q"], qt=bwd["q"], nrows=csr.shape[0],
+            ncols=csr.shape[1], true_nnz=int(csr.nnz),
+        )
+
+
+def routed_ell_eligible(csr_shape, q=None) -> bool:
+    """Geometry gate: the table and plane pipeline must fit VMEM."""
+    m, n = csr_shape
+    q = q or max(-(-m // LANE), -(-n // LANE), 1)
+    return q <= routed_q_limit()

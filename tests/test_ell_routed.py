@@ -1,0 +1,126 @@
+"""Routed gather-ELL backend: routing completeness + kernel parity.
+
+The route builder must reproduce ``A @ x`` exactly through the 3-stage
+(lane, sublane, lane) gather factorization for arbitrary sparsity, and
+the Pallas kernel (interpret mode on CPU) must match scipy through the
+full operator protocol.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+import jax.numpy as jnp
+
+from pysparselp_tpu.ops.ell_routed import (
+    LANE,
+    RoutedEllMatrix,
+    build_routes,
+    route_gather_reference,
+    routed_ell_eligible,
+)
+
+
+def _rand(m, n, density, seed, fmt="csr"):
+    rng = np.random.RandomState(seed)
+    return scipy.sparse.random(m, n, density=density, random_state=rng,
+                               format=fmt)
+
+
+@pytest.mark.parametrize(
+    "m,n,density",
+    [(200, 200, 0.03), (500, 120, 0.05), (90, 700, 0.02), (257, 129, 0.1)],
+)
+def test_route_reproduces_spmv(m, n, density):
+    a = _rand(m, n, density, seed=m + n)
+    route = build_routes(a)
+    rng = np.random.RandomState(0)
+    x = rng.randn(n)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_route_handles_duplicate_heavy_columns():
+    # a hot column (every row references column 7) exercises the
+    # multicast path: one A-slot fans out across output rows via stage B
+    m, n = 300, 200
+    rows = np.arange(m)
+    a = scipy.sparse.csr_matrix(
+        (np.ones(m), (rows, np.full(m, 7))), shape=(m, n))
+    a = (a + _rand(m, n, 0.02, seed=3)).tocsr()
+    route = build_routes(a)
+    x = np.random.RandomState(1).randn(n)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_route_empty_and_dense_rows():
+    # rows with zero entries and one fully dense row in the same matrix
+    m, n = 64, 256
+    a = scipy.sparse.lil_matrix((m, n))
+    a[10] = 1.0  # dense row: n entries -> n planes minimum
+    a[20, 5] = 3.0
+    a = a.tocsr()
+    route = build_routes(a)
+    x = np.random.RandomState(2).randn(n)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+    assert route["n_planes"] >= 2
+
+
+def test_routed_operator_protocol_matches_scipy():
+    a = _rand(400, 250, 0.03, seed=9)
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    x = rng.randn(250).astype(np.float32)
+    y = rng.randn(400).astype(np.float32)
+    d = np.abs(rng.randn(250)).astype(np.float32)
+    np.testing.assert_allclose(op.matvec(jnp.asarray(x)), a @ x,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.rmatvec(jnp.asarray(y)), a.T @ y,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.abs_power_rowsum(1.0),
+                               np.abs(a) @ np.ones(250),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.abs_power_colsum(2.0),
+                               a.power(2).T @ np.ones(400),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.sq_rowsum_weighted(jnp.asarray(d)),
+                               a.power(2) @ d,
+                               rtol=2e-5, atol=2e-5)
+    assert op.shape == (400, 250)
+    assert op.true_nnz == a.nnz
+
+
+def test_spill_planes_bounded_on_uniform_random():
+    a = _rand(1000, 1000, 0.01, seed=11)
+    route = build_routes(a)
+    k_max = int(np.diff(a.indptr).max())
+    # uniform random sparsity routes with a small spill tail
+    assert route["spill_planes"] <= max(4, k_max)
+    assert route["n_planes"] == k_max + route["spill_planes"]
+
+
+def test_eligibility_gate():
+    assert routed_ell_eligible((10_000, 10_000))
+    assert not routed_ell_eligible((10_000_000, 10))
+
+
+def test_route_plane_slots_consistent():
+    # structural invariant: every (so, lo) slot with a nonzero value has
+    # its element routed through matching A/B/C entries
+    a = _rand(300, 300, 0.02, seed=13)
+    route = build_routes(a)
+    q = route["q"]
+    csr = a.tocsr()
+    for p in range(route["n_planes"]):
+        A, B, C, V = (route[k][p] for k in ("a", "b", "c", "v"))
+        so, lo = np.nonzero(V)
+        lam = C[so, lo]
+        sx = B[so, lam]
+        lx = A[sx, lam]
+        cols = sx * LANE + lx
+        rows = so * LANE + lo
+        vals = np.asarray(csr[rows, cols]).ravel()
+        # the value stored at the slot must belong to that (row, col)
+        np.testing.assert_allclose(V[so, lo], vals, rtol=0, atol=0)
