@@ -155,7 +155,6 @@ def build_routes(csr, seed=0):
                 "v": np.zeros((1, q, LANE), np.float64), "q": q,
                 "shape": (m, n), "n_planes": 1, "spill_planes": 0}
     rows = np.repeat(np.arange(m), cnt)
-    # plane = position of the entry within its (column-sorted) row
     pos = np.arange(nnz) - np.repeat(csr.indptr[:-1], cnt)
     cols = csr.indices.astype(np.int64)
     so_all = (rows // LANE).astype(np.int32)
@@ -164,39 +163,64 @@ def build_routes(csr, seed=0):
     lx_all = (cols % LANE).astype(np.int32)
     vals_all = csr.data.astype(np.float64)
 
+    # plane = per-row entry position ROTATED by a per-row hash: raw
+    # column-sorted positions concentrate each plane's gathers in one
+    # column region (plane 0 = every row's smallest column), overloading
+    # the 128 A-slots of the busy source rows — measured 32% structural
+    # spill on a 2M-nnz uniform random matrix, vs ~2% rotated
+    cnt_rep = np.repeat(np.maximum(cnt, 1), cnt)
+    rot = (rows.astype(np.int64) * 40503) % np.maximum(cnt_rep, 1)
+    plane0 = ((pos + rot) % cnt_rep).astype(np.int64)
+    k_max = int(plane0.max()) + 1 if nnz else 1
+    order0 = np.argsort(plane0, kind="stable")
+    bounds = np.searchsorted(plane0[order0], np.arange(k_max + 1))
+    pending_sel = [order0[bounds[k]:bounds[k + 1]] for k in range(k_max)
+                   if bounds[k] < bounds[k + 1]]
+
+    def bin_by_row_occurrence(sel):
+        """Split a demand pool into selections with at most one demand
+        per matrix row each (one (so, lo) output slot per plane)."""
+        srows = rows[sel]
+        order = np.argsort(srows, kind="stable")
+        s_sorted = sel[order]
+        rr = srows[order]
+        first = np.ones(sel.size, bool)
+        first[1:] = rr[1:] != rr[:-1]
+        # occurrence index within each equal-row run
+        idx = np.arange(sel.size)
+        occ = idx - np.maximum.accumulate(np.where(first, idx, -1))
+        out = []
+        for o in range(int(occ.max()) + 1):
+            grp = s_sorted[occ == o]
+            if grp.size:
+                out.append(grp)
+        return out
+
     planes = []
-    k_max = int(pos.max()) + 1
-    pending_sel = [np.nonzero(pos == k)[0] for k in range(k_max)]
-    spill_budget = _MAX_SPILL_PLANES
-    base_planes = 0
-    while pending_sel:
+    spill_pool = []
+    spill_planes = 0
+    while pending_sel or spill_pool:
+        if not pending_sel:
+            # merge every plane's spills into as few overflow planes as
+            # possible (routing them per source plane wastes mostly-empty
+            # (q, LANE) tiles)
+            if spill_planes >= _MAX_SPILL_PLANES:
+                raise RuntimeError(
+                    f"gather routing did not converge: "
+                    f"{sum(s.size for s in spill_pool)} demands left "
+                    f"after {_MAX_SPILL_PLANES} spill planes")
+            merged = bin_by_row_occurrence(np.concatenate(spill_pool))
+            spill_pool = []
+            spill_planes += len(merged)
+            pending_sel.extend(merged)
         sel = pending_sel.pop(0)
         a, b, c, v, spilled = _route_plane(
             so_all[sel], lo_all[sel], sx_all[sel], lx_all[sel],
             vals_all[sel], q, rng)
         planes.append((a, b, c, v))
-        base_planes += 1
         sp = sel[spilled]
         if sp.size:
-            if spill_budget <= 0:
-                raise RuntimeError(
-                    f"gather routing did not converge: {sp.size} demands "
-                    f"left after {_MAX_SPILL_PLANES} spill planes")
-            spill_budget -= 1
-            # overflow planes may hold at most one demand per matrix row
-            # (one (so, lo) slot each) — split multiples across planes
-            srows = rows[sp]
-            order = np.argsort(srows, kind="stable")
-            s_sorted = sp[order]
-            occ = np.ones(sp.size, np.int64)
-            rr = srows[order]
-            same = np.nonzero(rr[1:] == rr[:-1])[0]
-            for i in same:  # tiny in practice: duplicates per row are rare
-                occ[i + 1] = occ[i] + 1
-            for o in range(1, int(occ.max()) + 1):
-                grp = s_sorted[occ == o]
-                if grp.size:
-                    pending_sel.append(grp)
+            spill_pool.append(sp)
     arrs = {k: np.stack([p[i] for p in planes])
             for i, k in enumerate(("a", "b", "c", "v"))}
     arrs.update(q=q, shape=(m, n), n_planes=len(planes),
@@ -370,8 +394,49 @@ class RoutedEllMatrix:
         )
 
 
-def routed_ell_eligible(csr_shape, q=None) -> bool:
-    """Geometry gate: the table and plane pipeline must fit VMEM."""
+def routed_ell_eligible(csr_shape, q=None, dtype=None) -> bool:
+    """Geometry gate: the table and plane pipeline must fit VMEM (and the
+    value dtype must be Mosaic-legal when running on the real chip)."""
     m, n = csr_shape
     q = q or max(-(-m // LANE), -(-n // LANE), 1)
-    return q <= routed_q_limit()
+    if q > routed_q_limit():
+        return False
+    if dtype is not None and not (_FORCE_INTERPRET
+                                  or jax.default_backend() != "tpu"):
+        if dtype not in (jnp.float32, jnp.bfloat16):
+            return False
+    return True
+
+
+# effective bytes per padded plane slot per SpMV direction pair: 16 B of
+# streamed index/value traffic plus the dynamic_gather compute priced at
+# the same equivalence rate.  PLACEHOLDER pending on-chip calibration
+# (/tmp/gather_probe.py): until then the backend never enters
+# auto-selection (ROUTED_ELL_ENABLED below), so the constant only sizes
+# dispatch caps for prefer="routed" runs — 64 is deliberately pessimistic
+# (4x the HBM traffic) so those dispatches stay short.
+ROUTED_ELL_BYTES_PER_SLOT = 64
+# auto-selection gate: flip after the on-chip probe calibrates the slot
+# cost; prefer="routed" works regardless
+ROUTED_ELL_ENABLED = False
+
+# spill-plane packing margin observed on uniform random matrices
+# (41 planes vs the 32-plane bound at 2M nnz → ~1.3)
+_ROUTED_PACKING_FACTOR = 1.35
+
+
+def routed_cost_estimate(csr) -> int:
+    """Cheap (no routing) effective-bytes estimate for the chooser."""
+    csr = scipy.sparse.csr_matrix(csr)
+    m, n = csr.shape
+    q = max(-(-m // LANE), -(-n // LANE), 1)
+    cnt = np.diff(csr.indptr)
+    k_fwd = int(cnt.max()) if cnt.size else 0
+    ccnt = np.bincount(csr.indices, minlength=n) if csr.nnz else np.zeros(1)
+    k_bwd = int(ccnt.max()) if ccnt.size else 0
+    s_src_f = max(-(-n // LANE), 1)
+    s_src_b = max(-(-m // LANE), 1)
+    p_fwd = max(k_fwd, -(-csr.nnz // (s_src_f * LANE)))
+    p_bwd = max(k_bwd, -(-csr.nnz // (s_src_b * LANE)))
+    slots = (p_fwd + p_bwd) * q * LANE * _ROUTED_PACKING_FACTOR
+    return int(slots * ROUTED_ELL_BYTES_PER_SLOT)

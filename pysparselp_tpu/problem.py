@@ -937,6 +937,11 @@ def operator_cost_bytes(op) -> int:
         return op.nnz_padded * (itemsize + DIA_REREAD_BYTES)
     if isinstance(op, BsrMatrix):
         return op.nnz_padded * op.tiles.dtype.itemsize
+    from .ops.ell_routed import ROUTED_ELL_BYTES_PER_SLOT, RoutedEllMatrix
+
+    if isinstance(op, RoutedEllMatrix):
+        # nnz_padded counts every (plane, q, LANE) slot in both orientations
+        return op.nnz_padded * ROUTED_ELL_BYTES_PER_SLOT
     return op.nnz_padded * ELL_GATHER_BYTES_PER_NNZ
 
 
@@ -975,6 +980,11 @@ def estimate_stream_bytes(csr, dtype=None):
     padded = bsr_padded_entries(csr)
     if padded <= BSR_AUTO_MAX_ENTRIES:
         candidates["bsr"] = padded * itemsize
+    from .ops.ell_routed import (ROUTED_ELL_ENABLED, routed_cost_estimate,
+                                 routed_ell_eligible)
+
+    if ROUTED_ELL_ENABLED and routed_ell_eligible((m, n), dtype=dtype):
+        candidates["routed"] = routed_cost_estimate(csr)
     candidates["ell"] = 2 * csr.nnz * ELL_GATHER_BYTES_PER_NNZ
     best = min(candidates, key=candidates.get)
     return best, candidates[best]
@@ -1064,7 +1074,7 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
       less than ``waste_threshold``× the nnz;
     * else a width-bucketed :class:`SegmentedEllMatrix`.
 
-    ``prefer`` forces a backend: "dia", "dense", "bsr", "ell",
+    ``prefer`` forces a backend: "dia", "dense", "bsr", "routed", "ell",
     "segmented", or "split".
     """
     from .ops.bsr_pallas import BsrMatrix, bsr_padded_entries
@@ -1079,6 +1089,10 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
                            ncols=n)
     if prefer == "bsr":
         return BsrMatrix.from_scipy(csr, dtype=dtype)
+    if prefer == "routed":
+        from .ops.ell_routed import RoutedEllMatrix
+
+        return RoutedEllMatrix.from_scipy(csr, dtype=dtype)
     if prefer == "split":
         _, cuts = col_split_plan(csr, dtype)
         return _lower_col_split(csr, cuts, dtype, max_buckets,
@@ -1100,6 +1114,10 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
                                nrows=m, ncols=n)
         if best == "bsr":
             return BsrMatrix.from_scipy(csr, dtype=dtype)
+        if best == "routed":
+            from .ops.ell_routed import RoutedEllMatrix
+
+            return RoutedEllMatrix.from_scipy(csr, dtype=dtype)
 
     def _waste_ratio(indptr, n_major):
         cnt = np.diff(indptr)

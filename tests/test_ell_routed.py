@@ -106,6 +106,54 @@ def test_eligibility_gate():
     assert not routed_ell_eligible((10_000_000, 10))
 
 
+def test_chooser_integration():
+    from pysparselp_tpu import problem as pr
+    from pysparselp_tpu.ops import ell_routed as er
+
+    a = _rand(300, 200, 0.03, seed=21)
+    op = pr.ell_from_scipy(a, dtype=jnp.float32, prefer="routed")
+    assert isinstance(op, RoutedEllMatrix)
+    # the dispatch cap prices the routed operator by its padded slots
+    cb = pr.operator_cost_bytes(op)
+    assert cb == op.nnz_padded * er.ROUTED_ELL_BYTES_PER_SLOT
+    # auto-selection stays gated off until the slot cost is calibrated
+    assert not er.ROUTED_ELL_ENABLED
+    best, _ = pr.estimate_stream_bytes(a, jnp.float32)
+    assert best != "routed"
+    # the cheap estimate is within a small factor of the built layout
+    est = er.routed_cost_estimate(a)
+    assert 0.3 * cb <= est <= 3 * cb
+
+
+def test_cp_solver_end_to_end_routed():
+    """Full CP-PPD solve with both systems lowered to routed operators
+    (interpret mode) converges to the HiGHS optimum — the operator
+    protocol is complete for the flagship solver."""
+    import functools
+
+    import pysparselp_tpu.solvers.chambolle_pock as cp_mod
+    from pysparselp_tpu import SparseLP
+    from pysparselp_tpu.problem import ell_from_scipy
+
+    cost = np.random.RandomState(3).rand(6, 6)
+    lp = SparseLP()
+    x = lp.add_variables_array(cost.shape, 0, 1, costs=cost)
+    lp.add_equality_constraints(x, np.ones_like(cost), b=np.ones(6))
+    lp.add_inequality_constraints(x.T, np.ones_like(cost),
+                                  upper_bounds=np.ones(6))
+    ref, _ = lp.solve(method="scipy_simplex")
+    orig = cp_mod.ell_from_scipy
+    cp_mod.ell_from_scipy = functools.partial(ell_from_scipy,
+                                              prefer="routed")
+    try:
+        sol, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=20000,
+                          nb_iter_plot=5000)
+    finally:
+        cp_mod.ell_from_scipy = orig
+    assert abs(lp.cost(sol) - lp.cost(ref)) < 1e-2
+    assert lp.max_constraint_violation(sol) < 1e-3
+
+
 def test_route_plane_slots_consistent():
     # structural invariant: every (so, lo) slot with a nonzero value has
     # its element routed through matching A/B/C entries
