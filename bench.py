@@ -408,6 +408,76 @@ def measure_l1svm(nb_examples=30_000, nf=30, nb_classes=3, nb_iter=6_000):
     return rate, runs, roof
 
 
+def _unstructured_matrix(m=150_000, n=100_000, avg=13, seed=5):
+    """Uniform random unstructured inequality system (no diagonal, block
+    or column structure to exploit): the worst-case geometry for a TPU,
+    gather-bound on every backend.  Shared with the reference-CPU
+    baseline remeasure script so both sides price identical matrices."""
+    import scipy.sparse
+
+    rng = np.random.RandomState(seed)
+    nnz = m * avg
+    rows = rng.randint(0, m, nnz)
+    cols = rng.randint(0, n, nnz)
+    vals = rng.randn(nnz)
+    a = scipy.sparse.csr_matrix((vals, (rows, cols)), shape=(m, n))
+    a.sum_duplicates()
+    # rhs from a feasible interior point so the LP is bounded + feasible
+    x0 = rng.rand(n)
+    b = np.asarray(a @ x0) + 1.0
+    c = rng.rand(n)
+    return a, b, c
+
+
+# Reference CP-PPD on the unstructured workload above (150k x 100k,
+# 1.95M nnz), measured 2026-08-18 on THIS host CPU through the
+# reference's own API (py3.12 shims, metrics block disabled, warm,
+# wall-clock delta between nb_max_iter 200 and 800): runs
+# [124.75, 126.8] it/s — the higher run is used so the published
+# speedup is the conservative one.
+REF_UNSTRUCTURED_ITERS_PER_SEC = 126.8
+
+
+def measure_unstructured(nb_iter=3_000):
+    """>=1M-nnz workload with NO structure: uniform random sparsity.
+
+    This is the regime the routed gather-ELL backend
+    (``ops/ell_routed``) exists for — the chooser records which backend
+    actually lowered, so this point is an honest statement of what a
+    fully unstructured LP costs on TPU."""
+    import jax.numpy as jnp
+
+    from pysparselp_tpu import SparseLP
+    from pysparselp_tpu import problem as pr
+    from pysparselp_tpu.solvers.chambolle_pock import _fold_one_sided
+
+    a, b, c = _unstructured_matrix()
+    m, n = a.shape
+    lp = SparseLP()
+    lp.add_variables_array(n, lower_bounds=0, upper_bounds=1, costs=c)
+    lp.add_inequality_constraints_sparse(a, None, b)
+
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                  nb_iter_plot=nb_iter // 2, dtype=np.float32)
+    rate, runs = _median_rate(lp, kwargs)
+
+    a1, _ = _fold_one_sided(lp.a_inequalities.tocsr(), lp.b_lower,
+                            lp.b_upper)
+    op = pr.ell_from_scipy(a1, dtype=jnp.float32)
+    bytes_iter = pr.operator_cost_bytes(op) + 11 * 4 * (m + n)
+    model_s = bytes_iter / (HBM_FLOOR_GBS * 1e9)
+    roof = {
+        "nnz": int(a1.nnz), "shape": list(a1.shape),
+        "backend": type(op).__name__,
+        "measured_iter_us": round(1e6 / rate, 2),
+        "stream_bytes_per_iter": int(bytes_iter),
+        "hbm_floor_model_us": round(model_s * 1e6, 2),
+        "achieved_gbs": round(bytes_iter * rate / 1e9, 1),
+        "frac_of_hbm_roofline": round(model_s * rate, 3),
+    }
+    return rate, runs, roof
+
+
 # Reference CP-PPD on the batch-serving template (512 vars, 64 eq + 384
 # ineq rows, sparsity 0.02, seed 17), measured 2026-08-18 on THIS host CPU
 # through the reference's own API (py3.12 shims, warm, nb_iter_plot=10k so
@@ -586,6 +656,22 @@ def main():
         })
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["l1svm_error"] = repr(e)
+    try:
+        rate, runs, roof = measure_unstructured()
+        details.update({
+            "unstructured_iters_per_sec": round(rate, 1),
+            "unstructured_iters_per_sec_runs": runs,
+            "unstructured_roofline": roof,
+        })
+        if REF_UNSTRUCTURED_ITERS_PER_SEC:
+            details.update({
+                "unstructured_ref_cpu_iters_per_sec":
+                    REF_UNSTRUCTURED_ITERS_PER_SEC,
+                "unstructured_speedup": round(
+                    rate / REF_UNSTRUCTURED_ITERS_PER_SEC, 1),
+            })
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["unstructured_error"] = repr(e)
     try:
         details["sharded_overhead_potts300"] = measure_sharded_overhead()
     except Exception as e:  # pragma: no cover - hardware flake guard
