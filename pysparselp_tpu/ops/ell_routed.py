@@ -376,6 +376,28 @@ class RoutedEllMatrix:
         return self._spmv(d, self.a, self.b, self.c, self.v**2, self.q,
                           self.nrows)
 
+    def to_scipy(self) -> scipy.sparse.csr_matrix:
+        """Decode the forward routes back into the original matrix
+        (explicit-zero entries are not representable and drop out)."""
+        rows, cols, vals = [], [], []
+        for A, B, C, V in zip(np.asarray(self.a), np.asarray(self.b),
+                              np.asarray(self.c), np.asarray(self.v)):
+            so, lo = np.nonzero(V)
+            lam = C[so, lo]
+            sx = B[so, lam]
+            lx = A[sx, lam]
+            rows.append(so * LANE + lo)
+            cols.append(sx.astype(np.int64) * LANE + lx)
+            vals.append(V[so, lo])
+        return scipy.sparse.csr_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=self.shape)
+
+    def to_dense(self) -> jax.Array:
+        """Densify (small problems only): used by the MXU Cholesky paths."""
+        return jnp.asarray(self.to_scipy().toarray(), self.v.dtype)
+
     @staticmethod
     def from_scipy(m, dtype=None, seed=0) -> "RoutedEllMatrix":
         from ..problem import default_dtype

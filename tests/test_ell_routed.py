@@ -90,6 +90,11 @@ def test_routed_operator_protocol_matches_scipy():
                                rtol=2e-5, atol=2e-5)
     assert op.shape == (400, 250)
     assert op.true_nnz == a.nnz
+    # round-trip decode: the routes ARE the matrix
+    np.testing.assert_allclose(op.to_scipy().toarray(), a.toarray(),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(op.to_dense()), a.toarray(),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_spill_planes_bounded_on_uniform_random():
