@@ -52,8 +52,9 @@ import scipy.sparse
 
 LANE = 128
 # do not claim more than this many planes' worth of spill rounds before
-# giving up (a pathological pattern would fall back to the XLA gather
-# backends at selection time — build_routes raises, it never mis-routes)
+# giving up — build_routes raises rather than mis-route, and the
+# auto-selection path in ``problem.ell_from_scipy`` catches the raise and
+# falls through to the XLA gather backends (prefer="routed" propagates it)
 _MAX_SPILL_PLANES = 64
 _MAX_ROUNDS = 64
 
@@ -263,6 +264,23 @@ def routed_q_limit() -> int:
     return _ROUTED_VMEM_BUDGET // _BYTES_PER_Q_ROW
 
 
+def _dyn_gather(x, idx, axis):
+    """``take_along_axis`` built directly on ``lax.gather`` with i32
+    indices: ``jnp.take_along_axis`` promotes its index computation to
+    i64 under ``jax_enable_x64`` and Mosaic rejects 64-bit types, while
+    these exact dimension-number forms are the two the Mosaic lowering
+    maps onto ``tpu.dynamic_gather``."""
+    from jax import lax
+
+    batch = 1 - axis
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(axis,),
+        start_index_map=(axis,), operand_batching_dims=(batch,),
+        start_indices_batching_dims=(batch,))
+    return lax.gather(x, idx.astype(jnp.int32)[..., None], dn, (1, 1),
+                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _routed_kernel(x_ref, a_ref, b_ref, c_ref, v_ref, o_ref):
     from jax.experimental import pallas as pl
 
@@ -272,10 +290,13 @@ def _routed_kernel(x_ref, a_ref, b_ref, c_ref, v_ref, o_ref):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    ta = jnp.take_along_axis(x_ref[...], a_ref[0], axis=1)
-    tb = jnp.take_along_axis(ta, b_ref[0], axis=0)
-    g = jnp.take_along_axis(tb, c_ref[0], axis=1)
-    o_ref[...] += v_ref[0] * g
+    ta = _dyn_gather(x_ref[...], a_ref[0], axis=1)
+    tb = _dyn_gather(ta, b_ref[0], axis=0)
+    g = _dyn_gather(tb, c_ref[0], axis=1)
+    # value planes may be stored bf16; accumulate at table precision
+    # (mirrors DiaMatrix._vals_f: bf16 is a storage format, not a
+    # compute format)
+    o_ref[...] += v_ref[0].astype(o_ref.dtype) * g
 
 
 @functools.partial(jax.jit, static_argnames=("q", "n_planes", "interpret"))
@@ -313,16 +334,16 @@ def _as_table(x, q, dtype):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("a", "b", "c", "v", "at", "bt", "ct", "vt"),
-    meta_fields=("q", "qt", "nrows", "ncols", "true_nnz"),
+    meta_fields=("q", "nrows", "ncols", "true_nnz"),
 )
 @dataclasses.dataclass(frozen=True)
 class RoutedEllMatrix:
     """Unstructured sparse operator backed by the routed-gather kernel.
 
-    Both orientations carry their own route stacks (``q`` covers
-    ``max(nrows, ncols)`` so forward and transpose share the table
-    geometry).  The auxiliary reductions (`abs_power_*`) never gather —
-    the value planes are already laid out per output slot.
+    Both orientations carry their own route stacks over the same table
+    geometry (``q`` covers ``max(nrows, ncols)``).  The auxiliary
+    reductions (`abs_power_*`) never gather — the value planes are
+    already laid out per output slot.
     """
 
     a: jax.Array   # (P, q, LANE) i32 — stage-A lane shuffle
@@ -334,7 +355,6 @@ class RoutedEllMatrix:
     ct: jax.Array
     vt: jax.Array
     q: int
-    qt: int
     nrows: int
     ncols: int
     true_nnz: int
@@ -350,31 +370,37 @@ class RoutedEllMatrix:
     def _interpret(self) -> bool:
         return _FORCE_INTERPRET or jax.default_backend() != "tpu"
 
-    def _spmv(self, x, a, b, c, v, q, n_out):
-        xt = _as_table(x, q, v.dtype)
-        out = _routed_spmv_call(xt, a, b, c, v, q, int(a.shape[0]),
+    def _compute_dtype(self):
+        # bf16 is a storage format: gather/accumulate at f32
+        return (jnp.float32 if self.v.dtype == jnp.bfloat16
+                else self.v.dtype)
+
+    def _spmv(self, x, a, b, c, v, n_out):
+        xt = _as_table(x, self.q, self._compute_dtype())
+        out = _routed_spmv_call(xt, a, b, c, v, self.q, int(a.shape[0]),
                                 interpret=self._interpret())
         return out.reshape(-1)[:n_out].astype(x.dtype)
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        return self._spmv(x, self.a, self.b, self.c, self.v, self.q,
-                          self.nrows)
+        return self._spmv(x, self.a, self.b, self.c, self.v, self.nrows)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
-        return self._spmv(y, self.at, self.bt, self.ct, self.vt, self.qt,
+        return self._spmv(y, self.at, self.bt, self.ct, self.vt,
                           self.ncols)
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
-        s = jnp.sum(jnp.abs(self.v) ** p, axis=0)
+        s = jnp.sum(jnp.abs(self.v.astype(self._compute_dtype())) ** p,
+                    axis=0)
         return s.reshape(-1)[: self.nrows]
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        s = jnp.sum(jnp.abs(self.vt) ** p, axis=0)
+        s = jnp.sum(jnp.abs(self.vt.astype(self._compute_dtype())) ** p,
+                    axis=0)
         return s.reshape(-1)[: self.ncols]
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
-        return self._spmv(d, self.a, self.b, self.c, self.v**2, self.q,
-                          self.nrows)
+        v2 = self.v.astype(self._compute_dtype()) ** 2
+        return self._spmv(d, self.a, self.b, self.c, v2, self.nrows)
 
     def to_scipy(self) -> scipy.sparse.csr_matrix:
         """Decode the forward routes back into the original matrix
@@ -404,14 +430,25 @@ class RoutedEllMatrix:
 
         dtype = dtype or default_dtype()
         csr = scipy.sparse.csr_matrix(m)
+        # reject clearly (before the expensive host routing) what the
+        # kernel could never run: an oversized table or a Mosaic-illegal
+        # value dtype on the real chip — failing later inside Mosaic
+        # surfaces as an opaque VMEM/type error
+        if not routed_ell_eligible(csr.shape, dtype=dtype):
+            q = max(-(-csr.shape[0] // LANE), -(-csr.shape[1] // LANE), 1)
+            raise ValueError(
+                f"routed ELL ineligible: shape {csr.shape} needs q={q} "
+                f"(limit {routed_q_limit()}), dtype {np.dtype(dtype).name}"
+                " (TPU kernel supports f32/bf16)")
         fwd = build_routes(csr, seed=seed)
         bwd = build_routes(csr.T.tocsr(), seed=seed)
+        assert fwd["q"] == bwd["q"], "orientations share table geometry"
         return RoutedEllMatrix(
             a=jnp.asarray(fwd["a"]), b=jnp.asarray(fwd["b"]),
             c=jnp.asarray(fwd["c"]), v=jnp.asarray(fwd["v"], dtype),
             at=jnp.asarray(bwd["a"]), bt=jnp.asarray(bwd["b"]),
             ct=jnp.asarray(bwd["c"]), vt=jnp.asarray(bwd["v"], dtype),
-            q=fwd["q"], qt=bwd["q"], nrows=csr.shape[0],
+            q=fwd["q"], nrows=csr.shape[0],
             ncols=csr.shape[1], true_nnz=int(csr.nnz),
         )
 

@@ -1117,7 +1117,13 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
         if best == "routed":
             from .ops.ell_routed import RoutedEllMatrix
 
-            return RoutedEllMatrix.from_scipy(csr, dtype=dtype)
+            try:
+                return RoutedEllMatrix.from_scipy(csr, dtype=dtype)
+            except RuntimeError:
+                # routing did not converge on this pattern: fall through
+                # to the XLA gather layouts below (prefer="routed"
+                # propagates the error instead)
+                pass
 
     def _waste_ratio(indptr, n_major):
         cnt = np.diff(indptr)

@@ -159,6 +159,35 @@ def test_cp_solver_end_to_end_routed():
     assert lp.max_constraint_violation(sol) < 1e-3
 
 
+def test_tpu_lowering_under_x64():
+    """Mosaic legalization of the kernel, checked WITHOUT a chip via
+    lowering_platforms — the suite runs under jax_enable_x64, which is
+    exactly the environment that broke jnp.take_along_axis (its index
+    math promotes to i64; the kernel now builds lax.gather with i32)."""
+    import jax
+
+    from pysparselp_tpu.ops import ell_routed as er
+
+    a = _rand(500, 400, 0.02, seed=17)
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32)
+    x = jnp.zeros(400, jnp.float32)
+    forced, er._FORCE_INTERPRET = er._FORCE_INTERPRET, False
+    try:
+        f = jax.jit(lambda x: jnp.sum(op.rmatvec(op.matvec(x))))
+        f.trace(x).lower(lowering_platforms=("tpu",))
+    finally:
+        er._FORCE_INTERPRET = forced
+
+
+def test_from_scipy_rejects_ineligible():
+    import scipy.sparse as sp
+
+    big = sp.random(400_000, 10, density=1e-5, format="csr",
+                    random_state=np.random.RandomState(0))
+    with pytest.raises(ValueError, match="routed ELL ineligible"):
+        RoutedEllMatrix.from_scipy(big, dtype=jnp.float32)
+
+
 def test_route_plane_slots_consistent():
     # structural invariant: every (so, lo) slot with a nonzero value has
     # its element routed through matching A/B/C entries
