@@ -159,6 +159,36 @@ def test_cp_solver_end_to_end_routed():
     assert lp.max_constraint_violation(sol) < 1e-3
 
 
+def test_cp_restart_mode_on_routed():
+    """The PDLP restart controller's with-sums chunk path is operator-
+    generic: it must run unchanged over routed operators."""
+    import functools
+
+    import pysparselp_tpu.solvers.chambolle_pock as cp_mod
+    from pysparselp_tpu import SparseLP
+    from pysparselp_tpu.problem import ell_from_scipy
+
+    rng = np.random.RandomState(7)
+    cost = rng.rand(6, 6)
+    lp = SparseLP()
+    x = lp.add_variables_array(cost.shape, 0, 1, costs=cost)
+    lp.add_equality_constraints(x, np.ones_like(cost), b=np.ones(6))
+    lp.add_inequality_constraints(x.T, np.ones_like(cost),
+                                  upper_bounds=np.ones(6))
+    ref, _ = lp.solve(method="scipy_simplex")
+    orig = cp_mod.ell_from_scipy
+    cp_mod.ell_from_scipy = functools.partial(ell_from_scipy,
+                                              prefer="routed")
+    try:
+        sol, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=8000,
+                          nb_iter_plot=2000, restart="average",
+                          restart_period=1000)
+    finally:
+        cp_mod.ell_from_scipy = orig
+    assert abs(lp.cost(sol) - lp.cost(ref)) < 1e-2
+    assert lp.max_constraint_violation(sol) < 1e-3
+
+
 def test_tpu_lowering_under_x64():
     """Mosaic legalization of the kernel, checked WITHOUT a chip via
     lowering_platforms — the suite runs under jax_enable_x64, which is
