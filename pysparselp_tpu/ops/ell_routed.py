@@ -133,7 +133,51 @@ def _route_plane(so, lo, sx, lx, vals, q, rng):
     return a, b, c, v, spilled
 
 
-def build_routes(csr, seed=0):
+def _ragged_arange(counts):
+    """[0..counts[0]), [0..counts[1]), ... concatenated."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total) - np.repeat(ends - counts, counts)
+
+
+def _split_plan(cnt, m, q, nnz, n_src_rows):
+    """Pick a virtual-row split target minimizing estimated route cost
+    (planes x table rows — virtual slots may grow the table).
+
+    Returns ``(target, q_eff)`` or ``(None, q)`` when leaving wide rows
+    unsplit is estimated cheaper."""
+    busy = cnt[cnt > 0]
+    if busy.size == 0:
+        return None, q
+    k_max = int(busy.max())
+    # main-pass planes can never drop below the source-side capacity
+    # bound: each plane has one A-slot per table element
+    src_bound = -(-nnz // (n_src_rows * LANE))
+
+    def est(t):
+        n_virt = int(np.sum(-(-cnt[cnt > t] // t) - 1))
+        q_eff = max(q, -(-(m + n_virt) // LANE))
+        if q_eff > routed_q_limit():
+            return None, q
+        main = max(t, src_bound)
+        collect = -(-k_max // t) + 1  # identity plane + chunk tails
+        return (main + collect) * q_eff, q_eff
+
+    cands = {int(np.percentile(busy, p)) for p in (50, 75, 90, 95)}
+    cands.add(int(np.ceil(np.sqrt(k_max))))
+    cands = sorted(t for t in cands if 1 <= t < k_max)
+    best = (None, q)
+    best_cost = k_max * q  # no-split cost
+    for t in cands:
+        e, q_eff = est(t)
+        if e is not None and e < 0.85 * best_cost:
+            best, best_cost = (t, q_eff), e
+    return best
+
+
+def build_routes(csr, seed=0, split=True, _depth=0):
     """Route a CSR matrix's gather pattern into stacked index planes.
 
     Returns a dict with i32 arrays ``a, b, c`` and f64 ``v``, each shaped
@@ -141,6 +185,14 @@ def build_routes(csr, seed=0):
     satisfying, for ``x_t = pad(x).reshape(q, LANE)``::
 
         A @ x == (sum_p v[p] * C-gather(B-gather(A-gather(x_t))))[:nrows]
+
+    When wide rows were split (``split=True`` and the estimate says it
+    pays), the dict carries a ``"collect"`` sub-route over the same
+    table geometry: the main planes then produce PARTIAL sums (real rows
+    at their own slots, virtual rows appended beyond ``nrows``) and the
+    final result is the collect route applied to that ``(q, LANE)``
+    buffer — ``plane count = max row degree`` becomes
+    ``split target + ceil(max_degree/target) + 1`` instead.
     """
     csr = scipy.sparse.csr_matrix(csr)
     csr.sum_duplicates()
@@ -154,9 +206,42 @@ def build_routes(csr, seed=0):
         z = np.zeros((1, q, LANE), np.int32)
         return {"a": z, "b": z.copy(), "c": z.copy(),
                 "v": np.zeros((1, q, LANE), np.float64), "q": q,
-                "shape": (m, n), "n_planes": 1, "spill_planes": 0}
+                "shape": (m, n), "n_planes": 1, "spill_planes": 0,
+                "collect": None}
     rows = np.repeat(np.arange(m), cnt)
     pos = np.arange(nnz) - np.repeat(csr.indptr[:-1], cnt)
+
+    collect = None
+    target = None
+    if split and _depth < 2:
+        target, q = _split_plan(cnt, m, q, nnz, max(-(-n // LANE), 1))
+    if target is not None:
+        # entry j of row r -> chunk j // target; chunk 0 keeps the real
+        # row slot, chunks >= 1 get freshly-numbered virtual rows
+        chunk = pos // target
+        heavy = np.nonzero(cnt > target)[0]
+        n_chunks = -(-cnt[heavy] // target) - 1  # virtual rows per heavy row
+        v_base = m + np.concatenate(([0], np.cumsum(n_chunks[:-1]))) if (
+            heavy.size) else np.zeros(0, np.int64)
+        first_virtual = np.zeros(m, np.int64)
+        first_virtual[heavy] = v_base
+        rows_eff = np.where(chunk == 0, rows,
+                            first_virtual[rows] + chunk - 1)
+        pos = pos % target
+        cnt_eff = np.bincount(rows_eff, minlength=m + int(n_chunks.sum()))
+        # collect matrix: real row <- its own slot + its virtual slots
+        c_rows = np.concatenate([np.arange(m),
+                                 np.repeat(heavy, n_chunks)])
+        c_cols = np.concatenate([np.arange(m),
+                                 np.repeat(v_base, n_chunks)
+                                 + _ragged_arange(n_chunks)])
+        c_mat = scipy.sparse.csr_matrix(
+            (np.ones(c_rows.size), (c_rows, c_cols)),
+            shape=(m, q * LANE))
+        collect = build_routes(c_mat, seed=seed + 1, _depth=_depth + 1)
+        assert collect["q"] == q, "collect shares the table geometry"
+        rows, cnt = rows_eff, cnt_eff
+
     cols = csr.indices.astype(np.int64)
     so_all = (rows // LANE).astype(np.int32)
     lo_all = (rows % LANE).astype(np.int32)
@@ -168,9 +253,11 @@ def build_routes(csr, seed=0):
     # column-sorted positions concentrate each plane's gathers in one
     # column region (plane 0 = every row's smallest column), overloading
     # the 128 A-slots of the busy source rows — measured 32% structural
-    # spill on a 2M-nnz uniform random matrix, vs ~2% rotated
-    cnt_rep = np.repeat(np.maximum(cnt, 1), cnt)
-    rot = (rows.astype(np.int64) * 40503) % np.maximum(cnt_rep, 1)
+    # spill on a 2M-nnz uniform random matrix, vs ~2% rotated.
+    # (indexed per entry, NOT np.repeat(cnt, cnt): after virtual-row
+    # splitting the entry order is no longer row-major)
+    cnt_rep = np.maximum(cnt, 1)[rows]
+    rot = (rows.astype(np.int64) * 40503) % cnt_rep
     plane0 = ((pos + rot) % cnt_rep).astype(np.int64)
     k_max = int(plane0.max()) + 1 if nnz else 1
     order0 = np.argsort(plane0, kind="stable")
@@ -225,7 +312,7 @@ def build_routes(csr, seed=0):
     arrs = {k: np.stack([p[i] for p in planes])
             for i, k in enumerate(("a", "b", "c", "v"))}
     arrs.update(q=q, shape=(m, n), n_planes=len(planes),
-                spill_planes=len(planes) - k_max)
+                spill_planes=len(planes) - k_max, collect=collect)
     return arrs
 
 
@@ -242,6 +329,8 @@ def route_gather_reference(x, route):
         tb = np.take_along_axis(ta, b, axis=0)
         g = np.take_along_axis(tb, c, axis=1)
         acc += v * g
+    if route.get("collect") is not None:
+        return route_gather_reference(acc.reshape(-1), route["collect"])
     return acc.reshape(-1)[:m]
 
 
@@ -333,17 +422,21 @@ def _as_table(x, q, dtype):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("a", "b", "c", "v", "at", "bt", "ct", "vt"),
-    meta_fields=("q", "nrows", "ncols", "true_nnz"),
+    data_fields=("a", "b", "c", "v", "at", "bt", "ct", "vt",
+                 "coll", "coll_t"),
+    meta_fields=("q", "qt", "nrows", "ncols", "true_nnz"),
 )
 @dataclasses.dataclass(frozen=True)
 class RoutedEllMatrix:
     """Unstructured sparse operator backed by the routed-gather kernel.
 
     Both orientations carry their own route stacks over the same table
-    geometry (``q`` covers ``max(nrows, ncols)``).  The auxiliary
-    reductions (`abs_power_*`) never gather — the value planes are
-    already laid out per output slot.
+    geometry (``q`` covers ``max(nrows, ncols)`` plus any virtual-row
+    slots).  When the builder split wide rows, ``coll``/``coll_t`` hold
+    the collect route stacks ``(a, b, c, v)`` summing virtual partials
+    back into real rows (``None`` otherwise).  The auxiliary reductions
+    (`abs_power_*`) never gather beyond the collect — the value planes
+    are already laid out per output slot.
     """
 
     a: jax.Array   # (P, q, LANE) i32 — stage-A lane shuffle
@@ -354,7 +447,10 @@ class RoutedEllMatrix:
     bt: jax.Array
     ct: jax.Array
     vt: jax.Array
-    q: int
+    coll: tuple | None    # chain of (a, b, c, v) collect stacks
+    coll_t: tuple | None
+    q: int   # forward table rows (may exceed the geometric minimum
+    qt: int  # by virtual-row slots; orientations grow independently)
     nrows: int
     ncols: int
     true_nnz: int
@@ -365,7 +461,11 @@ class RoutedEllMatrix:
 
     @property
     def nnz_padded(self):
-        return self.v.size + self.vt.size
+        n = self.v.size + self.vt.size
+        for chain in (self.coll, self.coll_t):
+            for stack in chain or ():
+                n += stack[3].size
+        return n
 
     def _interpret(self) -> bool:
         return _FORCE_INTERPRET or jax.default_backend() != "tpu"
@@ -375,36 +475,64 @@ class RoutedEllMatrix:
         return (jnp.float32 if self.v.dtype == jnp.bfloat16
                 else self.v.dtype)
 
-    def _spmv(self, x, a, b, c, v, n_out):
-        xt = _as_table(x, self.q, self._compute_dtype())
-        out = _routed_spmv_call(xt, a, b, c, v, self.q, int(a.shape[0]),
+    def _collect(self, table, chain, q):
+        """Apply the collect chain to a (q, LANE) partial-sum table."""
+        for ca, cb, cc, cv in chain or ():
+            table = _routed_spmv_call(table, ca, cb, cc,
+                                      cv.astype(table.dtype), q,
+                                      int(ca.shape[0]),
+                                      interpret=self._interpret())
+        return table
+
+    def _spmv(self, x, a, b, c, v, n_out, chain, q):
+        xt = _as_table(x, q, self._compute_dtype())
+        out = _routed_spmv_call(xt, a, b, c, v, q, int(a.shape[0]),
                                 interpret=self._interpret())
+        out = self._collect(out, chain, q)
         return out.reshape(-1)[:n_out].astype(x.dtype)
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        return self._spmv(x, self.a, self.b, self.c, self.v, self.nrows)
+        return self._spmv(x, self.a, self.b, self.c, self.v, self.nrows,
+                          self.coll, self.q)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
         return self._spmv(y, self.at, self.bt, self.ct, self.vt,
-                          self.ncols)
+                          self.ncols, self.coll_t, self.qt)
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
         s = jnp.sum(jnp.abs(self.v.astype(self._compute_dtype())) ** p,
                     axis=0)
+        s = self._collect(s, self.coll, self.q)
         return s.reshape(-1)[: self.nrows]
 
     def abs_power_colsum(self, p: float) -> jax.Array:
         s = jnp.sum(jnp.abs(self.vt.astype(self._compute_dtype())) ** p,
                     axis=0)
+        s = self._collect(s, self.coll_t, self.qt)
         return s.reshape(-1)[: self.ncols]
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
         v2 = self.v.astype(self._compute_dtype()) ** 2
-        return self._spmv(d, self.a, self.b, self.c, v2, self.nrows)
+        return self._spmv(d, self.a, self.b, self.c, v2, self.nrows,
+                          self.coll, self.q)
 
     def to_scipy(self) -> scipy.sparse.csr_matrix:
         """Decode the forward routes back into the original matrix
         (explicit-zero entries are not representable and drop out)."""
+        # slot -> real row, composed through the collect chain (virtual
+        # rows live beyond nrows until collected)
+        size = self.q * LANE
+        total = np.arange(size)
+        for ca, cb, cc, cv in self.coll or ():
+            step = np.full(size, -1, np.int64)
+            for A, B, C, V in zip(np.asarray(ca), np.asarray(cb),
+                                  np.asarray(cc), np.asarray(cv)):
+                so, lo = np.nonzero(V)
+                lam = C[so, lo]
+                sx = B[so, lam]
+                lx = A[sx, lam]
+                step[sx.astype(np.int64) * LANE + lx] = so * LANE + lo
+            total = step[total]
         rows, cols, vals = [], [], []
         for A, B, C, V in zip(np.asarray(self.a), np.asarray(self.b),
                               np.asarray(self.c), np.asarray(self.v)):
@@ -412,7 +540,7 @@ class RoutedEllMatrix:
             lam = C[so, lo]
             sx = B[so, lam]
             lx = A[sx, lam]
-            rows.append(so * LANE + lo)
+            rows.append(total[so * LANE + lo])
             cols.append(sx.astype(np.int64) * LANE + lx)
             vals.append(V[so, lo])
         return scipy.sparse.csr_matrix(
@@ -442,13 +570,24 @@ class RoutedEllMatrix:
                 " (TPU kernel supports f32/bf16)")
         fwd = build_routes(csr, seed=seed)
         bwd = build_routes(csr.T.tocsr(), seed=seed)
-        assert fwd["q"] == bwd["q"], "orientations share table geometry"
+
+        def chain_of(route):
+            out = []
+            coll = route.get("collect")
+            while coll is not None:
+                out.append((jnp.asarray(coll["a"]), jnp.asarray(coll["b"]),
+                            jnp.asarray(coll["c"]),
+                            jnp.asarray(coll["v"], dtype)))
+                coll = coll.get("collect")
+            return tuple(out) or None
+
         return RoutedEllMatrix(
             a=jnp.asarray(fwd["a"]), b=jnp.asarray(fwd["b"]),
             c=jnp.asarray(fwd["c"]), v=jnp.asarray(fwd["v"], dtype),
             at=jnp.asarray(bwd["a"]), bt=jnp.asarray(bwd["b"]),
             ct=jnp.asarray(bwd["c"]), vt=jnp.asarray(bwd["v"], dtype),
-            q=fwd["q"], nrows=csr.shape[0],
+            coll=chain_of(fwd), coll_t=chain_of(bwd),
+            q=fwd["q"], qt=bwd["q"], nrows=csr.shape[0],
             ncols=csr.shape[1], true_nnz=int(csr.nnz),
         )
 

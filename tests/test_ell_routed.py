@@ -99,11 +99,47 @@ def test_routed_operator_protocol_matches_scipy():
 
 def test_spill_planes_bounded_on_uniform_random():
     a = _rand(1000, 1000, 0.01, seed=11)
-    route = build_routes(a)
+    route = build_routes(a, split=False)
     k_max = int(np.diff(a.indptr).max())
     # uniform random sparsity routes with a small spill tail
     assert route["spill_planes"] <= max(4, k_max)
     assert route["n_planes"] == k_max + route["spill_planes"]
+
+
+def test_virtual_row_split_cuts_planes():
+    """Skewed rows (k-medians shape: thousands of 3-nnz rows + a few
+    60-nnz rows) split into virtual rows + a collect route instead of
+    paying one plane per unit of max row degree."""
+    rng = np.random.RandomState(2)
+    m = n = 3000
+    rows = np.concatenate([np.repeat(np.arange(m), 3),
+                           np.repeat(rng.choice(m, 8, replace=False), 60)])
+    cols = rng.randint(0, n, rows.size)
+    a = scipy.sparse.csr_matrix((rng.randn(rows.size), (rows, cols)),
+                                shape=(m, n))
+    a.sum_duplicates()
+    k_max = int(np.diff(a.indptr).max())
+    route = build_routes(a)
+    assert route["collect"] is not None
+    total = route["n_planes"] + route["collect"]["n_planes"]
+    assert total < k_max // 2
+    x = rng.randn(n)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-10)
+    # operator round-trip through the collect chain
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32)
+    assert op.coll is not None
+    np.testing.assert_allclose(op.to_scipy().toarray(), a.toarray(),
+                               rtol=1e-6, atol=1e-7)
+    y = rng.randn(m).astype(np.float32)
+    np.testing.assert_allclose(op.rmatvec(jnp.asarray(y)), a.T @ y,
+                               rtol=3e-5, atol=3e-5)
+    d = np.abs(rng.randn(n)).astype(np.float32)
+    np.testing.assert_allclose(op.sq_rowsum_weighted(jnp.asarray(d)),
+                               a.power(2) @ d, rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(op.abs_power_rowsum(1.0),
+                               np.abs(a) @ np.ones(n),
+                               rtol=3e-5, atol=3e-5)
 
 
 def test_eligibility_gate():
@@ -222,7 +258,7 @@ def test_route_plane_slots_consistent():
     # structural invariant: every (so, lo) slot with a nonzero value has
     # its element routed through matching A/B/C entries
     a = _rand(300, 300, 0.02, seed=13)
-    route = build_routes(a)
+    route = build_routes(a, split=False)  # raw planes: rows are real rows
     q = route["q"]
     csr = a.tocsr()
     for p in range(route["n_planes"]):
