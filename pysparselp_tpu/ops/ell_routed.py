@@ -623,18 +623,31 @@ ROUTED_ELL_ENABLED = False
 _ROUTED_PACKING_FACTOR = 1.35
 
 
+def _orientation_cost_rows(cnt, m, n, q, nnz):
+    """Estimated (planes x table rows) for one orientation, including
+    the virtual-row split option — the same model _split_plan optimizes,
+    so the chooser prices what the builder will actually do."""
+    if nnz == 0:
+        return q
+    k_max = int(cnt.max())
+    src_bound = -(-nnz // (max(-(-n // LANE), 1) * LANE))
+    base = max(k_max, src_bound) * q
+    target, q_eff = _split_plan(cnt, m, q, nnz, max(-(-n // LANE), 1))
+    if target is None:
+        return base
+    split = (max(target, src_bound) + -(-k_max // target) + 1) * q_eff
+    return min(base, split)
+
+
 def routed_cost_estimate(csr) -> int:
     """Cheap (no routing) effective-bytes estimate for the chooser."""
     csr = scipy.sparse.csr_matrix(csr)
     m, n = csr.shape
     q = max(-(-m // LANE), -(-n // LANE), 1)
     cnt = np.diff(csr.indptr)
-    k_fwd = int(cnt.max()) if cnt.size else 0
-    ccnt = np.bincount(csr.indices, minlength=n) if csr.nnz else np.zeros(1)
-    k_bwd = int(ccnt.max()) if ccnt.size else 0
-    s_src_f = max(-(-n // LANE), 1)
-    s_src_b = max(-(-m // LANE), 1)
-    p_fwd = max(k_fwd, -(-csr.nnz // (s_src_f * LANE)))
-    p_bwd = max(k_bwd, -(-csr.nnz // (s_src_b * LANE)))
-    slots = (p_fwd + p_bwd) * q * LANE * _ROUTED_PACKING_FACTOR
+    ccnt = (np.bincount(csr.indices, minlength=n) if csr.nnz
+            else np.zeros(1, np.int64))
+    rows_fwd = _orientation_cost_rows(cnt, m, n, q, csr.nnz)
+    rows_bwd = _orientation_cost_rows(ccnt, n, m, q, csr.nnz)
+    slots = (rows_fwd + rows_bwd) * LANE * _ROUTED_PACKING_FACTOR
     return int(slots * ROUTED_ELL_BYTES_PER_SLOT)
