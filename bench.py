@@ -510,9 +510,10 @@ def _kmedians_lp(n_points=5_000, n_candidates=30, seed=3):
 
 
 # Reference CP-PPD on the k-medians workload above (150k labeling vars,
-# ~310k folded rows, 610k nnz), measured 2026-08-18 on THIS host CPU
-# (same methodology as the unstructured baseline).
-REF_KMEDIANS_ITERS_PER_SEC = None  # filled after remeasure
+# 150k folded ineq rows + 5k simplex equalities, 450k nnz), measured
+# 2026-08-18 on THIS host CPU (same methodology as the unstructured
+# baseline; runs [231.5, 251.5] it/s, higher kept).
+REF_KMEDIANS_ITERS_PER_SEC = 251.5
 
 
 def measure_kmedians_scale(nb_iter=3_000):
