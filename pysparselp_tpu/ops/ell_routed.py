@@ -57,6 +57,11 @@ LANE = 128
 # falls through to the XLA gather backends (prefer="routed" propagates it)
 _MAX_SPILL_PLANES = 64
 _MAX_ROUNDS = 64
+# tiled-table ceiling: tables larger than the VMEM single-tile limit are
+# split into (tiles, qt, LANE) HBM tiles and routed pair-by-pair (see
+# build_routes); beyond this many table rows the host routing cost and
+# pair-granularity padding stop paying vs the XLA fallback
+_TILED_MAX_Q = 32768  # 4.19M positions
 
 
 def _route_plane(so, lo, sx, lx, vals, q, rng):
@@ -133,133 +138,46 @@ def _route_plane(so, lo, sx, lx, vals, q, rng):
     return a, b, c, v, spilled
 
 
-def _ragged_arange(counts):
-    """[0..counts[0]), [0..counts[1]), ... concatenated."""
-    total = int(counts.sum())
-    if total == 0:
-        return np.zeros(0, np.int64)
-    ends = np.cumsum(counts)
-    return np.arange(total) - np.repeat(ends - counts, counts)
+def _route_pool(rows, row_loc, col_loc, vals, q, rng):
+    """Route one demand pool into a list of ``(a, b, c, v)`` planes.
 
-
-def _split_plan(cnt, m, q, nnz, n_src_rows):
-    """Pick a virtual-row split target minimizing estimated route cost
-    (planes x table rows — virtual slots may grow the table).
-
-    Returns ``(target, q_eff)`` or ``(None, q)`` when leaving wide rows
-    unsplit is estimated cheaper."""
-    busy = cnt[cnt > 0]
-    if busy.size == 0:
-        return None, q
-    k_max = int(busy.max())
-    # main-pass planes can never drop below the source-side capacity
-    # bound: each plane has one A-slot per table element
-    src_bound = -(-nnz // (n_src_rows * LANE))
-
-    def est(t):
-        n_virt = int(np.sum(-(-cnt[cnt > t] // t) - 1))
-        q_eff = max(q, -(-(m + n_virt) // LANE))
-        if q_eff > routed_q_limit():
-            return None, q
-        main = max(t, src_bound)
-        collect = -(-k_max // t) + 1  # identity plane + chunk tails
-        return (main + collect) * q_eff, q_eff
-
-    cands = {int(np.percentile(busy, p)) for p in (50, 75, 90, 95)}
-    cands.add(int(np.ceil(np.sqrt(k_max))))
-    cands = sorted(t for t in cands if 1 <= t < k_max)
-    best = (None, q)
-    best_cost = k_max * q  # no-split cost
-    for t in cands:
-        e, q_eff = est(t)
-        if e is not None and e < 0.85 * best_cost:
-            best, best_cost = (t, q_eff), e
-    return best
-
-
-def build_routes(csr, seed=0, split=True, _depth=0):
-    """Route a CSR matrix's gather pattern into stacked index planes.
-
-    Returns a dict with i32 arrays ``a, b, c`` and f64 ``v``, each shaped
-    ``(n_planes, q, LANE)`` where ``q = ceil(max(nrows, ncols)/LANE)``,
-    satisfying, for ``x_t = pad(x).reshape(q, LANE)``::
-
-        A @ x == (sum_p v[p] * C-gather(B-gather(A-gather(x_t))))[:nrows]
-
-    When wide rows were split (``split=True`` and the estimate says it
-    pays), the dict carries a ``"collect"`` sub-route over the same
-    table geometry: the main planes then produce PARTIAL sums (real rows
-    at their own slots, virtual rows appended beyond ``nrows``) and the
-    final result is the collect route applied to that ``(q, LANE)``
-    buffer — ``plane count = max row degree`` becomes
-    ``split target + ceil(max_degree/target) + 1`` instead.
+    ``row_loc``/``col_loc`` are table-local element positions
+    (``< q*LANE``); ``rows`` are the row ids used for plane binning and
+    the rotation hash (global, so tiling does not change a row's plane
+    rotation).  This is the single-table routing core: the untiled path
+    calls it once with global == local coordinates, the tiled path once
+    per (dst-tile, src-tile) demand group.
     """
-    csr = scipy.sparse.csr_matrix(csr)
-    csr.sum_duplicates()
-    m, n = csr.shape
-    q = max(-(-m // LANE), -(-n // LANE), 1)
-    rng = np.random.RandomState(seed)
+    so_all = (row_loc // LANE).astype(np.int32)
+    lo_all = (row_loc % LANE).astype(np.int32)
+    sx_all = (col_loc // LANE).astype(np.int32)
+    lx_all = (col_loc % LANE).astype(np.int32)
 
-    cnt = np.diff(csr.indptr)
-    nnz = csr.nnz
-    if nnz == 0:
-        z = np.zeros((1, q, LANE), np.int32)
-        return {"a": z, "b": z.copy(), "c": z.copy(),
-                "v": np.zeros((1, q, LANE), np.float64), "q": q,
-                "shape": (m, n), "n_planes": 1, "spill_planes": 0,
-                "collect": None}
-    rows = np.repeat(np.arange(m), cnt)
-    pos = np.arange(nnz) - np.repeat(csr.indptr[:-1], cnt)
-
-    collect = None
-    target = None
-    if split and _depth < 2:
-        target, q = _split_plan(cnt, m, q, nnz, max(-(-n // LANE), 1))
-    if target is not None:
-        # entry j of row r -> chunk j // target; chunk 0 keeps the real
-        # row slot, chunks >= 1 get freshly-numbered virtual rows
-        chunk = pos // target
-        heavy = np.nonzero(cnt > target)[0]
-        n_chunks = -(-cnt[heavy] // target) - 1  # virtual rows per heavy row
-        v_base = m + np.concatenate(([0], np.cumsum(n_chunks[:-1]))) if (
-            heavy.size) else np.zeros(0, np.int64)
-        first_virtual = np.zeros(m, np.int64)
-        first_virtual[heavy] = v_base
-        rows_eff = np.where(chunk == 0, rows,
-                            first_virtual[rows] + chunk - 1)
-        pos = pos % target
-        cnt_eff = np.bincount(rows_eff, minlength=m + int(n_chunks.sum()))
-        # collect matrix: real row <- its own slot + its virtual slots
-        c_rows = np.concatenate([np.arange(m),
-                                 np.repeat(heavy, n_chunks)])
-        c_cols = np.concatenate([np.arange(m),
-                                 np.repeat(v_base, n_chunks)
-                                 + _ragged_arange(n_chunks)])
-        c_mat = scipy.sparse.csr_matrix(
-            (np.ones(c_rows.size), (c_rows, c_cols)),
-            shape=(m, q * LANE))
-        collect = build_routes(c_mat, seed=seed + 1, _depth=_depth + 1)
-        assert collect["q"] == q, "collect shares the table geometry"
-        rows, cnt = rows_eff, cnt_eff
-
-    cols = csr.indices.astype(np.int64)
-    so_all = (rows // LANE).astype(np.int32)
-    lo_all = (rows % LANE).astype(np.int32)
-    sx_all = (cols // LANE).astype(np.int32)
-    lx_all = (cols % LANE).astype(np.int32)
-    vals_all = csr.data.astype(np.float64)
+    # per-entry row counts and occurrence positions.  CSR entry order is
+    # stable within a row, so occurrence == the original column rank —
+    # identical to the indptr-derived ``pos`` of the whole-matrix path.
+    nd = rows.size
+    order = np.argsort(rows, kind="stable")
+    rs = rows[order]
+    first = np.ones(nd, bool)
+    first[1:] = rs[1:] != rs[:-1]
+    idx = np.arange(nd)
+    occ_sorted = idx - np.maximum.accumulate(np.where(first, idx, -1))
+    pos = np.empty(nd, np.int64)
+    pos[order] = occ_sorted
+    run_starts = np.nonzero(first)[0]
+    run_lens = np.diff(np.append(run_starts, nd))
+    cnt_ent = np.empty(nd, np.int64)
+    cnt_ent[order] = np.repeat(run_lens, run_lens)
 
     # plane = per-row entry position ROTATED by a per-row hash: raw
     # column-sorted positions concentrate each plane's gathers in one
     # column region (plane 0 = every row's smallest column), overloading
     # the 128 A-slots of the busy source rows — measured 32% structural
     # spill on a 2M-nnz uniform random matrix, vs ~2% rotated.
-    # (indexed per entry, NOT np.repeat(cnt, cnt): after virtual-row
-    # splitting the entry order is no longer row-major)
-    cnt_rep = np.maximum(cnt, 1)[rows]
-    rot = (rows.astype(np.int64) * 40503) % cnt_rep
-    plane0 = ((pos + rot) % cnt_rep).astype(np.int64)
-    k_max = int(plane0.max()) + 1 if nnz else 1
+    rot = (rows.astype(np.int64) * 40503) % cnt_ent
+    plane0 = (pos + rot) % cnt_ent
+    k_max = int(plane0.max()) + 1 if nd else 1
     order0 = np.argsort(plane0, kind="stable")
     bounds = np.searchsorted(plane0[order0], np.arange(k_max + 1))
     pending_sel = [order0[bounds[k]:bounds[k + 1]] for k in range(k_max)
@@ -304,15 +222,216 @@ def build_routes(csr, seed=0, split=True, _depth=0):
         sel = pending_sel.pop(0)
         a, b, c, v, spilled = _route_plane(
             so_all[sel], lo_all[sel], sx_all[sel], lx_all[sel],
-            vals_all[sel], q, rng)
+            vals[sel], q, rng)
         planes.append((a, b, c, v))
         sp = sel[spilled]
         if sp.size:
             spill_pool.append(sp)
-    arrs = {k: np.stack([p[i] for p in planes])
+    return planes, len(planes) - k_max
+
+
+def _ragged_arange(counts):
+    """[0..counts[0]), [0..counts[1]), ... concatenated."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total) - np.repeat(ends - counts, counts)
+
+
+def _split_plan(cnt, m, q, nnz, n_src_rows, q_cap=None):
+    """Pick a virtual-row split target minimizing estimated route cost
+    (planes x table rows — virtual slots may grow the table).
+
+    Returns ``(target, q_eff)`` or ``(None, q)`` when leaving wide rows
+    unsplit is estimated cheaper.  ``q_cap`` bounds how far virtual rows
+    may grow the table (the single-tile VMEM limit by default; the tiled
+    ceiling when the table is already beyond the single-tile limit)."""
+    if q_cap is None:
+        q_cap = routed_q_limit()
+    busy = cnt[cnt > 0]
+    if busy.size == 0:
+        return None, q
+    k_max = int(busy.max())
+    # main-pass planes can never drop below the source-side capacity
+    # bound: each plane has one A-slot per table element
+    src_bound = -(-nnz // (n_src_rows * LANE))
+
+    def est(t):
+        n_virt = int(np.sum(-(-cnt[cnt > t] // t) - 1))
+        q_eff = max(q, -(-(m + n_virt) // LANE))
+        if q_eff > q_cap:
+            return None, q
+        main = max(t, src_bound)
+        collect = -(-k_max // t) + 1  # identity plane + chunk tails
+        return (main + collect) * q_eff, q_eff
+
+    cands = {int(np.percentile(busy, p)) for p in (50, 75, 90, 95)}
+    cands.add(int(np.ceil(np.sqrt(k_max))))
+    cands = sorted(t for t in cands if 1 <= t < k_max)
+    best = (None, q)
+    best_cost = k_max * q  # no-split cost
+    for t in cands:
+        e, q_eff = est(t)
+        if e is not None and e < 0.85 * best_cost:
+            best, best_cost = (t, q_eff), e
+    return best
+
+
+def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
+    """Route a CSR matrix's gather pattern into stacked index planes.
+
+    Returns a dict with i32 arrays ``a, b, c`` and f64 ``v``, each shaped
+    ``(n_planes, q, LANE)`` where ``q = ceil(max(nrows, ncols)/LANE)``,
+    satisfying, for ``x_t = pad(x).reshape(q, LANE)``::
+
+        A @ x == (sum_p v[p] * C-gather(B-gather(A-gather(x_t))))[:nrows]
+
+    When wide rows were split (``split=True`` and the estimate says it
+    pays), the dict carries a ``"collect"`` sub-route over the same
+    table geometry: the main planes then produce PARTIAL sums (real rows
+    at their own slots, virtual rows appended beyond ``nrows``) and the
+    final result is the collect route applied to that ``(q, LANE)``
+    buffer — ``plane count = max row degree`` becomes
+    ``split target + ceil(max_degree/target) + 1`` instead.
+
+    Tables beyond the single-tile VMEM limit (``q > routed_q_limit()``,
+    or a forced ``qt``) come back TILED: planes are ``(qt, LANE)``, the
+    dict gains ``qt``, ``tiles`` and a ``tags`` array of i32 rows
+    ``(src_tile, dst_tile, first_visit)`` per plane, and ``q`` is padded
+    to ``tiles * qt``.  Each plane gathers from exactly one source tile
+    into exactly one destination tile, so padding grows with the number
+    of touched tile pairs — tiling lifts the size ceiling (to
+    ``_TILED_MAX_Q``), it does not come free.
+    """
+    qt_arg = qt
+    csr = scipy.sparse.csr_matrix(csr)
+    csr.sum_duplicates()
+    m, n = csr.shape
+    q = max(-(-m // LANE), -(-n // LANE), 1)
+    rng = np.random.RandomState(seed)
+
+    cnt = np.diff(csr.indptr)
+    nnz = csr.nnz
+    if nnz == 0:
+        if qt_arg is None and q <= routed_q_limit():
+            z = np.zeros((1, q, LANE), np.int32)
+            return {"a": z, "b": z.copy(), "c": z.copy(),
+                    "v": np.zeros((1, q, LANE), np.float64), "q": q,
+                    "shape": (m, n), "n_planes": 1, "spill_planes": 0,
+                    "collect": None}
+        qt = qt_arg or _tiled_qt()
+        tiles_n = -(-q // qt)
+        z = np.zeros((tiles_n, qt, LANE), np.int32)
+        tags = np.stack([np.zeros(tiles_n, np.int32),
+                         np.arange(tiles_n, dtype=np.int32),
+                         np.ones(tiles_n, np.int32)])
+        return {"a": z, "b": z.copy(), "c": z.copy(),
+                "v": np.zeros((tiles_n, qt, LANE), np.float64),
+                "q": tiles_n * qt, "qt": qt, "tiles": tiles_n,
+                "tags": tags, "shape": (m, n), "n_planes": tiles_n,
+                "spill_planes": 0, "collect": None}
+    rows = np.repeat(np.arange(m), cnt)
+    pos = np.arange(nnz) - np.repeat(csr.indptr[:-1], cnt)
+
+    collect = None
+    target = None
+    if split and _depth < 2:
+        q_cap = (routed_q_limit() if qt_arg is None
+                 and q <= routed_q_limit() else _TILED_MAX_Q)
+        target, q = _split_plan(cnt, m, q, nnz, max(-(-n // LANE), 1),
+                                q_cap=q_cap)
+    if target is not None:
+        # entry j of row r -> chunk j // target; chunk 0 keeps the real
+        # row slot, chunks >= 1 get freshly-numbered virtual rows
+        chunk = pos // target
+        heavy = np.nonzero(cnt > target)[0]
+        n_chunks = -(-cnt[heavy] // target) - 1  # virtual rows per heavy row
+        v_base = m + np.concatenate(([0], np.cumsum(n_chunks[:-1]))) if (
+            heavy.size) else np.zeros(0, np.int64)
+        first_virtual = np.zeros(m, np.int64)
+        first_virtual[heavy] = v_base
+        rows_eff = np.where(chunk == 0, rows,
+                            first_virtual[rows] + chunk - 1)
+        pos = pos % target
+        cnt_eff = np.bincount(rows_eff, minlength=m + int(n_chunks.sum()))
+        # collect matrix: real row <- its own slot + its virtual slots
+        c_rows = np.concatenate([np.arange(m),
+                                 np.repeat(heavy, n_chunks)])
+        c_cols = np.concatenate([np.arange(m),
+                                 np.repeat(v_base, n_chunks)
+                                 + _ragged_arange(n_chunks)])
+        c_mat = scipy.sparse.csr_matrix(
+            (np.ones(c_rows.size), (c_rows, c_cols)),
+            shape=(m, q * LANE))
+        collect = build_routes(c_mat, seed=seed + 1, _depth=_depth + 1,
+                               qt=qt_arg)
+        # collect consumes the main pass's output table: same positions
+        # (its q may carry tile padding; both derive from the same rule)
+        assert collect["shape"][1] == q * LANE
+        rows, cnt = rows_eff, cnt_eff
+
+    cols = csr.indices.astype(np.int64)
+    vals_all = csr.data.astype(np.float64)
+    del pos, cnt  # _route_pool recomputes both per demand pool
+
+    if qt_arg is None and q <= routed_q_limit():
+        planes, n_spill = _route_pool(rows, rows, cols, vals_all, q, rng)
+        arrs = {k: np.stack([p[i] for p in planes])
+                for i, k in enumerate(("a", "b", "c", "v"))}
+        arrs.update(q=q, shape=(m, n), n_planes=len(planes),
+                    spill_planes=n_spill, collect=collect)
+        return arrs
+
+    # ------------------------------------------------------------------
+    # tiled table: q exceeds the VMEM-resident limit, so the table lives
+    # in HBM as (tiles, qt, LANE) and every plane is tagged with the
+    # (src-tile, dst-tile) pair it gathers between — the kernel selects
+    # its x and output tiles from scalar-prefetched tags.  Demands group
+    # by pair; each pair routes over a (qt, LANE) geometry exactly like a
+    # small table.  Padding grows with the pair count (a plane spans one
+    # pair only), which the chooser's routed_cost_estimate prices.
+    qt = qt_arg or _tiled_qt()
+    tiles_n = -(-q // qt)
+    q_pad = tiles_n * qt
+    dtile = (rows // LANE) // qt
+    stile = (cols // LANE) // qt
+    pair = dtile * tiles_n + stile
+    porder = np.argsort(pair, kind="stable")
+    pp = pair[porder]
+    starts = np.nonzero(np.r_[True, pp[1:] != pp[:-1]])[0]
+    bounds = np.append(starts, pp.size)
+    tagged = []  # (dst_tile, src_tile, (a, b, c, v))
+    n_spill = 0
+    for gi in range(starts.size):
+        sel = porder[starts[gi]:bounds[gi + 1]]
+        d_t = int(dtile[sel[0]])
+        s_t = int(stile[sel[0]])
+        row_loc = rows[sel] - d_t * (qt * LANE)
+        col_loc = cols[sel] - s_t * (qt * LANE)
+        pool_planes, sp = _route_pool(rows[sel], row_loc, col_loc,
+                                      vals_all[sel], qt, rng)
+        n_spill += sp
+        tagged.extend((d_t, s_t, p) for p in pool_planes)
+    # dst tiles no demand touches still need one (zeroing) plane — the
+    # kernel initializes an output tile on its first visit, and every
+    # tile of the padded table is returned to the caller
+    covered = {d for d, _, _ in tagged}
+    zplane = (np.zeros((qt, LANE), np.int32),) * 3 + (
+        np.zeros((qt, LANE), np.float64),)
+    tagged.extend((d, 0, zplane) for d in range(tiles_n)
+                  if d not in covered)
+    tagged.sort(key=lambda t: (t[0], t[1]))  # dst-major: one output run
+    dst = np.array([d for d, _, _ in tagged], np.int32)
+    src = np.array([s for _, s, _ in tagged], np.int32)
+    first = np.ones(dst.size, np.int32)
+    first[1:] = (dst[1:] != dst[:-1]).astype(np.int32)
+    arrs = {k: np.stack([p[i] for _, _, p in tagged])
             for i, k in enumerate(("a", "b", "c", "v"))}
-    arrs.update(q=q, shape=(m, n), n_planes=len(planes),
-                spill_planes=len(planes) - k_max, collect=collect)
+    arrs.update(q=q_pad, qt=qt, tiles=tiles_n,
+                tags=np.stack([src, dst, first]),
+                shape=(m, n), n_planes=len(tagged),
+                spill_planes=n_spill, collect=collect)
     return arrs
 
 
@@ -322,15 +441,32 @@ def route_gather_reference(x, route):
     q = route["q"]
     xt = np.zeros(q * LANE, np.float64)
     xt[:n] = np.asarray(x, np.float64)
-    xt = xt.reshape(q, LANE)
-    acc = np.zeros((q, LANE), np.float64)
-    for a, b, c, v in zip(route["a"], route["b"], route["c"], route["v"]):
-        ta = np.take_along_axis(xt, a, axis=1)
-        tb = np.take_along_axis(ta, b, axis=0)
-        g = np.take_along_axis(tb, c, axis=1)
-        acc += v * g
+    tags = route.get("tags")
+    if tags is None:
+        xt = xt.reshape(q, LANE)
+        acc = np.zeros((q, LANE), np.float64)
+        for a, b, c, v in zip(route["a"], route["b"], route["c"],
+                              route["v"]):
+            ta = np.take_along_axis(xt, a, axis=1)
+            tb = np.take_along_axis(ta, b, axis=0)
+            g = np.take_along_axis(tb, c, axis=1)
+            acc += v * g
+    else:
+        qt, tiles = route["qt"], route["tiles"]
+        xt = xt.reshape(tiles, qt, LANE)
+        acc = np.zeros((tiles, qt, LANE), np.float64)
+        for a, b, c, v, (s_t, d_t, _) in zip(
+                route["a"], route["b"], route["c"], route["v"], tags.T):
+            ta = np.take_along_axis(xt[s_t], a, axis=1)
+            tb = np.take_along_axis(ta, b, axis=0)
+            g = np.take_along_axis(tb, c, axis=1)
+            acc[d_t] += v * g
     if route.get("collect") is not None:
-        return route_gather_reference(acc.reshape(-1), route["collect"])
+        # tile padding may extend the table beyond the collect matrix's
+        # column count; the extra positions are never written
+        n_coll = route["collect"]["shape"][1]
+        return route_gather_reference(acc.reshape(-1)[:n_coll],
+                                      route["collect"])
     return acc.reshape(-1)[:m]
 
 
@@ -351,6 +487,18 @@ _FORCE_INTERPRET = False
 def routed_q_limit() -> int:
     """Largest table sublane count q the plane pipeline can hold."""
     return _ROUTED_VMEM_BUDGET // _BYTES_PER_Q_ROW
+
+
+# tiled-kernel VMEM per qt row: 4 double-buffered plane blocks (4*2), the
+# x tile double-buffered across src-tile changes (2), the resident output
+# tile (1), and Mosaic stack temporaries for the three gathers (3)
+_BYTES_PER_QT_ROW = LANE * 4 * (4 * 2 + 2 + 1 + 3)
+
+
+def _tiled_qt() -> int:
+    """Tile sublane count for tables beyond the single-tile limit
+    (multiple of 8 so dynamic starts keep sublane-tile divisibility)."""
+    return (_ROUTED_VMEM_BUDGET // _BYTES_PER_QT_ROW) // 8 * 8
 
 
 def _dyn_gather(x, idx, axis):
@@ -414,6 +562,66 @@ def _routed_spmv_call(xt, a, b, c, v, q, n_planes, interpret=False):
     return call(xt, a, b, c, v)
 
 
+def _routed_tiled_kernel(s_ref, d_ref, f_ref, x_ref, a_ref, b_ref, c_ref,
+                         v_ref, o_ref):
+    from jax.experimental import pallas as pl
+
+    p = pl.program_id(0)
+
+    # first visit of this output tile (planes are dst-tile-major, so each
+    # tile is one contiguous run and the accumulator stays VMEM-resident
+    # for the whole run)
+    @pl.when(f_ref[p] == 1)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    ta = _dyn_gather(x_ref[0], a_ref[0], axis=1)
+    tb = _dyn_gather(ta, b_ref[0], axis=0)
+    g = _dyn_gather(tb, c_ref[0], axis=1)
+    o_ref[...] += (v_ref[0].astype(o_ref.dtype) * g)[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("qt", "tiles", "n_planes", "interpret"))
+def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
+                            n_planes, interpret=False):
+    """Tiled-table routed SpMV: ``xt`` is ``(tiles, qt, LANE)`` in HBM;
+    each plane's source and destination tiles come from scalar-prefetched
+    tags (the same mechanism as the BSR kernel's tile-column ids), so the
+    grid stays one-dimensional over planes while the table exceeds VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i32 = jnp.int32
+    plane_spec = pl.BlockSpec(
+        (1, qt, LANE), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_planes,),
+        in_specs=[
+            pl.BlockSpec((1, qt, LANE),
+                         lambda p, s, d, f: (s[p], i32(0), i32(0))),
+            plane_spec, plane_spec, plane_spec, plane_spec,
+        ],
+        out_specs=pl.BlockSpec((1, qt, LANE),
+                               lambda p, s, d, f: (d[p], i32(0), i32(0))),
+    )
+    call = pl.pallas_call(
+        _routed_tiled_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tiles, qt, LANE), xt.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_planes * qt * LANE,
+            bytes_accessed=n_planes * qt * LANE * 16
+            + 2 * tiles * qt * LANE * 4,
+            transcendentals=0,
+        ),
+    )
+    return call(src, dst, first, xt, a, b, c, v)
+
+
 def _as_table(x, q, dtype):
     xt = jnp.zeros((q * LANE,), dtype)
     xt = xt.at[: x.shape[0]].set(x.astype(dtype))
@@ -423,8 +631,9 @@ def _as_table(x, q, dtype):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("a", "b", "c", "v", "at", "bt", "ct", "vt",
-                 "coll", "coll_t"),
-    meta_fields=("q", "qt", "nrows", "ncols", "true_nnz"),
+                 "tags", "tags_t", "coll", "coll_t"),
+    meta_fields=("q", "qt", "tiles", "tiles_t", "coll_tiles",
+                 "coll_tiles_t", "nrows", "ncols", "true_nnz"),
 )
 @dataclasses.dataclass(frozen=True)
 class RoutedEllMatrix:
@@ -433,24 +642,35 @@ class RoutedEllMatrix:
     Both orientations carry their own route stacks over the same table
     geometry (``q`` covers ``max(nrows, ncols)`` plus any virtual-row
     slots).  When the builder split wide rows, ``coll``/``coll_t`` hold
-    the collect route stacks ``(a, b, c, v)`` summing virtual partials
-    back into real rows (``None`` otherwise).  The auxiliary reductions
-    (`abs_power_*`) never gather beyond the collect — the value planes
-    are already laid out per output slot.
+    the collect route stacks ``(a, b, c, v, tags)`` summing virtual
+    partials back into real rows (``None`` otherwise).  The auxiliary
+    reductions (`abs_power_*`) never gather beyond the collect — the
+    value planes are already laid out per output slot.
+
+    Tables beyond the single-tile VMEM limit are TILED: ``tiles > 1``,
+    the plane arrays are ``(P, q/tiles, LANE)``, and ``tags`` carries the
+    per-plane ``(src_tile, dst_tile, first_visit)`` rows consumed by the
+    scalar-prefetch kernel (``None`` when the table fits one tile).
     """
 
-    a: jax.Array   # (P, q, LANE) i32 — stage-A lane shuffle
-    b: jax.Array   # (P, q, LANE) i32 — stage-B sublane gather
-    c: jax.Array   # (P, q, LANE) i32 — stage-C lane shuffle
-    v: jax.Array   # (P, q, LANE) values at output slots
+    a: jax.Array   # (P, tile_q, LANE) i32 — stage-A lane shuffle
+    b: jax.Array   # (P, tile_q, LANE) i32 — stage-B sublane gather
+    c: jax.Array   # (P, tile_q, LANE) i32 — stage-C lane shuffle
+    v: jax.Array   # (P, tile_q, LANE) values at output slots
     at: jax.Array  # transpose orientation
     bt: jax.Array
     ct: jax.Array
     vt: jax.Array
-    coll: tuple | None    # chain of (a, b, c, v) collect stacks
+    tags: jax.Array | None    # (3, P) i32 (src, dst, first) — tiled only
+    tags_t: jax.Array | None
+    coll: tuple | None    # chain of (a, b, c, v, tags) collect stacks
     coll_t: tuple | None
-    q: int   # forward table rows (may exceed the geometric minimum
-    qt: int  # by virtual-row slots; orientations grow independently)
+    q: int   # forward table rows incl. virtual-row and tile padding
+    qt: int  # transpose table rows (orientations grow independently)
+    tiles: int        # forward table tiles (1 = single VMEM-resident tile)
+    tiles_t: int
+    coll_tiles: tuple | None    # per-collect-stack tile counts
+    coll_tiles_t: tuple | None
     nrows: int
     ncols: int
     true_nnz: int
@@ -470,79 +690,118 @@ class RoutedEllMatrix:
     def _interpret(self) -> bool:
         return _FORCE_INTERPRET or jax.default_backend() != "tpu"
 
+    def _apply_stack(self, flat, a, b, c, v, tags, tiles):
+        """One routed gather pass over a flat (positions,) vector."""
+        tq = int(a.shape[1])
+        if tags is None:
+            out = _routed_spmv_call(flat.reshape(tq, LANE), a, b, c,
+                                    v.astype(flat.dtype), tq,
+                                    int(a.shape[0]),
+                                    interpret=self._interpret())
+        else:
+            out = _routed_tiled_spmv_call(
+                flat.reshape(tiles, tq, LANE), a, b, c,
+                v.astype(flat.dtype), tags[0], tags[1], tags[2],
+                tq, tiles, int(a.shape[0]), interpret=self._interpret())
+        return out.reshape(-1)
+
     def _compute_dtype(self):
         # bf16 is a storage format: gather/accumulate at f32
         return (jnp.float32 if self.v.dtype == jnp.bfloat16
                 else self.v.dtype)
 
-    def _collect(self, table, chain, q):
-        """Apply the collect chain to a (q, LANE) partial-sum table."""
-        for ca, cb, cc, cv in chain or ():
-            table = _routed_spmv_call(table, ca, cb, cc,
-                                      cv.astype(table.dtype), q,
-                                      int(ca.shape[0]),
-                                      interpret=self._interpret())
-        return table
+    def _collect(self, flat, chain, chain_tiles):
+        """Apply the collect chain to a flat partial-sum table."""
+        for stack, tiles in zip(chain or (), chain_tiles or ()):
+            a, b, c, v, tags = stack
+            flat = self._apply_stack(flat[: a.shape[1] * LANE * tiles],
+                                     a, b, c, v, tags, tiles)
+        return flat
 
-    def _spmv(self, x, a, b, c, v, n_out, chain, q):
-        xt = _as_table(x, q, self._compute_dtype())
-        out = _routed_spmv_call(xt, a, b, c, v, q, int(a.shape[0]),
-                                interpret=self._interpret())
-        out = self._collect(out, chain, q)
-        return out.reshape(-1)[:n_out].astype(x.dtype)
+    def _spmv(self, x, a, b, c, v, tags, tiles, n_out, chain, chain_tiles,
+              q):
+        xt = _as_table(x, q, self._compute_dtype()).reshape(-1)
+        out = self._apply_stack(xt, a, b, c, v, tags, tiles)
+        out = self._collect(out, chain, chain_tiles)
+        return out[:n_out].astype(x.dtype)
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        return self._spmv(x, self.a, self.b, self.c, self.v, self.nrows,
-                          self.coll, self.q)
+        return self._spmv(x, self.a, self.b, self.c, self.v, self.tags,
+                          self.tiles, self.nrows, self.coll,
+                          self.coll_tiles, self.q)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
         return self._spmv(y, self.at, self.bt, self.ct, self.vt,
-                          self.ncols, self.coll_t, self.qt)
+                          self.tags_t, self.tiles_t, self.ncols,
+                          self.coll_t, self.coll_tiles_t, self.qt)
+
+    def _plane_sum(self, planes, tags, tiles):
+        """Sum value planes into their output slots (tile-aware)."""
+        if tags is None:
+            return jnp.sum(planes, axis=0).reshape(-1)
+        acc = jnp.zeros((tiles,) + planes.shape[1:], planes.dtype)
+        return acc.at[tags[1]].add(planes).reshape(-1)
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
-        s = jnp.sum(jnp.abs(self.v.astype(self._compute_dtype())) ** p,
-                    axis=0)
-        s = self._collect(s, self.coll, self.q)
-        return s.reshape(-1)[: self.nrows]
+        s = self._plane_sum(
+            jnp.abs(self.v.astype(self._compute_dtype())) ** p,
+            self.tags, self.tiles)
+        s = self._collect(s, self.coll, self.coll_tiles)
+        return s[: self.nrows]
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        s = jnp.sum(jnp.abs(self.vt.astype(self._compute_dtype())) ** p,
-                    axis=0)
-        s = self._collect(s, self.coll_t, self.qt)
-        return s.reshape(-1)[: self.ncols]
+        s = self._plane_sum(
+            jnp.abs(self.vt.astype(self._compute_dtype())) ** p,
+            self.tags_t, self.tiles_t)
+        s = self._collect(s, self.coll_t, self.coll_tiles_t)
+        return s[: self.ncols]
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
         v2 = self.v.astype(self._compute_dtype()) ** 2
-        return self._spmv(d, self.a, self.b, self.c, v2, self.nrows,
-                          self.coll, self.q)
+        return self._spmv(d, self.a, self.b, self.c, v2, self.tags,
+                          self.tiles, self.nrows, self.coll,
+                          self.coll_tiles, self.q)
 
     def to_scipy(self) -> scipy.sparse.csr_matrix:
         """Decode the forward routes back into the original matrix
         (explicit-zero entries are not representable and drop out)."""
-        # slot -> real row, composed through the collect chain (virtual
-        # rows live beyond nrows until collected)
-        size = self.q * LANE
-        total = np.arange(size)
-        for ca, cb, cc, cv in self.coll or ():
-            step = np.full(size, -1, np.int64)
-            for A, B, C, V in zip(np.asarray(ca), np.asarray(cb),
-                                  np.asarray(cc), np.asarray(cv)):
-                so, lo = np.nonzero(V)
-                lam = C[so, lo]
-                sx = B[so, lam]
-                lx = A[sx, lam]
-                step[sx.astype(np.int64) * LANE + lx] = so * LANE + lo
-            total = step[total]
-        rows, cols, vals = [], [], []
-        for A, B, C, V in zip(np.asarray(self.a), np.asarray(self.b),
-                              np.asarray(self.c), np.asarray(self.v)):
+
+        def decode(A, B, C, V, s_t, d_t, tq):
+            """One plane -> (global out positions, global in positions,
+            values); ``s_t``/``d_t`` offset tile-local coordinates."""
             so, lo = np.nonzero(V)
             lam = C[so, lo]
             sx = B[so, lam]
             lx = A[sx, lam]
-            rows.append(total[so * LANE + lo])
-            cols.append(sx.astype(np.int64) * LANE + lx)
-            vals.append(V[so, lo])
+            outp = (d_t * tq + so).astype(np.int64) * LANE + lo
+            inp = (s_t * tq + sx).astype(np.int64) * LANE + lx
+            return outp, inp, V[so, lo]
+
+        def plane_iter(a, b, c, v, tags):
+            ts = (np.asarray(tags).T if tags is not None
+                  else [(0, 0, 1)] * a.shape[0])
+            tq = a.shape[1]
+            for A, B, C, V, (s_t, d_t, _) in zip(
+                    np.asarray(a), np.asarray(b), np.asarray(c),
+                    np.asarray(v), ts):
+                yield decode(A, B, C, V, s_t, d_t, tq)
+
+        # slot -> real row, composed through the collect chain (virtual
+        # rows live beyond nrows until collected)
+        size = self.q * LANE
+        total = np.arange(size)
+        for stack in self.coll or ():
+            step = np.full(size, -1, np.int64)
+            for outp, inp, _ in plane_iter(*stack):
+                step[inp] = outp
+            total = step[np.clip(total, 0, size - 1)]
+            total[total < 0] = -1
+        rows, cols, vals = [], [], []
+        for outp, inp, val in plane_iter(self.a, self.b, self.c, self.v,
+                                         self.tags):
+            rows.append(total[outp])
+            cols.append(inp)
+            vals.append(val)
         return scipy.sparse.csr_matrix(
             (np.concatenate(vals),
              (np.concatenate(rows), np.concatenate(cols))),
@@ -553,7 +812,7 @@ class RoutedEllMatrix:
         return jnp.asarray(self.to_scipy().toarray(), self.v.dtype)
 
     @staticmethod
-    def from_scipy(m, dtype=None, seed=0) -> "RoutedEllMatrix":
+    def from_scipy(m, dtype=None, seed=0, qt=None) -> "RoutedEllMatrix":
         from ..problem import default_dtype
 
         dtype = dtype or default_dtype()
@@ -566,38 +825,50 @@ class RoutedEllMatrix:
             q = max(-(-csr.shape[0] // LANE), -(-csr.shape[1] // LANE), 1)
             raise ValueError(
                 f"routed ELL ineligible: shape {csr.shape} needs q={q} "
-                f"(limit {routed_q_limit()}), dtype {np.dtype(dtype).name}"
-                " (TPU kernel supports f32/bf16)")
-        fwd = build_routes(csr, seed=seed)
-        bwd = build_routes(csr.T.tocsr(), seed=seed)
+                f"(tiled limit {_TILED_MAX_Q}), dtype "
+                f"{np.dtype(dtype).name} (TPU kernel supports f32/bf16)")
+        fwd = build_routes(csr, seed=seed, qt=qt)
+        bwd = build_routes(csr.T.tocsr(), seed=seed, qt=qt)
 
         def chain_of(route):
-            out = []
+            out, out_tiles = [], []
             coll = route.get("collect")
             while coll is not None:
+                tags = coll.get("tags")
                 out.append((jnp.asarray(coll["a"]), jnp.asarray(coll["b"]),
                             jnp.asarray(coll["c"]),
-                            jnp.asarray(coll["v"], dtype)))
+                            jnp.asarray(coll["v"], dtype),
+                            None if tags is None else jnp.asarray(tags)))
+                out_tiles.append(coll.get("tiles", 1))
                 coll = coll.get("collect")
-            return tuple(out) or None
+            return (tuple(out) or None), (tuple(out_tiles) or None)
 
+        coll_f, coll_f_tiles = chain_of(fwd)
+        coll_b, coll_b_tiles = chain_of(bwd)
+        ftags, btags = fwd.get("tags"), bwd.get("tags")
         return RoutedEllMatrix(
             a=jnp.asarray(fwd["a"]), b=jnp.asarray(fwd["b"]),
             c=jnp.asarray(fwd["c"]), v=jnp.asarray(fwd["v"], dtype),
             at=jnp.asarray(bwd["a"]), bt=jnp.asarray(bwd["b"]),
             ct=jnp.asarray(bwd["c"]), vt=jnp.asarray(bwd["v"], dtype),
-            coll=chain_of(fwd), coll_t=chain_of(bwd),
-            q=fwd["q"], qt=bwd["q"], nrows=csr.shape[0],
+            tags=None if ftags is None else jnp.asarray(ftags),
+            tags_t=None if btags is None else jnp.asarray(btags),
+            coll=coll_f, coll_t=coll_b,
+            q=fwd["q"], qt=bwd["q"],
+            tiles=fwd.get("tiles", 1), tiles_t=bwd.get("tiles", 1),
+            coll_tiles=coll_f_tiles, coll_tiles_t=coll_b_tiles,
+            nrows=csr.shape[0],
             ncols=csr.shape[1], true_nnz=int(csr.nnz),
         )
 
 
 def routed_ell_eligible(csr_shape, q=None, dtype=None) -> bool:
-    """Geometry gate: the table and plane pipeline must fit VMEM (and the
-    value dtype must be Mosaic-legal when running on the real chip)."""
+    """Geometry gate: single-tile tables must fit VMEM; larger tables run
+    tiled up to ``_TILED_MAX_Q`` rows.  The value dtype must be
+    Mosaic-legal when running on the real chip."""
     m, n = csr_shape
     q = q or max(-(-m // LANE), -(-n // LANE), 1)
-    if q > routed_q_limit():
+    if q > _TILED_MAX_Q:
         return False
     if dtype is not None and not (_FORCE_INTERPRET
                                   or jax.default_backend() != "tpu"):
@@ -639,15 +910,43 @@ def _orientation_cost_rows(cnt, m, n, q, nnz):
     return min(base, split)
 
 
+def _tiled_orientation_cost_rows(rows, cols, q, qt):
+    """Estimated (planes x qt rows) for one orientation of a TILED
+    table: planes are pair-granular, so each (dst-tile, src-tile) pair
+    costs its own max per-row entry count (or its source-capacity
+    bound).  The virtual-row split option is not modeled — tiling
+    already spreads a wide row's entries across source tiles."""
+    tiles_n = -(-q // qt)
+    st = (cols // LANE) // qt
+    # per-(row, src-tile) entry counts -> per-pair maxima
+    key = rows.astype(np.int64) * tiles_n + st
+    uk, cts = np.unique(key, return_counts=True)
+    pair = ((uk // tiles_n) // (qt * LANE)) * tiles_n + uk % tiles_n
+    pmax = np.zeros(tiles_n * tiles_n, np.int64)
+    np.maximum.at(pmax, pair, cts)
+    pnnz = np.zeros(tiles_n * tiles_n, np.int64)
+    np.add.at(pnnz, pair, cts)
+    src_bound = -(-pnnz // (qt * LANE))
+    planes = int(np.maximum(pmax, src_bound).sum())
+    return (planes + tiles_n) * qt  # + one zeroing plane per dst tile
+
+
 def routed_cost_estimate(csr) -> int:
     """Cheap (no routing) effective-bytes estimate for the chooser."""
     csr = scipy.sparse.csr_matrix(csr)
     m, n = csr.shape
     q = max(-(-m // LANE), -(-n // LANE), 1)
-    cnt = np.diff(csr.indptr)
-    ccnt = (np.bincount(csr.indices, minlength=n) if csr.nnz
-            else np.zeros(1, np.int64))
-    rows_fwd = _orientation_cost_rows(cnt, m, n, q, csr.nnz)
-    rows_bwd = _orientation_cost_rows(ccnt, n, m, q, csr.nnz)
+    if q > routed_q_limit():
+        qt = _tiled_qt()
+        rows = np.repeat(np.arange(m), np.diff(csr.indptr))
+        cols = csr.indices.astype(np.int64)
+        rows_fwd = _tiled_orientation_cost_rows(rows, cols, q, qt)
+        rows_bwd = _tiled_orientation_cost_rows(cols, rows, q, qt)
+    else:
+        cnt = np.diff(csr.indptr)
+        ccnt = (np.bincount(csr.indices, minlength=n) if csr.nnz
+                else np.zeros(1, np.int64))
+        rows_fwd = _orientation_cost_rows(cnt, m, n, q, csr.nnz)
+        rows_bwd = _orientation_cost_rows(ccnt, n, m, q, csr.nnz)
     slots = (rows_fwd + rows_bwd) * LANE * _ROUTED_PACKING_FACTOR
     return int(slots * ROUTED_ELL_BYTES_PER_SLOT)

@@ -248,7 +248,8 @@ def test_tpu_lowering_under_x64():
 def test_from_scipy_rejects_ineligible():
     import scipy.sparse as sp
 
-    big = sp.random(400_000, 10, density=1e-5, format="csr",
+    # beyond even the TILED table ceiling (_TILED_MAX_Q * LANE positions)
+    big = sp.random(5_000_000, 10, density=1e-6, format="csr",
                     random_state=np.random.RandomState(0))
     with pytest.raises(ValueError, match="routed ELL ineligible"):
         RoutedEllMatrix.from_scipy(big, dtype=jnp.float32)
@@ -272,3 +273,128 @@ def test_route_plane_slots_consistent():
         vals = np.asarray(csr[rows, cols]).ravel()
         # the value stored at the slot must belong to that (row, col)
         np.testing.assert_allclose(V[so, lo], vals, rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# tiled tables (q beyond the single-tile VMEM limit)
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_route_reproduces_spmv():
+    """Forced tiny tiles: the pair-grouped route must reproduce A @ x
+    bit-exactly through the tile-tagged oracle."""
+    a = _rand(900, 700, 0.02, seed=31)
+    route = build_routes(a, qt=2)
+    assert route["tiles"] == -(-route["q"] // 2)
+    assert route["tags"].shape == (3, route["n_planes"])
+    # dst-major plane order with correct first-visit flags
+    src, dst, first = route["tags"]
+    assert (np.diff(dst) >= 0).all()
+    expect_first = np.r_[1, (np.diff(dst) != 0).astype(np.int32)]
+    np.testing.assert_array_equal(first, expect_first)
+    x = np.random.RandomState(0).randn(700)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_tiled_operator_protocol_matches_scipy():
+    """Full operator protocol through the scalar-prefetch tiled kernel
+    (interpret mode), forced small tiles."""
+    a = _rand(800, 500, 0.015, seed=33)
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32, qt=2)
+    assert op.tiles > 1 and op.tiles_t > 1
+    rng = np.random.RandomState(5)
+    x = rng.randn(500).astype(np.float32)
+    y = rng.randn(800).astype(np.float32)
+    d = np.abs(rng.randn(500)).astype(np.float32)
+    np.testing.assert_allclose(op.matvec(jnp.asarray(x)), a @ x,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.rmatvec(jnp.asarray(y)), a.T @ y,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.abs_power_rowsum(1.0),
+                               np.abs(a) @ np.ones(500),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.abs_power_colsum(2.0),
+                               a.power(2).T @ np.ones(800),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.sq_rowsum_weighted(jnp.asarray(d)),
+                               a.power(2) @ d,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(op.to_scipy().toarray(), a.toarray(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_tiled_with_collect_chain():
+    """Wide rows + forced tiles: virtual-row splitting and tile tagging
+    compose (the collect stacks are tiled over the same geometry)."""
+    rng = np.random.RandomState(8)
+    m = n = 2000
+    rows = np.concatenate([np.repeat(np.arange(m), 2),
+                           np.repeat(rng.choice(m, 5, replace=False), 80)])
+    cols = rng.randint(0, n, rows.size)
+    a = scipy.sparse.csr_matrix((rng.randn(rows.size), (rows, cols)),
+                                shape=(m, n))
+    a.sum_duplicates()
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32, qt=8)
+    assert op.coll is not None and op.tiles > 1
+    x = rng.randn(n).astype(np.float32)
+    np.testing.assert_allclose(op.matvec(jnp.asarray(x)), a @ x,
+                               rtol=4e-5, atol=4e-5)
+    np.testing.assert_allclose(op.to_scipy().toarray(), a.toarray(),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(op.abs_power_rowsum(1.0),
+                               np.abs(a) @ np.ones(n),
+                               rtol=4e-5, atol=4e-5)
+
+
+def test_tiled_auto_beyond_single_tile_limit():
+    """A table past routed_q_limit() tiles automatically (real tile
+    size), including empty destination tiles getting zeroing planes."""
+    from pysparselp_tpu.ops.ell_routed import _tiled_qt, routed_q_limit
+
+    m, n = 250_000, 3_000  # q = 1954 > 1575 single-tile limit
+    a = _rand(m, n, 2e-5, seed=41)
+    route = build_routes(a)
+    assert route.get("tags") is not None
+    assert route["qt"] == _tiled_qt()
+    assert route["q"] > routed_q_limit()
+    x = np.random.RandomState(1).randn(n)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32)
+    xf = x.astype(np.float32)
+    ref = a @ xf
+    got = np.asarray(op.matvec(jnp.asarray(xf)))
+    scale = np.abs(ref).max() or 1.0
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-6)
+    assert routed_ell_eligible((m, n))
+
+
+def test_tiled_tpu_lowering_under_x64():
+    """Mosaic legalization of the tiled scalar-prefetch kernel, checked
+    WITHOUT a chip (x64 suite environment, i32 index maps)."""
+    import jax
+
+    from pysparselp_tpu.ops import ell_routed as er
+
+    a = _rand(600, 400, 0.02, seed=43)
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32, qt=2)
+    x = jnp.zeros(400, jnp.float32)
+    forced, er._FORCE_INTERPRET = er._FORCE_INTERPRET, False
+    try:
+        f = jax.jit(lambda x: jnp.sum(op.rmatvec(op.matvec(x))))
+        f.trace(x).lower(lowering_platforms=("tpu",))
+    finally:
+        er._FORCE_INTERPRET = forced
+
+
+def test_tiled_cost_estimate_tracks_built_layout():
+    from pysparselp_tpu.ops import ell_routed as er
+    from pysparselp_tpu import problem as pr
+
+    m, n = 250_000, 3_000
+    a = _rand(m, n, 2e-5, seed=47)
+    est = er.routed_cost_estimate(a)
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32)
+    cb = pr.operator_cost_bytes(op)
+    assert 0.2 * cb <= est <= 5 * cb
