@@ -277,11 +277,15 @@ class BsrMatrix:
         return t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
-        s = jnp.einsum("rktm->rm", jnp.abs(self._tiles_f()) ** p)
+        from ..problem import abs_pow0
+
+        s = jnp.einsum("rktm->rm", abs_pow0(self._tiles_f(), p))
         return s.reshape(-1)[: self.nrows]
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        s = jnp.einsum("rktm->rm", jnp.abs(self._tiles_t_f()) ** p)
+        from ..problem import abs_pow0
+
+        s = jnp.einsum("rktm->rm", abs_pow0(self._tiles_t_f(), p))
         return s.reshape(-1)[: self.ncols]
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:

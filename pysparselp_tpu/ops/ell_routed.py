@@ -743,15 +743,19 @@ class RoutedEllMatrix:
         return acc.at[tags[1]].add(planes).reshape(-1)
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
+        from ..problem import abs_pow0
+
         s = self._plane_sum(
-            jnp.abs(self.v.astype(self._compute_dtype())) ** p,
+            abs_pow0(self.v.astype(self._compute_dtype()), p),
             self.tags, self.tiles)
         s = self._collect(s, self.coll, self.coll_tiles)
         return s[: self.nrows]
 
     def abs_power_colsum(self, p: float) -> jax.Array:
+        from ..problem import abs_pow0
+
         s = self._plane_sum(
-            jnp.abs(self.vt.astype(self._compute_dtype())) ** p,
+            abs_pow0(self.vt.astype(self._compute_dtype()), p),
             self.tags_t, self.tiles_t)
         s = self._collect(s, self.coll_t, self.coll_tiles_t)
         return s[: self.ncols]
@@ -794,8 +798,10 @@ class RoutedEllMatrix:
             step = np.full(size, -1, np.int64)
             for outp, inp, _ in plane_iter(*stack):
                 step[inp] = outp
-            total = step[np.clip(total, 0, size - 1)]
-            total[total < 0] = -1
+            # positions already unrouted (-1) must stay -1, not index
+            # step[] — possible from chain depth 2 onward
+            total = np.where(total >= 0,
+                             step[np.clip(total, 0, size - 1)], -1)
         rows, cols, vals = [], [], []
         for outp, inp, val in plane_iter(self.a, self.b, self.c, self.v,
                                          self.tags):

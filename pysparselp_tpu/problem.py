@@ -38,6 +38,16 @@ def default_dtype():
     return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 
 
+def abs_pow0(v, p):
+    """``|v|**p`` with ``0**0 == 0``: every device layout pads with zero
+    slots, which must not count toward the preconditioner sums — the
+    reference's ``.power(p)`` touches stored CSR entries only
+    (``pysparselp/ChambollePockPPD.py:158-179``).  Only visible for
+    ``alpha`` in {0, 2} (the default ``alpha=1`` maps zeros to zero)."""
+    av = jnp.abs(v)
+    return jnp.where(av > 0, av**p, jnp.zeros_like(av))
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("vals", "cols", "vals_t", "rows_t"),
@@ -73,11 +83,11 @@ class EllMatrix:
     def abs_power_rowsum(self, p: float) -> jax.Array:
         """``sum_j |a_ij|^p`` per row (diagonal preconditioner building block,
         mirrors ``pysparselp/ChambollePockPPD.py:158-179``)."""
-        return jnp.sum(jnp.abs(self.vals) ** p, axis=1)
+        return jnp.sum(abs_pow0(self.vals, p), axis=1)
 
     def abs_power_colsum(self, p: float) -> jax.Array:
         """``sum_i |a_ij|^p`` per column (``ChambollePockPPD.py:122-153``)."""
-        return jnp.sum(jnp.abs(self.vals_t) ** p, axis=1)
+        return jnp.sum(abs_pow0(self.vals_t, p), axis=1)
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
         """``sum_j a_ij² d_j`` per row — diag(A·diag(d)·Aᵀ)."""
@@ -171,11 +181,11 @@ class SegmentedEllMatrix:
         return jnp.take(jnp.concatenate(parts), self.col_inv, axis=0)
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
-        parts = [jnp.sum(jnp.abs(v) ** p, axis=1) for v, _ in self.segs]
+        parts = [jnp.sum(abs_pow0(v, p), axis=1) for v, _ in self.segs]
         return jnp.take(jnp.concatenate(parts), self.row_inv, axis=0)
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        parts = [jnp.sum(jnp.abs(v) ** p, axis=1) for v, _ in self.segs_t]
+        parts = [jnp.sum(abs_pow0(v, p), axis=1) for v, _ in self.segs_t]
         return jnp.take(jnp.concatenate(parts), self.col_inv, axis=0)
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
@@ -291,10 +301,10 @@ class DenseMatrix:
         return y @ self.a
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
-        return jnp.sum(jnp.abs(self.a) ** p, axis=1)
+        return jnp.sum(abs_pow0(self.a, p), axis=1)
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        return jnp.sum(jnp.abs(self.a) ** p, axis=0)
+        return jnp.sum(abs_pow0(self.a, p), axis=0)
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
         return (self.a * self.a) @ d
@@ -418,10 +428,10 @@ class DiaMatrix:
 
     def abs_power_rowsum(self, p: float) -> jax.Array:
         # vals are kernel-layout padded with zero rows/cols; slice back
-        return jnp.sum(jnp.abs(self._vals_f()) ** p, axis=0)[: self.nrows]
+        return jnp.sum(abs_pow0(self._vals_f(), p), axis=0)[: self.nrows]
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        return jnp.sum(jnp.abs(self._vals_t_f()) ** p, axis=0)[: self.ncols]
+        return jnp.sum(abs_pow0(self._vals_t_f(), p), axis=0)[: self.ncols]
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
         return self._apply(self._vals_f() ** 2, self.offsets, d, self.ncols,

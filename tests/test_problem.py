@@ -1,6 +1,7 @@
 """Tests for the device lowering (EllMatrix SpMV correctness)."""
 
 import numpy as np
+import pytest
 import scipy.sparse
 
 from pysparselp_tpu.problem import EllMatrix, lower_lp
@@ -108,3 +109,26 @@ def test_rcm_reduces_potts_padding():
     a, _ = _fold_one_sided(lp.a_inequalities.tocsr(), lp.b_lower, lp.b_upper)
     rows, cols = rcm_permutation(a)
     assert bsr_padded_entries(a[rows, :][:, cols]) < 0.7 * bsr_padded_entries(a)
+
+
+@pytest.mark.parametrize("prefer", ["ell", "dia", "dense", "bsr", "routed"])
+def test_abs_power_zero_counts_stored_entries_only(prefer):
+    """alpha in {0, 2} sends p=0 through abs_power_*: padded layout slots
+    must not count (0**0 == 0 in every backend), matching the reference's
+    scipy .power(p) over stored CSR entries (ChambollePockPPD.py:158-179)."""
+    import jax.numpy as jnp
+
+    from pysparselp_tpu import problem as pm
+
+    rng = np.random.RandomState(12)
+    a = scipy.sparse.random(60, 45, density=0.08, random_state=rng,
+                            format="csr")
+    a.data[:] = rng.randn(a.nnz)
+    a.eliminate_zeros()
+    op = pm.ell_from_scipy(a, dtype=jnp.float32, prefer=prefer)
+    row_nnz = np.diff(a.indptr).astype(np.float32)
+    col_nnz = np.diff(a.tocsc().indptr).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op.abs_power_rowsum(0.0)),
+                               row_nnz, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(op.abs_power_colsum(0.0)),
+                               col_nnz, rtol=1e-6, atol=1e-6)
