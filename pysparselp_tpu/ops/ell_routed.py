@@ -29,10 +29,14 @@ sparsity spills are rare — the expected free-lane count at a conflicted
 demand is ``128·e^{-2} ≈ 17``).
 
 The SpMV then runs as one ``pallas_call`` over ELL planes: the dense
-vector sits VMEM-resident while each plane streams three i32 index
-tiles and one value tile from HBM and issues three ``dynamic_gather``s
-plus a multiply-accumulate — ~16 bytes of HBM traffic per (padded)
-nonzero instead of the ~2000-byte effective cost of the XLA gather.
+vector sits VMEM-resident while each plane streams three narrow index
+tiles (int8 lane shuffles, int16 sublane rows) and one value tile
+(bf16 when exactly representable) from HBM and issues three
+``dynamic_gather``s plus a multiply-accumulate — 6–8 bytes of HBM
+traffic per (padded) nonzero instead of the ~2000-byte effective cost
+of the XLA gather.  Tables beyond the VMEM-resident limit tile into
+HBM with scalar-prefetched (src_tile, dst_tile) tags per plane (see
+``build_routes``).
 
 Reference context: the reference keeps every operator in scipy CSR and
 SpMV is ``scipy.sparse.csr_matrix @ vector`` (e.g. the CP-PPD hot loop,
@@ -475,10 +479,12 @@ def route_gather_reference(x, route):
 # ---------------------------------------------------------------------------
 
 # VMEM budget for the plane pipeline: 4 double-buffered (q, LANE) blocks
-# (a, b, c, v), the resident table and output, plus Mosaic stack
-# temporaries for the three gather stages
+# (a, c int8 lane indices, b int16 sublane indices, v up to f32 — the
+# narrow index dtypes halve plane traffic vs all-i32), the resident
+# table and output (f32), plus Mosaic stack temporaries for the three
+# gather stages (i32/f32 after the in-kernel widen)
 _ROUTED_VMEM_BUDGET = 10 * 1024 * 1024
-_BYTES_PER_Q_ROW = LANE * 4 * (4 * 2 + 2 + 3)
+_BYTES_PER_Q_ROW = LANE * (2 * (1 + 2 + 1 + 4) + 4 * (2 + 3))
 
 # test hook: force interpreter mode off-TPU (mirrors cp_windowed)
 _FORCE_INTERPRET = False
@@ -489,16 +495,17 @@ def routed_q_limit() -> int:
     return _ROUTED_VMEM_BUDGET // _BYTES_PER_Q_ROW
 
 
-# tiled-kernel VMEM per qt row: 4 double-buffered plane blocks (4*2), the
-# x tile double-buffered across src-tile changes (2), the resident output
-# tile (1), and Mosaic stack temporaries for the three gathers (3)
-_BYTES_PER_QT_ROW = LANE * 4 * (4 * 2 + 2 + 1 + 3)
+# tiled-kernel VMEM per qt row: double-buffered narrow plane blocks
+# (a/c int8, b int16, v), the x tile double-buffered across src-tile
+# changes, the resident output tile, and Mosaic gather temporaries
+_BYTES_PER_QT_ROW = LANE * (2 * (1 + 2 + 1 + 4) + 4 * (2 + 1 + 3))
 
 
 def _tiled_qt() -> int:
     """Tile sublane count for tables beyond the single-tile limit
-    (multiple of 8 so dynamic starts keep sublane-tile divisibility)."""
-    return (_ROUTED_VMEM_BUDGET // _BYTES_PER_QT_ROW) // 8 * 8
+    (multiple of 32 so the int8 plane blocks stay sublane-tile-aligned
+    and dynamic starts keep divisibility)."""
+    return (_ROUTED_VMEM_BUDGET // _BYTES_PER_QT_ROW) // 32 * 32
 
 
 def _dyn_gather(x, idx, axis):
@@ -545,6 +552,8 @@ def _routed_spmv_call(xt, a, b, c, v, q, n_planes, interpret=False):
     plane_spec = pl.BlockSpec((1, q, LANE),
                               lambda p: (i32(p), i32(0), i32(0)))
     fixed_spec = pl.BlockSpec((q, LANE), lambda p: (i32(0), i32(0)))
+    slot_bytes = (a.dtype.itemsize + b.dtype.itemsize + c.dtype.itemsize
+                  + v.dtype.itemsize)
     call = pl.pallas_call(
         _routed_kernel,
         grid=grid,
@@ -555,7 +564,8 @@ def _routed_spmv_call(xt, a, b, c, v, q, n_planes, interpret=False):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_planes * q * LANE,
-            bytes_accessed=n_planes * q * LANE * 16 + 2 * q * LANE * 4,
+            bytes_accessed=n_planes * q * LANE * slot_bytes
+            + 2 * q * LANE * 4,
             transcendentals=0,
         ),
     )
@@ -607,6 +617,8 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
         out_specs=pl.BlockSpec((1, qt, LANE),
                                lambda p, s, d, f: (d[p], i32(0), i32(0))),
     )
+    slot_bytes = (a.dtype.itemsize + b.dtype.itemsize + c.dtype.itemsize
+                  + v.dtype.itemsize)
     call = pl.pallas_call(
         _routed_tiled_kernel,
         grid_spec=grid_spec,
@@ -614,7 +626,7 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_planes * qt * LANE,
-            bytes_accessed=n_planes * qt * LANE * 16
+            bytes_accessed=n_planes * qt * LANE * slot_bytes
             + 2 * tiles * qt * LANE * 4,
             transcendentals=0,
         ),
@@ -774,12 +786,14 @@ class RoutedEllMatrix:
             """One plane -> (global out positions, global in positions,
             values); ``s_t``/``d_t`` offset tile-local coordinates."""
             so, lo = np.nonzero(V)
-            lam = C[so, lo]
-            sx = B[so, lam]
-            lx = A[sx, lam]
+            # the device planes store narrow dtypes (int8 lanes, int16
+            # sublanes): widen before any position arithmetic
+            lam = C[so, lo].astype(np.int64)
+            sx = B[so, lam].astype(np.int64)
+            lx = A[sx, lam].astype(np.int64)
             outp = (d_t * tq + so).astype(np.int64) * LANE + lo
-            inp = (s_t * tq + sx).astype(np.int64) * LANE + lx
-            return outp, inp, V[so, lo]
+            inp = (s_t * tq + sx) * LANE + lx
+            return outp, inp, np.asarray(V[so, lo], np.float64)
 
         def plane_iter(a, b, c, v, tags):
             ts = (np.asarray(tags).T if tags is not None
@@ -836,15 +850,31 @@ class RoutedEllMatrix:
         fwd = build_routes(csr, seed=seed, qt=qt)
         bwd = build_routes(csr.T.tocsr(), seed=seed, qt=qt)
 
+        # bf16-exact value storage (mirrors DiaMatrix.from_scipy): the
+        # value planes are pure streaming traffic, exact halving is free
+        if dtype == jnp.float32 and csr.nnz:
+            import ml_dtypes
+
+            d32 = csr.data.astype(np.float32)
+            if bool(np.all(d32.astype(ml_dtypes.bfloat16)
+                           .astype(np.float32) == d32)):
+                dtype = jnp.bfloat16
+
+        def narrow(route):
+            """Device dtypes: a/c hold lane indices (< 128, int8), b
+            holds table-local sublane indices (< qt <= 32k, int16)."""
+            return (jnp.asarray(route["a"], jnp.int8),
+                    jnp.asarray(route["b"], jnp.int16),
+                    jnp.asarray(route["c"], jnp.int8),
+                    jnp.asarray(route["v"], dtype))
+
         def chain_of(route):
             out, out_tiles = [], []
             coll = route.get("collect")
             while coll is not None:
                 tags = coll.get("tags")
-                out.append((jnp.asarray(coll["a"]), jnp.asarray(coll["b"]),
-                            jnp.asarray(coll["c"]),
-                            jnp.asarray(coll["v"], dtype),
-                            None if tags is None else jnp.asarray(tags)))
+                out.append(narrow(coll)
+                           + (None if tags is None else jnp.asarray(tags),))
                 out_tiles.append(coll.get("tiles", 1))
                 coll = coll.get("collect")
             return (tuple(out) or None), (tuple(out_tiles) or None)
@@ -852,11 +882,11 @@ class RoutedEllMatrix:
         coll_f, coll_f_tiles = chain_of(fwd)
         coll_b, coll_b_tiles = chain_of(bwd)
         ftags, btags = fwd.get("tags"), bwd.get("tags")
+        fa, fb, fc, fv = narrow(fwd)
+        ba, bb, bc, bv = narrow(bwd)
         return RoutedEllMatrix(
-            a=jnp.asarray(fwd["a"]), b=jnp.asarray(fwd["b"]),
-            c=jnp.asarray(fwd["c"]), v=jnp.asarray(fwd["v"], dtype),
-            at=jnp.asarray(bwd["a"]), bt=jnp.asarray(bwd["b"]),
-            ct=jnp.asarray(bwd["c"]), vt=jnp.asarray(bwd["v"], dtype),
+            a=fa, b=fb, c=fc, v=fv,
+            at=ba, bt=bb, ct=bc, vt=bv,
             tags=None if ftags is None else jnp.asarray(ftags),
             tags_t=None if btags is None else jnp.asarray(btags),
             coll=coll_f, coll_t=coll_b,

@@ -352,8 +352,8 @@ def test_tiled_auto_beyond_single_tile_limit():
     size), including empty destination tiles getting zeroing planes."""
     from pysparselp_tpu.ops.ell_routed import _tiled_qt, routed_q_limit
 
-    m, n = 250_000, 3_000  # q = 1954 > 1575 single-tile limit
-    a = _rand(m, n, 2e-5, seed=41)
+    m, n = (routed_q_limit() + 200) * LANE, 3_000
+    a = _rand(m, n, 6e-6, seed=41)
     route = build_routes(a)
     assert route.get("tags") is not None
     assert route["qt"] == _tiled_qt()
@@ -392,8 +392,10 @@ def test_tiled_cost_estimate_tracks_built_layout():
     from pysparselp_tpu.ops import ell_routed as er
     from pysparselp_tpu import problem as pr
 
-    m, n = 250_000, 3_000
-    a = _rand(m, n, 2e-5, seed=47)
+    from pysparselp_tpu.ops.ell_routed import routed_q_limit
+
+    m, n = (routed_q_limit() + 200) * LANE, 3_000
+    a = _rand(m, n, 6e-6, seed=47)
     est = er.routed_cost_estimate(a)
     op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32)
     cb = pr.operator_cost_bytes(op)
