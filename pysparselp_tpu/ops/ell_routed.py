@@ -913,13 +913,14 @@ def routed_ell_eligible(csr_shape, q=None, dtype=None) -> bool:
     return True
 
 
-# effective bytes per padded plane slot per SpMV direction pair: 16 B of
-# streamed index/value traffic plus the dynamic_gather compute priced at
-# the same equivalence rate.  PLACEHOLDER pending on-chip calibration
-# (/tmp/gather_probe.py): until then the backend never enters
-# auto-selection (ROUTED_ELL_ENABLED below), so the constant only sizes
-# dispatch caps for prefer="routed" runs — 64 is deliberately pessimistic
-# (4x the HBM traffic) so those dispatches stay short.
+# effective bytes per padded plane slot per SpMV direction pair: 6-8 B
+# of streamed index/value traffic (narrow planes) plus the
+# dynamic_gather compute priced at the same equivalence rate.
+# PLACEHOLDER pending on-chip calibration (/tmp/gather_probe.py): until
+# then the backend never enters auto-selection (ROUTED_ELL_ENABLED
+# below), so the constant only sizes dispatch caps for prefer="routed"
+# runs — 64 is deliberately pessimistic (~8x the HBM traffic) so those
+# dispatches stay short.
 ROUTED_ELL_BYTES_PER_SLOT = 64
 # auto-selection gate: flip after the on-chip probe calibrates the slot
 # cost; prefer="routed" works regardless
