@@ -18,6 +18,16 @@ network — it factors into lane → sublane → lane moves:
 *  stage B (sublane gather in lane λ):        ``tB[so, λ] = tA[sx, λ]``
 *  stage C (lane shuffle in the output row):  ``out[so, lo] = tB[so, λ]``
 
+Mosaic only lowers the sublane form when the source spans ONE vreg
+along sublanes (8 rows at f32 — probed on-chip: ``(8, 128)`` compiles,
+``(128, 128)`` raises "Multiple source vregs along gather dimension"),
+so stage B runs TRANSPOSED: tables are (128, 128) tiles, the kernel
+computes ``tBᵀ[λ, so] = gather_lanes(tAᵀ, Bᵀ)`` with the B index plane
+stored pre-transposed at build time, and ``(128, 128)`` transposes are
+native Mosaic ops.  The price is a 128-row tile geometry: every table
+is a stack of ``(128, LANE)`` tiles and cross-tile movement rides the
+plane DMA itself via per-plane ``(src_tile, dst_tile)`` tags.
+
 for a per-demand intermediate lane ``λ`` chosen at *lowering time* (the
 sparsity pattern is static) such that no two distinct elements claim the
 same A-slot ``(sx, λ)`` or B-slot ``(so, λ)``.  Demands for the same
@@ -28,15 +38,14 @@ place within 128 lanes spill to overflow planes (for uniform random
 sparsity spills are rare — the expected free-lane count at a conflicted
 demand is ``128·e^{-2} ≈ 17``).
 
-The SpMV then runs as one ``pallas_call`` over ELL planes: the dense
-vector sits VMEM-resident while each plane streams three narrow index
-tiles (int8 lane shuffles, int16 sublane rows) and one value tile
-(bf16 when exactly representable) from HBM and issues three
-``dynamic_gather``s plus a multiply-accumulate — 6–8 bytes of HBM
-traffic per (padded) nonzero instead of the ~2000-byte effective cost
-of the XLA gather.  Tables beyond the VMEM-resident limit tile into
-HBM with scalar-prefetched (src_tile, dst_tile) tags per plane (see
-``build_routes``).
+The SpMV then runs as one ``pallas_call`` over ELL planes: each plane
+streams three int8 index tiles and one value tile (bf16 when exactly
+representable) from HBM and issues three ``dynamic_gather``s, two
+``(128, 128)`` transposes and a multiply-accumulate — ~5 bytes of HBM
+traffic per (padded) slot instead of the ~2000-byte effective cost of
+the XLA gather.  Tables beyond one 128-row tile live in HBM as
+``(tiles, 128, LANE)`` stacks with scalar-prefetched
+(src_tile, dst_tile) tags per plane (see ``build_routes``).
 
 Reference context: the reference keeps every operator in scipy CSR and
 SpMV is ``scipy.sparse.csr_matrix @ vector`` (e.g. the CP-PPD hot loop,
@@ -131,12 +140,15 @@ def _route_plane(so, lo, sx, lx, vals, q, rng):
 
     placed = np.nonzero(~spilled)[0]
     a = np.zeros((q, LANE), np.int32)
-    b = np.zeros((q, LANE), np.int32)
+    # b is emitted TRANSPOSED — (LANE, q), b[λ, so] = sx — because the
+    # kernel's middle stage is a lane gather over tAᵀ (see module
+    # docstring: multi-vreg sublane gathers do not lower on Mosaic)
+    b = np.zeros((LANE, q), np.int32)
     c = np.zeros((q, LANE), np.int32)
     v = np.zeros((q, LANE), np.float64)
     pl_, pso, plo = lam[placed], so[placed], lo[placed]
     a[sx[placed], pl_] = lx[placed]
-    b[pso, pl_] = sx[placed]
+    b[pl_, pso] = sx[placed]
     c[pso, plo] = pl_
     v[pso, plo] = vals[placed]
     return a, b, c, v, spilled
@@ -313,6 +325,11 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     csr.sum_duplicates()
     m, n = csr.shape
     q = max(-(-m // LANE), -(-n // LANE), 1)
+    if qt_arg is None and q < routed_q_limit():
+        # pad single-tile tables to a full (128, LANE) tile: the middle
+        # stage transposes the whole tile, and Mosaic transposes want
+        # native 128x128 geometry
+        q = routed_q_limit()
     rng = np.random.RandomState(seed)
 
     cnt = np.diff(csr.indptr)
@@ -320,7 +337,8 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     if nnz == 0:
         if qt_arg is None and q <= routed_q_limit():
             z = np.zeros((1, q, LANE), np.int32)
-            return {"a": z, "b": z.copy(), "c": z.copy(),
+            return {"a": z, "b": np.zeros((1, LANE, q), np.int32),
+                    "c": z.copy(),
                     "v": np.zeros((1, q, LANE), np.float64), "q": q,
                     "shape": (m, n), "n_planes": 1, "spill_planes": 0,
                     "collect": None}
@@ -330,7 +348,8 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
         tags = np.stack([np.zeros(tiles_n, np.int32),
                          np.arange(tiles_n, dtype=np.int32),
                          np.ones(tiles_n, np.int32)])
-        return {"a": z, "b": z.copy(), "c": z.copy(),
+        return {"a": z, "b": np.zeros((tiles_n, LANE, qt), np.int32),
+                "c": z.copy(),
                 "v": np.zeros((tiles_n, qt, LANE), np.float64),
                 "q": tiles_n * qt, "qt": qt, "tiles": tiles_n,
                 "tags": tags, "shape": (m, n), "n_planes": tiles_n,
@@ -421,8 +440,10 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     # kernel initializes an output tile on its first visit, and every
     # tile of the padded table is returned to the caller
     covered = {d for d, _, _ in tagged}
-    zplane = (np.zeros((qt, LANE), np.int32),) * 3 + (
-        np.zeros((qt, LANE), np.float64),)
+    zplane = (np.zeros((qt, LANE), np.int32),
+              np.zeros((LANE, qt), np.int32),
+              np.zeros((qt, LANE), np.int32),
+              np.zeros((qt, LANE), np.float64))
     tagged.extend((d, 0, zplane) for d in range(tiles_n)
                   if d not in covered)
     tagged.sort(key=lambda t: (t[0], t[1]))  # dst-major: one output run
@@ -452,7 +473,7 @@ def route_gather_reference(x, route):
         for a, b, c, v in zip(route["a"], route["b"], route["c"],
                               route["v"]):
             ta = np.take_along_axis(xt, a, axis=1)
-            tb = np.take_along_axis(ta, b, axis=0)
+            tb = np.take_along_axis(ta.T, b, axis=1).T
             g = np.take_along_axis(tb, c, axis=1)
             acc += v * g
     else:
@@ -462,7 +483,7 @@ def route_gather_reference(x, route):
         for a, b, c, v, (s_t, d_t, _) in zip(
                 route["a"], route["b"], route["c"], route["v"], tags.T):
             ta = np.take_along_axis(xt[s_t], a, axis=1)
-            tb = np.take_along_axis(ta, b, axis=0)
+            tb = np.take_along_axis(ta.T, b, axis=1).T
             g = np.take_along_axis(tb, c, axis=1)
             acc[d_t] += v * g
     if route.get("collect") is not None:
@@ -534,8 +555,10 @@ def _routed_kernel(x_ref, a_ref, b_ref, c_ref, v_ref, o_ref):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
+    # middle stage transposed: lane gather over tAᵀ with the
+    # pre-transposed B plane (multi-vreg sublane gathers do not lower)
     ta = _dyn_gather(x_ref[...], a_ref[0], axis=1)
-    tb = _dyn_gather(ta, b_ref[0], axis=0)
+    tb = _dyn_gather(ta.T, b_ref[0], axis=1).T
     g = _dyn_gather(tb, c_ref[0], axis=1)
     # value planes may be stored bf16; accumulate at table precision
     # (mirrors DiaMatrix._vals_f: bf16 is a storage format, not a
@@ -551,13 +574,16 @@ def _routed_spmv_call(xt, a, b, c, v, q, n_planes, interpret=False):
     grid = (n_planes,)
     plane_spec = pl.BlockSpec((1, q, LANE),
                               lambda p: (i32(p), i32(0), i32(0)))
+    # the B plane is stored transposed (LANE, q)
+    plane_spec_t = pl.BlockSpec((1, LANE, q),
+                                lambda p: (i32(p), i32(0), i32(0)))
     fixed_spec = pl.BlockSpec((q, LANE), lambda p: (i32(0), i32(0)))
     slot_bytes = (a.dtype.itemsize + b.dtype.itemsize + c.dtype.itemsize
                   + v.dtype.itemsize)
     call = pl.pallas_call(
         _routed_kernel,
         grid=grid,
-        in_specs=[fixed_spec, plane_spec, plane_spec, plane_spec,
+        in_specs=[fixed_spec, plane_spec, plane_spec_t, plane_spec,
                   plane_spec],
         out_specs=fixed_spec,
         out_shape=jax.ShapeDtypeStruct((q, LANE), xt.dtype),
@@ -586,7 +612,7 @@ def _routed_tiled_kernel(s_ref, d_ref, f_ref, x_ref, a_ref, b_ref, c_ref,
         o_ref[...] = jnp.zeros_like(o_ref)
 
     ta = _dyn_gather(x_ref[0], a_ref[0], axis=1)
-    tb = _dyn_gather(ta, b_ref[0], axis=0)
+    tb = _dyn_gather(ta.T, b_ref[0], axis=1).T
     g = _dyn_gather(tb, c_ref[0], axis=1)
     o_ref[...] += (v_ref[0].astype(o_ref.dtype) * g)[None]
 
@@ -606,13 +632,15 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
     i32 = jnp.int32
     plane_spec = pl.BlockSpec(
         (1, qt, LANE), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
+    plane_spec_t = pl.BlockSpec(
+        (1, LANE, qt), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_planes,),
         in_specs=[
             pl.BlockSpec((1, qt, LANE),
                          lambda p, s, d, f: (s[p], i32(0), i32(0))),
-            plane_spec, plane_spec, plane_spec, plane_spec,
+            plane_spec, plane_spec_t, plane_spec, plane_spec,
         ],
         out_specs=pl.BlockSpec((1, qt, LANE),
                                lambda p, s, d, f: (d[p], i32(0), i32(0))),
