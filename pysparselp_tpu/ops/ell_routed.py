@@ -499,34 +499,35 @@ def route_gather_reference(x, route):
 # device kernel
 # ---------------------------------------------------------------------------
 
-# VMEM budget for the plane pipeline: 4 double-buffered (q, LANE) blocks
-# (a, c int8 lane indices, b int16 sublane indices, v up to f32 — the
-# narrow index dtypes halve plane traffic vs all-i32), the resident
-# table and output (f32), plus Mosaic stack temporaries for the three
-# gather stages (i32/f32 after the in-kernel widen)
-_ROUTED_VMEM_BUDGET = 10 * 1024 * 1024
-_BYTES_PER_Q_ROW = LANE * (2 * (1 + 2 + 1 + 4) + 4 * (2 + 3))
+# Hard Mosaic geometry constraint (measured on chip, 2026-08-19): the
+# middle stage gathers along the table-row axis of the transposed tile
+# ``(LANE, q)``, and ``tpu.dynamic_gather`` requires the gathered
+# dimension to fit a SINGLE vreg — 128 lanes.  Any q > 128 fails
+# apply-vector-layout with "Not implemented: Multiple source vregs along
+# gather dimension" (an error the chip-free ``.lower()`` regression does
+# NOT catch — it stops before the Mosaic backend passes).  Tables are
+# therefore built from native 128x128 tiles: a single-tile table is one
+# (128, LANE) tile, and everything larger runs the tiled kernel with
+# qt = 128.  VMEM is nowhere near binding at this geometry (~160 KB per
+# double-buffered plane step).
+_ROUTED_TILE_Q = LANE
 
 # test hook: force interpreter mode off-TPU (mirrors cp_windowed)
 _FORCE_INTERPRET = False
 
 
 def routed_q_limit() -> int:
-    """Largest table sublane count q the plane pipeline can hold."""
-    return _ROUTED_VMEM_BUDGET // _BYTES_PER_Q_ROW
-
-
-# tiled-kernel VMEM per qt row: double-buffered narrow plane blocks
-# (a/c int8, b int16, v), the x tile double-buffered across src-tile
-# changes, the resident output tile, and Mosaic gather temporaries
-_BYTES_PER_QT_ROW = LANE * (2 * (1 + 2 + 1 + 4) + 4 * (2 + 1 + 3))
+    """Largest table sublane count q of a single-tile (VMEM-resident)
+    table: one native 128x128 tile — the Mosaic dynamic_gather single
+    vreg bound, see ``_ROUTED_TILE_Q``."""
+    return _ROUTED_TILE_Q
 
 
 def _tiled_qt() -> int:
-    """Tile sublane count for tables beyond the single-tile limit
-    (multiple of 32 so the int8 plane blocks stay sublane-tile-aligned
-    and dynamic starts keep divisibility)."""
-    return (_ROUTED_VMEM_BUDGET // _BYTES_PER_QT_ROW) // 32 * 32
+    """Tile sublane count for tables beyond the single-tile limit: the
+    same 128-row Mosaic gather bound (also a multiple of 32, so the int8
+    plane blocks stay sublane-tile-aligned)."""
+    return _ROUTED_TILE_Q
 
 
 def _dyn_gather(x, idx, axis):
@@ -815,9 +816,10 @@ class RoutedEllMatrix:
             values); ``s_t``/``d_t`` offset tile-local coordinates."""
             so, lo = np.nonzero(V)
             # the device planes store narrow dtypes (int8 lanes, int16
-            # sublanes): widen before any position arithmetic
+            # sublanes): widen before any position arithmetic.  B is
+            # stored pre-transposed (LANE, q): b[λ, so] = sx.
             lam = C[so, lo].astype(np.int64)
-            sx = B[so, lam].astype(np.int64)
+            sx = B[lam, so].astype(np.int64)
             lx = A[sx, lam].astype(np.int64)
             outp = (d_t * tq + so).astype(np.int64) * LANE + lo
             inp = (s_t * tq + sx) * LANE + lx
@@ -1008,6 +1010,9 @@ def routed_cost_estimate(csr) -> int:
         rows_fwd = _tiled_orientation_cost_rows(rows, cols, q, qt)
         rows_bwd = _tiled_orientation_cost_rows(cols, rows, q, qt)
     else:
+        # the builder pads single-tile tables to one full 128-row tile
+        # (native Mosaic transpose geometry) — price the padded planes
+        q = routed_q_limit()
         cnt = np.diff(csr.indptr)
         ccnt = (np.bincount(csr.indices, minlength=n) if csr.nnz
                 else np.zeros(1, np.int64))

@@ -266,7 +266,7 @@ def test_route_plane_slots_consistent():
         A, B, C, V = (route[k][p] for k in ("a", "b", "c", "v"))
         so, lo = np.nonzero(V)
         lam = C[so, lo]
-        sx = B[so, lam]
+        sx = B[lam, so]  # B is stored pre-transposed: b[λ, so] = sx
         lx = A[sx, lam]
         cols = sx * LANE + lx
         rows = so * LANE + lo
