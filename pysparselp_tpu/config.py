@@ -84,6 +84,7 @@ class AdmmConfig(SolverConfig):
     inner: str = "jacobi"               # "jacobi" | "gauss_seidel" (native)
     stop_tol: float | None = None
     mesh: typing.Any = None
+    light_metrics: bool = False         # checkpoint cost: 1 device fetch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +100,7 @@ class Admm2Config(SolverConfig):
     adaptive_rho: bool = False
     stop_tol: float | None = None
     mesh: typing.Any = None
+    light_metrics: bool = False         # checkpoint cost: 1 device fetch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +115,7 @@ class AdmmBlocksConfig(SolverConfig):
     use_lu: bool = True
     stop_tol: float | None = None
     mesh: typing.Any = None
+    light_metrics: bool = False         # checkpoint cost: 1 device fetch
 
 
 @dataclasses.dataclass(frozen=True)

@@ -710,7 +710,8 @@ class SparseLP:
           multi-chip implementations;
         * ``inner="gauss_seidel"`` — the native sequential host mode for
           ``admm``;
-        * ``light_metrics=True`` (``chambolle_pock_ppd`` only) — each
+        * ``light_metrics=True`` (``chambolle_pock_ppd`` and the ADMM
+          family: ``admm``/``admm2``/``admm_blocks``) — each
           checkpoint costs exactly ONE device fetch: the per-checkpoint
           host-side violation recompute and solution transfer are skipped,
           and ``max_violated_constraint`` records the device-computed

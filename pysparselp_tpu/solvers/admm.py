@@ -114,6 +114,7 @@ def lp_admm(
     inner="jacobi",
     stop_tol=None,
     mesh=None,
+    light_metrics=False,
 ):
     """Penalized-equality ADMM; signature parity with ``ADMM.py:47``.
 
@@ -154,7 +155,7 @@ def lp_admm(
         return _lp_admm_host_gs(
             c2, a, b, lb2, ub2, x02, n, gamma_eq, gamma_ineq, nb_iter,
             nb_iter_plot, nb_inner, callback_func, start_time, max_time,
-            stop_tol,
+            stop_tol, light_metrics,
         )
 
     a = scipy.sparse.csr_matrix(a)
@@ -230,6 +231,7 @@ def lp_admm(
             callback_func, niter, get_x(state)[:n],
             metrics["energy1"], metrics["energy1"], lambda: loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
+            light=light_metrics,
         )
         if loop.timed_out or tstop.check(
             metrics["energy1"], metrics["max_violated_equality"],
@@ -241,7 +243,7 @@ def lp_admm(
 
 def _lp_admm_host_gs(c, a, b, lb, ub, x0, n, gamma_eq, gamma_ineq, nb_iter,
                      nb_iter_plot, nb_inner, callback_func, start_time,
-                     max_time, stop_tol=None):
+                     max_time, stop_tol=None, light_metrics=False):
     """Host-mode ADMM iterate with the native bounded Gauss-Seidel inner
     solve — the sequential twin of the reference's default path
     (``ADMM.py:143-268`` with ``gaussSiedel.pyx:95`` inside)."""
@@ -274,6 +276,7 @@ def _lp_admm_host_gs(c, a, b, lb, ub, x0, n, gamma_eq, gamma_ineq, nb_iter,
                 float(np.abs(r).max(initial=0.0)),
                 float(max(np.max(lb - x, initial=0.0),
                           np.max(x - ub, initial=0.0))),
+                light=light_metrics,
             )
             if loop.timed_out or tstop.check(
                 energy, np.abs(r).max(initial=0.0),
@@ -370,6 +373,7 @@ def lp_admm2(
     stop_tol=None,
     adaptive_rho=False,
     mesh=None,
+    light_metrics=False,
 ):
     """ADMM with exact equality subproblem; signature parity with ``ADMM.py:272``.
 
@@ -489,6 +493,7 @@ def lp_admm2(
             callback_func, niter, get_x(state)[:n],
             metrics["energy1"], metrics["energy1"], lambda: loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
+            light=light_metrics,
         )
         if loop.timed_out or tstop.check(
             metrics["energy1"], metrics["max_violated_equality"],

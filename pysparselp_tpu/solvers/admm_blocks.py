@@ -259,6 +259,7 @@ def lp_admm_block_decomposition(
     start_time=None,
     mesh=None,
     stop_tol=None,
+    light_metrics=False,
 ):
     """Consensus ADMM over the model's block structure; signature parity with
     ``ADMMBlocks.py:45``.  Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to
@@ -347,6 +348,7 @@ def lp_admm_block_decomposition(
             callback_func, niter, state[2][:n0],
             metrics["energy1"], metrics["energy1"], lambda: loop.elapsed,
             metrics["max_violated_equality"], metrics["max_violated_inequality"],
+            light=light_metrics,
         )
         if loop.timed_out or tstop.check(
             metrics["energy1"], metrics["max_violated_equality"],

@@ -67,10 +67,55 @@ def test_light_metrics_ground_truth_distance_unpermuted():
     assert len(d) == 2 and d[-1] < 0.05, d
 
 
-def test_light_metrics_rejected_for_other_solvers():
+@pytest.mark.parametrize("method", ["admm", "admm2", "admm_blocks"])
+def test_light_metrics_admm_family_matches_default(method):
+    """The one-fetch checkpoint contract extends to the ADMM family: the
+    device loops are identical, only the per-checkpoint host traffic
+    differs, so the recorded curves must match the default path."""
+    kwargs = dict(method=method, nb_iter=60, nb_iter_plot=20,
+                  dtype=np.float64)
+    lp = _make_lp(seed=7)
+    sol_d, _ = lp.solve(**kwargs)
+    default = _curves(lp)
+    sol_l, _ = lp.solve(light_metrics=True, **kwargs)
+    light = _curves(lp)
+
+    np.testing.assert_allclose(sol_l, sol_d, atol=1e-12)
+    assert light["itrn_curve"] == default["itrn_curve"]
+    for k in ("pobj_curve", "dobj_curve", "max_violated_equality",
+              "max_violated_inequality"):
+        assert all(isinstance(v, float) for v in light[k]), k
+        np.testing.assert_allclose(light[k], default[k], rtol=1e-9,
+                                   atol=1e-12, err_msg=k)
+
+
+@pytest.mark.parametrize("method", ["admm", "admm2"])
+def test_light_metrics_admm_family_mesh(method):
+    """light_metrics composes with mesh= for the sharded ADMM paths."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("r",))
+    kwargs = dict(method=method, nb_iter=40, nb_iter_plot=20,
+                  dtype=np.float64)
+    lp = _make_lp(seed=9)
+    sol_d, _ = lp.solve(mesh=mesh, **kwargs)
+    default = _curves(lp)
+    sol_l, _ = lp.solve(mesh=mesh, light_metrics=True, **kwargs)
+    light = _curves(lp)
+
+    np.testing.assert_allclose(sol_l, sol_d, atol=1e-12)
+    assert light["itrn_curve"] == default["itrn_curve"]
+    for k in ("pobj_curve", "max_violated_equality",
+              "max_violated_inequality"):
+        np.testing.assert_allclose(light[k], default[k], rtol=1e-9,
+                                   atol=1e-12, err_msg=k)
+
+
+def test_light_metrics_rejected_for_unsupported_solvers():
     lp = _make_lp()
     with pytest.raises(TypeError):
-        lp.solve(method="admm", nb_iter=10, light_metrics=True)
+        lp.solve(method="mehrotra", nb_iter=10, light_metrics=True)
 
 
 def test_dispatch_back_wrapper_preserves_wants_solution():
