@@ -946,7 +946,8 @@ def routed_ell_eligible(csr_shape, q=None, dtype=None) -> bool:
 # effective bytes per padded plane slot per SpMV direction pair: 6-8 B
 # of streamed index/value traffic (narrow planes) plus the
 # dynamic_gather compute priced at the same equivalence rate.
-# PLACEHOLDER pending on-chip calibration (/tmp/gather_probe.py): until
+# PLACEHOLDER pending on-chip calibration (scripts_routed_probe.py at
+# the repo root derives it from measured matvec+rmatvec pairs): until
 # then the backend never enters auto-selection (ROUTED_ELL_ENABLED
 # below), so the constant only sizes dispatch caps for prefer="routed"
 # runs — 64 is deliberately pessimistic (~8x the HBM traffic) so those

@@ -7,7 +7,13 @@ pick, and derives the effective bytes-per-padded-slot constant
 (``ops/ell_routed.ROUTED_ELL_BYTES_PER_SLOT``).
 
 Run ON the real chip, one process at a time:
-    PYTHONPATH=/root/repo:/root/.axon_site python scripts_routed_probe.py [ITERS]
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts_routed_probe.py \
+        [ITERS] [routed|fallback|both]
+
+The second arg selects which backend(s) to time (default ``both``) —
+operationally important on the tunneled chip: timing one backend per
+process keeps each dispatch chain short (long dispatches can kill the
+tunneled worker) and isolates a crash to the backend that caused it.
 """
 import json
 import sys
