@@ -556,6 +556,94 @@ def measure_kmedians_scale(nb_iter=3_000):
     return rate, runs, roof
 
 
+def _transport_lp(n_sources=50_000, n_sinks=50_000, n_arcs=1_000_000,
+                  seed=11):
+    """Sparse bipartite transportation LP: the eq-carrying analog of
+    ``_unstructured_matrix``.  Ship ``x_a >= 0`` along ``n_arcs``
+    uniformly random arcs ``(i, j)``; flow conservation at every source
+    and sink is an EQUALITY row (the slack-form / netlib shape the
+    reference converts generic LPs into —
+    /root/reference/pysparselp/SparseLP.py:676-817 feeding
+    ChambollePockPPD.py:199-217).  Column degree is exactly 2 (one
+    source row, one sink row); row positions are unstructured, so no
+    diagonal/band layout applies.  Supplies/demands come from a random
+    feasible flow so the LP is feasible and bounded by construction."""
+    import scipy.sparse
+
+    from pysparselp_tpu import SparseLP
+
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n_sources, n_arcs)
+    dst = rng.randint(0, n_sinks, n_arcs)
+    rows = np.concatenate([src, n_sources + dst])
+    cols = np.concatenate([np.arange(n_arcs), np.arange(n_arcs)])
+    a = scipy.sparse.csr_matrix(
+        (np.ones(2 * n_arcs), (rows, cols)),
+        shape=(n_sources + n_sinks, n_arcs))
+    x0 = rng.rand(n_arcs)
+    b = np.asarray(a @ x0)
+    c = rng.rand(n_arcs)
+    lp = SparseLP()
+    lp.add_variables_array(n_arcs, lower_bounds=0, upper_bounds=2,
+                           costs=c)
+    lp.add_equality_constraints_sparse(a, b)
+    # one never-binding inequality row: the reference's CP-PPD crashes
+    # on equality-ONLY systems (ChambollePockPPD.py:283 evaluates
+    # ``a_ineq * x_rounded`` unconditionally in the niter%nb_iter_plot
+    # block, which fires at niter=0), so the reference-CPU baseline
+    # could not be measured on a pure-equality LP.  Both sides price the
+    # identical system; the extra row is a single 2-nnz constraint.
+    lp.add_inequality_constraints(
+        np.array([[0, 1]]), np.array([[1.0, 1.0]]), lower_bounds=None,
+        upper_bounds=np.array([4.0]))
+    return lp
+
+
+# Reference CP-PPD on the transport workload above (100k equality rows x
+# 1M arc variables, 2.0M nnz), measured 2026-08-19 on THIS host CPU
+# through the reference's own API (py3.12 shims, metrics disabled, warm,
+# wall-clock delta between nb_max_iter 200 and 800; higher of the runs
+# [29.26, 30.46] kept so the published speedup is conservative — see
+# scripts_ref_remeasure.py).
+REF_TRANSPORT_ITERS_PER_SEC = 30.5
+
+
+def measure_transport(nb_iter=3_000):
+    """>=2M-nnz equality-carrying workload with NO grid structure: the
+    bipartite transport LP.  Complements ``measure_unstructured`` (pure
+    inequalities) and ``measure_potts_multilabel`` (eq+ineq but
+    DIA-aligned): this is the slack-form/netlib shape at scale — the
+    chooser lowers the unstructured equality system (routed / segmented
+    ELL / col-split) and the roofline entry records what actually
+    served it."""
+    import jax.numpy as jnp
+
+    from pysparselp_tpu import problem as pr
+
+    lp = _transport_lp()
+    kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                  nb_iter_plot=nb_iter // 2, dtype=np.float32)
+    rate, runs = _median_rate(lp, kwargs)
+
+    ae = lp.a_equalities.tocsr()
+    op = pr.ell_from_scipy(ae, dtype=jnp.float32)
+    m, n = ae.shape
+    # the single never-binding ineq row (see _transport_lp) lowers dense
+    # and streams ~n floats/iteration — included in the model
+    bytes_iter = pr.operator_cost_bytes(op) + 11 * 4 * (m + n) + 2 * 4 * n
+    model_s = bytes_iter / (HBM_FLOOR_GBS * 1e9)
+    roof = {
+        "nnz": int(ae.nnz), "shape": list(ae.shape),
+        "backend": type(op).__name__,
+        "measured_iter_us": round(1e6 / rate, 2),
+        "stream_bytes_per_iter": int(bytes_iter),
+        "hbm_floor_model_us": round(model_s * 1e6, 2),
+        "achieved_gbs": round(bytes_iter * rate / 1e9, 1),
+        "frac_of_hbm_roofline": round(model_s * rate, 3),
+    }
+    return rate, runs, roof
+
+
 # Reference CP-PPD on the batch-serving template (512 vars, 64 eq + 384
 # ineq rows, sparsity 0.02, seed 17), measured 2026-08-18 on THIS host CPU
 # through the reference's own API (py3.12 shims, warm, nb_iter_plot=10k so
@@ -608,6 +696,67 @@ def measure_batch_serving(bsz=64, nbvar=512, nb_iter=20_000):
         "ref_cpu_problem_iters_per_sec": REF_BATCH_ITERS_PER_SEC,
         "speedup_vs_ref_serving": round(rate * bsz
                                         / REF_BATCH_ITERS_PER_SEC, 1),
+    }
+
+
+def _banded_lp(n=150_000, offsets=(0, 1, 2, 64), seed=7):
+    """Banded inequality LP at realistic scale: ``n`` variables, ``n``
+    rows with ``len(offsets)`` diagonals (random values).  The batched
+    solver's ``_lower_xla`` routes this far-beyond-dense system to the
+    shift-loop ``XlaDiaMatrix`` — the vmappable banded path.  Feasible
+    by construction (rhs from an interior point)."""
+    import scipy.sparse
+
+    from pysparselp_tpu import SparseLP
+
+    rng = np.random.RandomState(seed)
+    diags = [rng.rand(n - abs(o)) + 0.5 for o in offsets]
+    a = scipy.sparse.diags(diags, offsets, shape=(n, n)).tocsr()
+    x0 = rng.rand(n)
+    b = np.asarray(a @ x0) + 0.5
+    lp = SparseLP()
+    lp.add_variables_array(n, lower_bounds=0, upper_bounds=1,
+                           costs=rng.rand(n) - 0.3)
+    lp.add_inequality_constraints_sparse(a, None, b)
+    return lp
+
+
+def measure_batch_serving_dia(bsz=16, n=150_000, nb_iter=2_000):
+    """Realistic-scale batched serving: ``bsz`` cost variants of a
+    150k-row banded system solved in one vmapped loop on the
+    ``XlaDiaMatrix`` (shift-loop) path vs sequential single solves of
+    the same template (which ride the Pallas DIA kernels) — the
+    round-4 point only exercised the dense 512-var toy."""
+    from pysparselp_tpu import solve_cp_batch
+
+    lp = _banded_lp(n=n)
+    rng = np.random.RandomState(0)
+    C = lp.costsvector[None, :] + 0.1 * rng.randn(bsz, lp.nb_variables)
+
+    kwargs = dict(costs=C, nb_iter=nb_iter, nb_iter_plot=nb_iter,
+                  dtype=np.float32)
+    _, info = solve_cp_batch(lp, **kwargs)          # warmup/compile
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve_cp_batch(lp, **kwargs)
+        rates.append(nb_iter / (time.perf_counter() - t0))
+    rates.sort()
+    rate = rates[1]
+
+    single_kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                         nb_iter_plot=nb_iter // 2, dtype=np.float32)
+    single_rate, single_runs = _median_rate(lp, single_kwargs)
+    return {
+        "batch_size": bsz,
+        "problem_rows": n,
+        "backend": info["backend"]["ineq"],
+        "batch_iters_per_sec": round(rate, 1),
+        "batch_iters_per_sec_runs": [round(r, 1) for r in rates],
+        "problem_iters_per_sec": round(rate * bsz, 1),
+        "single_iters_per_sec": round(single_rate, 1),
+        "single_iters_per_sec_runs": single_runs,
+        "batching_efficiency_x": round(rate * bsz / single_rate, 2),
     }
 
 
@@ -767,6 +916,22 @@ def main():
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["kmedians_error"] = repr(e)
     try:
+        rate, runs, roof = measure_transport()
+        details.update({
+            "transport_iters_per_sec": round(rate, 1),
+            "transport_iters_per_sec_runs": runs,
+            "transport_roofline": roof,
+        })
+        if REF_TRANSPORT_ITERS_PER_SEC:
+            details.update({
+                "transport_ref_cpu_iters_per_sec":
+                    REF_TRANSPORT_ITERS_PER_SEC,
+                "transport_speedup": round(
+                    rate / REF_TRANSPORT_ITERS_PER_SEC, 1),
+            })
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["transport_error"] = repr(e)
+    try:
         details["sharded_overhead_potts300"] = measure_sharded_overhead()
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["sharded_overhead_error"] = repr(e)
@@ -774,6 +939,10 @@ def main():
         details["batch_serving"] = measure_batch_serving()
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["batch_serving_error"] = repr(e)
+    try:
+        details["batch_serving_dia"] = measure_batch_serving_dia()
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["batch_serving_dia_error"] = repr(e)
     details.update({
         "reference_remeasure": (
             "sys.path.insert(0,'/root/reference'); "
