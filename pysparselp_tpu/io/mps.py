@@ -1,9 +1,13 @@
 """MPS problem reader / writer and perPlex certified-solution reader.
 
 Capability parity with the reference's ``pysparselp/MPSparser.py:10-271``
-(fixed-column MPS: ROWS N/L/G/E, COLUMNS, RHS, BOUNDS UP/LO/FR/FX/MI/PL;
-integer bounds unsupported) and ``save_mps``.  RANGES is supported *beyond*
-the reference (which raises at ``MPSparser.py:70-72``): an L row with rhs
+(fixed-column MPS: ROWS N/L/G/E, COLUMNS, RHS, BOUNDS UP/LO/FR/FX/MI/PL)
+and ``save_mps``.  Two extensions go *beyond* the reference: RANGES
+(reference raises at ``MPSparser.py:70-72``) and integer declarations —
+BOUNDS BV/LI/UI and COLUMNS INTORG/INTEND markers (reference raises at
+``MPSparser.py:173-175``), whose integrality mask feeds
+``SparseLP.is_integer`` and the ``integer/`` rounding + propagation
+machinery.  RANGES semantics: an L row with rhs
 ``b`` and range ``R`` becomes ``b-|R| <= ax <= b``, a G row ``b <= ax <=
 b+|R|``, and an E row becomes a two-sided inequality ``[b, b+R]`` (R>0) or
 ``[b+R, b]`` (R<0); zero-range E rows stay equalities.  This matches the
@@ -49,6 +53,7 @@ def mps_parser(f, fsol=None):
     ranges = {}
     problem_name = costname = None
     section = None
+    in_integer_block = False
 
     for raw in f:
         line = raw.rstrip("\n")
@@ -89,12 +94,24 @@ def mps_parser(f, fsol=None):
                 nb_eq += 1
 
         elif section == "COLUMNS":
+            if "'MARKER'" in line:
+                # INTORG/INTEND markers bracket integer columns (the
+                # standard MIP declaration; the reference's parser has no
+                # integer support at all, MPSparser.py:173-175)
+                if "'INTORG'" in line:
+                    in_integer_block = True
+                elif "'INTEND'" in line:
+                    in_integer_block = False
+                else:
+                    raise ValueError(f"unknown MARKER line: {line!r}")
+                continue
             vname = t[1]
             if vname in variables:
                 var = variables[vname]
             else:
                 # default MPS bounds: x >= 0, no upper bound
-                var = {"id": nb_var, "UP": np.inf, "LO": 0.0, "cost": 0.0}
+                var = {"id": nb_var, "UP": np.inf, "LO": 0.0, "cost": 0.0,
+                       "INT": in_integer_block}
                 variables[vname] = var
                 v_id_to_var[nb_var] = var
                 nb_var += 1
@@ -152,8 +169,16 @@ def mps_parser(f, fsol=None):
                 var["LO"] = -np.inf
             elif btype == "PL":
                 var["UP"] = np.inf
-            elif btype in ("BV", "LI", "UI"):
-                raise NotImplementedError("integer MPS bounds are not supported")
+            # integer bound types (BEYOND the reference, which raises at
+            # MPSparser.py:173-175): the integrality flag feeds
+            # SparseLP.is_integer -> force_integer solves and the
+            # integer/{rounding,propagation} machinery
+            elif btype == "BV":
+                var["UP"], var["LO"], var["INT"] = 1.0, 0.0, True
+            elif btype == "LI":
+                var["LO"], var["INT"] = float(t[3]), True
+            elif btype == "UI":
+                var["UP"], var["INT"] = float(t[3]), True
 
     if ranges:
         # L/G rows just tighten the open side of the existing two-sided row;
@@ -205,6 +230,8 @@ def mps_parser(f, fsol=None):
         "cost_vector": cost_vector,
         "upper_bounds": upper_bounds,
         "lower_bounds": lower_bounds,
+        "is_integer": np.array([bool(v_id_to_var[i].get("INT", False))
+                                for i in range(nb_var)]),
         "a_eq": coo(a_eq_list, nb_eq),
         "b_eq": np.array([b_eq[i] for i in range(nb_eq)]),
         "a_ineq": coo(a_ineq_list, nb_ineq),
@@ -219,6 +246,26 @@ def mps_parser(f, fsol=None):
         result["solution"] = parse_perplex_solution(fsol, variables, nb_var,
                                                     v_id_to_var)
     return result
+
+
+def to_sparse_lp(d):
+    """Build a :class:`~pysparselp_tpu.SparseLP` from a ``mps_parser``
+    dict — bounds, costs, both constraint systems, and the integrality
+    mask (so ``lp.solve(force_integer=True)`` and the
+    ``integer``-package tools apply directly)."""
+    from ..modeling import SparseLP
+
+    lp = SparseLP()
+    lp.add_variables_array(
+        d["cost_vector"].size, lower_bounds=d["lower_bounds"],
+        upper_bounds=d["upper_bounds"], costs=d["cost_vector"],
+        is_integer=d.get("is_integer", False))
+    if d["a_eq"].shape[0]:
+        lp.add_equality_constraints_sparse(d["a_eq"], d["b_eq"])
+    if d["a_ineq"].shape[0]:
+        lp.add_inequality_constraints_sparse(d["a_ineq"], d["b_lower"],
+                                             d["b_upper"])
+    return lp
 
 
 def parse_perplex_solution(fsol, variables, nb_var, v_id_to_var):

@@ -130,9 +130,14 @@ class SparseLP:
         self.upper_bounds = np.append(self.upper_bounds, ub.ravel())
         self.lower_bounds = np.append(self.lower_bounds, lb.ravel())
         self.costsvector = np.append(self.costsvector, costs.ravel())
-        self.is_integer = np.append(
-            self.is_integer, np.full(nb_added, bool(is_integer))
-        )
+        if np.isscalar(is_integer) or np.ndim(is_integer) == 0:
+            int_mask = np.full(nb_added, bool(is_integer))
+        else:
+            int_mask = np.asarray(is_integer, dtype=bool)
+            if tuple(int_mask.shape) != shape:
+                raise ValueError("is_integer shape mismatch")
+            int_mask = int_mask.ravel()
+        self.is_integer = np.append(self.is_integer, int_mask)
         if name:
             self.variables_dict[name] = indices
         return indices
