@@ -943,19 +943,31 @@ def routed_ell_eligible(csr_shape, q=None, dtype=None) -> bool:
     return True
 
 
-# effective bytes per padded plane slot per SpMV direction pair: 6-8 B
-# of streamed index/value traffic (narrow planes) plus the
-# dynamic_gather compute priced at the same equivalence rate.
-# PLACEHOLDER pending on-chip calibration (scripts_routed_probe.py at
-# the repo root derives it from measured matvec+rmatvec pairs): until
-# then the backend never enters auto-selection (ROUTED_ELL_ENABLED
-# below), so the constant only sizes dispatch caps for prefer="routed"
-# runs — 64 is deliberately pessimistic (~8x the HBM traffic) so those
-# dispatches stay short.
-ROUTED_ELL_BYTES_PER_SLOT = 64
-# auto-selection gate: flip after the on-chip probe calibrates the slot
-# cost; prefer="routed" works regardless
-ROUTED_ELL_ENABLED = False
+# effective bytes per padded plane slot per SpMV direction pair,
+# CALIBRATED ON CHIP 2026-08-19 on the bench's 150k x 100k / 1.95M-nnz
+# uniform-random matrix (25.31M padded slots, v5e over the axon
+# tunnel), two measurements:
+#   * standalone probe (scripts_routed_probe.py), bare matvec+rmatvec
+#     chain: 1527.8 us/pair = 56.25 B/slot at the 932 GB/s observed HBM
+#     ceiling;
+#   * END-TO-END inside the fused CP iteration (the traffic the chooser
+#     actually prices): 1029.2 us/iter including ~12 us of vector
+#     passes = 37.5 B/slot — XLA overlaps the gather chains of the
+#     pair with the update's vector work, so the in-solver rate is what
+#     auto-selection should compare against other backends.
+# The constant uses the end-to-end figure with ~4% optimism headroom so
+# bench rooflines priced by it remain true floors (frac <= 1
+# falsifiable).  The streamed plane traffic alone is only ~8 B/slot
+# (int8 lanes + int16 sublanes + f32 values); the rest is per-plane
+# issue overhead (3 dynamic_gathers + 2 transposes + tile DMA latency
+# per 128x128 plane step), so the constant prices COMPUTE at byte
+# equivalence, exactly like ELL_GATHER_BYTES_PER_NNZ does for the XLA
+# gather paths.  Same probe, same matrix, fallback SegmentedEllMatrix:
+# 32 691 us/pair — the routed kernel is 21-32x faster where both apply.
+ROUTED_ELL_BYTES_PER_SLOT = 36
+# auto-selection gate: ON since the 2026-08-19 on-chip calibration;
+# prefer="routed" forces the backend regardless
+ROUTED_ELL_ENABLED = True
 
 # spill-plane packing margin observed on uniform random matrices
 # (41 planes vs the 32-plane bound at 2M nnz → ~1.3)

@@ -157,8 +157,13 @@ def test_chooser_integration():
     # the dispatch cap prices the routed operator by its padded slots
     cb = pr.operator_cost_bytes(op)
     assert cb == op.nnz_padded * er.ROUTED_ELL_BYTES_PER_SLOT
-    # auto-selection stays gated off until the slot cost is calibrated
-    assert not er.ROUTED_ELL_ENABLED
+    # auto-selection is ON since the 2026-08-19 on-chip calibration
+    # (end-to-end CP capture: 37.5 B/slot effective, 32x over the
+    # segmented fallback on the bench's 1.95M-nnz matrix); the chooser
+    # only consults it on the TPU backend, so CPU-mesh tests still lower
+    # to the XLA gather layouts unless prefer="routed"
+    assert er.ROUTED_ELL_ENABLED
+    assert er.ROUTED_ELL_BYTES_PER_SLOT == 36
     best, _ = pr.estimate_stream_bytes(a, jnp.float32)
     assert best != "routed"
     # the cheap estimate is within a small factor of the built layout
