@@ -313,6 +313,143 @@ class DenseMatrix:
         return self.a
 
 
+def partition_geometry(csr):
+    """``(col0, stride, width)`` if every row's nonzeros occupy a
+    contiguous column run of one fixed ``width``, with the runs advancing
+    by one fixed ``stride >= width`` (so the runs never overlap) from a
+    base column ``col0`` — the assignment/partition pattern: simplex rows
+    of assignment LPs (one row per point over its candidate block, e.g.
+    the k-medians LP, ``reference/pysparselp/examples/
+    example_kmedians.py:40-44``), transport-LP source equalities over
+    arc blocks, one-hot label sums.  Returns ``None`` otherwise."""
+    m, n = csr.shape
+    if m == 0 or csr.nnz == 0:
+        return None
+    cnt = np.diff(csr.indptr)
+    w = int(cnt[0])
+    if w <= 0 or not np.all(cnt == w):
+        return None
+    if not csr.has_sorted_indices:
+        csr = csr.sorted_indices()
+    idx = csr.indices.reshape(m, w)
+    starts = idx[:, 0].astype(np.int64)
+    if not np.all(idx == starts[:, None] + np.arange(w)[None, :]):
+        return None
+    if m == 1:
+        return int(starts[0]), w, w
+    stride = int(starts[1] - starts[0])
+    if stride < w or not np.all(np.diff(starts) == stride):
+        return None
+    return int(starts[0]), stride, w
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("vals",),
+    meta_fields=("col0", "stride", "width", "nrows", "ncols"),
+)
+@dataclasses.dataclass(frozen=True)
+class PartitionMatrix:
+    """Partition/assignment operator: SpMV as reshape + multiply-reduce.
+
+    Rows whose nonzeros are one contiguous ``width``-column run advancing
+    by a fixed ``stride`` (see :func:`partition_geometry`) need NO
+    gathers in either direction: ``A @ x`` is a strided window of ``x``
+    reshaped to ``(m, stride)`` against the dense ``(m, width)`` value
+    table, and ``Aᵀ @ y`` is the same reshape run backwards (every slot
+    owns a distinct column, so the scatter is a flatten).  Both
+    directions stream exactly the value table plus the touched vector
+    span — for the k-medians simplex block (5000×150030, 150k nnz) that
+    is ~1 MB/pair where block-ELL pads to 78 MB and gather-ELL prices
+    600 MB.  This is the reference's hot assignment-row shape
+    (``pysparselp/ChambollePockPPD.py:199-217`` runs them through
+    generic CSR SpMV).
+    """
+
+    vals: jax.Array   # (nrows, width); bf16 when exactly representable
+    col0: int
+    stride: int
+    width: int
+    nrows: int
+    ncols: int
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nnz_padded(self):
+        return self.vals.size
+
+    @property
+    def _span(self):
+        return (self.nrows - 1) * self.stride + self.width
+
+    def _window(self, x: jax.Array) -> jax.Array:
+        """The ``(m, width)`` view of ``x`` each row multiplies."""
+        m, w, s = self.nrows, self.width, self.stride
+        xs = x[self.col0:self.col0 + self._span]
+        if s > w:
+            xs = jnp.pad(xs, (0, m * s - self._span))
+            return xs.reshape(m, s)[:, :w]
+        return xs.reshape(m, w)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return jnp.sum(self.vals.astype(x.dtype) * self._window(x), axis=1)
+
+    def _scatter(self, contrib: jax.Array) -> jax.Array:
+        """Place ``(m, width)`` per-slot values at their columns."""
+        m, w, s = self.nrows, self.width, self.stride
+        if s > w:
+            contrib = jnp.pad(contrib, ((0, 0), (0, s - w)))
+        flat = contrib.reshape(-1)[:self._span]
+        return jnp.pad(flat,
+                       (self.col0, self.ncols - self.col0 - self._span))
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        return self._scatter(self.vals.astype(y.dtype) * y[:, None])
+
+    def abs_power_rowsum(self, p: float) -> jax.Array:
+        return jnp.sum(abs_pow0(self.vals.astype(default_dtype()), p),
+                       axis=1)
+
+    def abs_power_colsum(self, p: float) -> jax.Array:
+        return self._scatter(abs_pow0(self.vals.astype(default_dtype()),
+                                      p))
+
+    def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
+        v = self.vals.astype(d.dtype)
+        return jnp.sum(v * v * self._window(d), axis=1)
+
+    def to_dense(self) -> jax.Array:
+        m, w = self.nrows, self.width
+        cols = (self.col0 + jnp.arange(m)[:, None] * self.stride
+                + jnp.arange(w)[None, :])
+        rows = jnp.broadcast_to(jnp.arange(m)[:, None], (m, w))
+        dense = jnp.zeros((m, self.ncols), default_dtype())
+        return dense.at[rows.reshape(-1), cols.reshape(-1)].set(
+            self.vals.astype(default_dtype()).reshape(-1))
+
+    @staticmethod
+    def from_scipy(a, dtype=None) -> "PartitionMatrix":
+        dtype = dtype or default_dtype()
+        csr = scipy.sparse.csr_matrix(a)
+        if not csr.has_sorted_indices:
+            csr = csr.sorted_indices()
+        geo = partition_geometry(csr)
+        if geo is None:
+            raise ValueError("matrix rows are not a fixed-width "
+                             "contiguous-column partition pattern")
+        col0, stride, w = geo
+        store = dtype
+        if dtype == jnp.float32 and _bf16_exact(csr):
+            store = jnp.bfloat16
+        return PartitionMatrix(
+            vals=jnp.asarray(csr.data.reshape(csr.shape[0], w), store),
+            col0=col0, stride=stride, width=w,
+            nrows=csr.shape[0], ncols=csr.shape[1])
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("vals", "vals_t"),
@@ -926,6 +1063,10 @@ def operator_cost_bytes(op) -> int:
         return sum(operator_cost_bytes(b) for b in op.blocks)
     if isinstance(op, DenseMatrix):
         return 2 * op.nrows * op.ncols * 4
+    if isinstance(op, PartitionMatrix):
+        # value table + the touched x span, once per direction
+        return 2 * (op.vals.size * op.vals.dtype.itemsize
+                    + op.nrows * op.stride * 4)
     if isinstance(op, DiaMatrix):
         from .ops.dia_pallas import (_FORCE_INTERPRET, dia_use_pallas,
                                      window_spread_ok)
@@ -987,6 +1128,10 @@ def estimate_stream_bytes(csr, dtype=None):
                                            offsets=offs)
     if 0 < m * n <= DENSE_AUTO_MAX_ENTRIES:
         candidates["dense"] = 2 * m * n * 4  # read in both directions
+    geo = partition_geometry(csr)
+    if geo is not None:
+        _, stride, w = geo
+        candidates["partition"] = 2 * (m * w * itemsize + m * stride * 4)
     padded = bsr_padded_entries(csr)
     if padded <= BSR_AUTO_MAX_ENTRIES:
         candidates["bsr"] = padded * itemsize
@@ -1011,7 +1156,15 @@ _COL_SPLIT_DENSITY_JUMP = 4.0  # adjacent-tile nnz ratio marking a boundary
 
 def _candidate_cuts(csr, max_cands=6):
     """Column indices where the per-column nnz density changes character
-    (tile-summed, ratio > _COL_SPLIT_DENSITY_JUMP), largest jumps first."""
+    (tile-summed, ratio > _COL_SPLIT_DENSITY_JUMP), largest jumps first.
+
+    Each tile-boundary candidate is refined to the EXACT per-column jump
+    inside its two neighboring tiles when one exists: structural
+    boundaries (e.g. the labeling|used split of the k-medians LP at
+    column 150 000) rarely fall on a 128 multiple, and a cut 112 columns
+    short of the boundary glues diagonal stragglers onto the hot dense
+    block — the mixed block then lowers 10× worse than either side
+    alone (advisor r5 finding: 5.4× k-medians came from exactly this)."""
     n = csr.shape[1]
     tile = COL_SPLIT_TILE
     nt = -(-n // tile)
@@ -1021,9 +1174,21 @@ def _candidate_cuts(csr, max_cands=6):
     tnnz = colnnz.reshape(nt, tile).sum(axis=1).astype(np.float64) + 1.0
     ratio = np.maximum(tnnz[1:] / tnnz[:-1], tnnz[:-1] / tnnz[1:])
     order = np.argsort(-ratio)
-    cuts = [(int(i) + 1) * tile for i in order[:max_cands]
-            if ratio[i] >= _COL_SPLIT_DENSITY_JUMP]
-    return [c for c in cuts if 0 < c < n]
+    cuts = []
+    for i in order[:max_cands]:
+        if ratio[i] < _COL_SPLIT_DENSITY_JUMP:
+            continue
+        c = (int(i) + 1) * tile
+        lo, hi = max(c - tile, 0), min(c + tile, n)
+        seg = colnnz[lo:hi].astype(np.float64) + 1.0
+        if seg.size >= 2:
+            r = np.maximum(seg[1:] / seg[:-1], seg[:-1] / seg[1:])
+            j = int(np.argmax(r))
+            exact = lo + j + 1
+            if r[j] >= _COL_SPLIT_DENSITY_JUMP and exact != c:
+                cuts.append(exact)
+        cuts.append(c)
+    return [c for c in dict.fromkeys(cuts) if 0 < c < n]
 
 
 def col_split_plan(csr, dtype=None, depth=COL_SPLIT_MAX_DEPTH):
@@ -1084,8 +1249,8 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
       less than ``waste_threshold``× the nnz;
     * else a width-bucketed :class:`SegmentedEllMatrix`.
 
-    ``prefer`` forces a backend: "dia", "dense", "bsr", "routed", "ell",
-    "segmented", or "split".
+    ``prefer`` forces a backend: "dia", "dense", "bsr", "partition",
+    "routed", "ell", "segmented", or "split".
     """
     from .ops.bsr_pallas import BsrMatrix, bsr_padded_entries
 
@@ -1099,6 +1264,8 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
                            ncols=n)
     if prefer == "bsr":
         return BsrMatrix.from_scipy(csr, dtype=dtype)
+    if prefer == "partition":
+        return PartitionMatrix.from_scipy(csr, dtype=dtype)
     if prefer == "routed":
         from .ops.ell_routed import RoutedEllMatrix
 
@@ -1122,6 +1289,8 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
         if best == "dense":
             return DenseMatrix(a=jnp.asarray(csr.toarray(), dtype),
                                nrows=m, ncols=n)
+        if best == "partition":
+            return PartitionMatrix.from_scipy(csr, dtype=dtype)
         if best == "bsr":
             return BsrMatrix.from_scipy(csr, dtype=dtype)
         if best == "routed":

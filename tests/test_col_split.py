@@ -31,9 +31,11 @@ def test_col_split_plan_finds_head_tail_boundary():
     cost, cuts = pr.col_split_plan(a, jnp.float32)
     assert cuts, "density-jump split not found"
     assert cost < 0.5 * whole, (cost, whole)
-    # cuts at lane-tile boundaries inside the column range
-    assert all(c % pr.COL_SPLIT_TILE == 0 and 0 < c < a.shape[1]
-               for c in cuts)
+    # the refined candidate set finds the EXACT head|tail boundary at
+    # column 300 (not a 128 multiple — see _candidate_cuts): the mixed
+    # block a tile-aligned cut would create lowers far worse
+    assert all(0 < c < a.shape[1] for c in cuts)
+    assert 300 in cuts, cuts
     # uniform-density matrices produce no candidates (and pay no search)
     uni = scipy.sparse.random(2000, 2000, density=0.002, random_state=3,
                               format="csr")
