@@ -409,13 +409,15 @@ class PartitionMatrix:
     def rmatvec(self, y: jax.Array) -> jax.Array:
         return self._scatter(self.vals.astype(y.dtype) * y[:, None])
 
+    def _vals_f(self):
+        v = self.vals
+        return v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
+
     def abs_power_rowsum(self, p: float) -> jax.Array:
-        return jnp.sum(abs_pow0(self.vals.astype(default_dtype()), p),
-                       axis=1)
+        return jnp.sum(abs_pow0(self._vals_f(), p), axis=1)
 
     def abs_power_colsum(self, p: float) -> jax.Array:
-        return self._scatter(abs_pow0(self.vals.astype(default_dtype()),
-                                      p))
+        return self._scatter(abs_pow0(self._vals_f(), p))
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
         v = self.vals.astype(d.dtype)
@@ -423,12 +425,13 @@ class PartitionMatrix:
 
     def to_dense(self) -> jax.Array:
         m, w = self.nrows, self.width
+        vals = self._vals_f()
         cols = (self.col0 + jnp.arange(m)[:, None] * self.stride
                 + jnp.arange(w)[None, :])
         rows = jnp.broadcast_to(jnp.arange(m)[:, None], (m, w))
-        dense = jnp.zeros((m, self.ncols), default_dtype())
+        dense = jnp.zeros((m, self.ncols), vals.dtype)
         return dense.at[rows.reshape(-1), cols.reshape(-1)].set(
-            self.vals.astype(default_dtype()).reshape(-1))
+            vals.reshape(-1))
 
     @staticmethod
     def from_scipy(a, dtype=None) -> "PartitionMatrix":
@@ -1245,6 +1248,9 @@ def ell_from_scipy(a, dtype=None, max_buckets=4, waste_threshold=1.5,
       per-block layouts (``[structured | ±I]`` soft-constraint shapes)
       become :class:`ColBlockMatrix` composites (each block re-lowered
       through this selector);
+    * on TPU, assignment/simplex-row patterns (uniform-width contiguous
+      column runs on a fixed stride) become :class:`PartitionMatrix`
+      (reshape + multiply-reduce, zero gathers either direction);
     * otherwise a plain :class:`EllMatrix` when a single ELL width wastes
       less than ``waste_threshold``× the nnz;
     * else a width-bucketed :class:`SegmentedEllMatrix`.

@@ -86,6 +86,23 @@ def test_protocol_parity(stride, col0):
     assert pr.operator_cost_bytes(op) > 0
 
 
+def test_f32_reductions_stay_f32_under_x64():
+    """Regression: abs_power_* must not promote to f64 under
+    jax_enable_x64 — a single f64 preconditioner vector poisons every
+    carry in the CP fori_loop (observed on chip: 'carry input and carry
+    output must have equal types' on the k-medians solve)."""
+    a = _partition_csr(seed=9)
+    op = pr.PartitionMatrix.from_scipy(a, dtype=jnp.float32)
+    for p in (0.0, 1.0, 2.0):
+        assert op.abs_power_rowsum(p).dtype == jnp.float32
+        assert op.abs_power_colsum(p).dtype == jnp.float32
+    x32 = jnp.ones(a.shape[1], jnp.float32)
+    y32 = jnp.ones(a.shape[0], jnp.float32)
+    assert op.matvec(x32).dtype == jnp.float32
+    assert op.rmatvec(y32).dtype == jnp.float32
+    assert op.sq_rowsum_weighted(x32).dtype == jnp.float32
+
+
 def test_prefer_partition_and_rejection():
     a = _partition_csr(seed=5)
     op = pr.ell_from_scipy(a, prefer="partition")
