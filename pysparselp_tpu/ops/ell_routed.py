@@ -255,6 +255,228 @@ def _ragged_arange(counts):
     return np.arange(total) - np.repeat(ends - counts, counts)
 
 
+# --- tail fold: per-pool occurrence-layer cap for tiled tables ----------
+# A tiled plane spans one (dst-tile, src-tile) pair and holds at most one
+# demand per output row, so a pool's plane count equals its MAX per-row
+# demand count while the mean is often ~2 (Poisson tail): the r5
+# unstructured capture paid 1,545 planes at 7.7% slot fill.  Capping
+# pools at L layers moves every demand past layer L to a dedicated
+# VIRTUAL output slot — tail slots pack ~dense into fresh table tiles
+# (grouped by the real row's tile, spread over the group's tiles by
+# per-row rank so the collect route stays ~one layer per pool) — and a
+# recursive collect route sums them into their real rows, exactly like
+# the virtual-row split of the single-tile path.  Extreme skew (a
+# 4000-degree row) collapses logarithmically: the collect matrix routes
+# through build_routes at depth+1 and applies its own fold.
+_TAIL_FOLD_CANDS = (2, 3, 4, 6, 8)
+_COLLECT_SPREAD = 4   # target collect layers per (row-tile, vtile) pool
+_TAIL_FOLD_MIN_GAIN = 0.8
+
+
+def _occ_within(keys):
+    """Occurrence index of each element within its equal-key group."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    first = np.ones(ks.size, bool)
+    if ks.size:
+        first[1:] = ks[1:] != ks[:-1]
+    idx = np.arange(ks.size)
+    occ = np.empty(ks.size, np.int64)
+    occ[order] = idx - np.maximum.accumulate(np.where(first, idx, -1))
+    return occ
+
+
+def _layer_planes(rows, st, tsz, nst, unroll=1):
+    """EXACT plane count a demand set costs under pair-pool routing
+    (before spills): per (dst-tile, src-tile) pool, planes = max
+    per-row demand count, padded to a multiple of ``unroll``."""
+    if rows.size == 0:
+        return 0
+    key = rows * nst + st
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    first = np.ones(ks.size, bool)
+    first[1:] = ks[1:] != ks[:-1]
+    run_starts = np.nonzero(first)[0]
+    run_lens = np.diff(np.append(run_starts, ks.size))
+    g_rows = rows[order][run_starts]
+    g_st = ks[run_starts] % nst
+    pool = (g_rows // tsz) * nst + g_st
+    porder = np.argsort(pool, kind="stable")
+    ln = run_lens[porder]
+    pfirst = np.ones(ln.size, bool)
+    pfirst[1:] = pool[porder][1:] != pool[porder][:-1]
+    pmax = np.maximum.reduceat(ln, np.nonzero(pfirst)[0])
+    if unroll > 1:
+        pmax = -(-pmax // unroll) * unroll
+    return int(pmax.sum())
+
+
+def _fold_alloc(t_rows, t_st, rank_row, rank_rs, base, tsz, mode):
+    """Assign virtual table slots to the tail demands.
+
+    mode "j": grouped by the real row's tile, round-robin over the
+    group's virtual tiles by per-row tail rank — few collect pools
+    (each row tile keeps its own virtual tiles), at the price of
+    multi-src virtual tiles.  mode "s": sorted by (src tile, per-
+    (row,src) rank) and filled sequentially — virtual tiles cover
+    contiguous src-tile runs (few tail pools), at the price of every
+    row tile reaching into every virtual tile.  Which wins is
+    matrix-shape-dependent; the caller counts both exactly.
+    """
+    if mode == "s":
+        order = np.lexsort((t_rows, rank_rs, t_st))
+        slots = np.empty(t_rows.size, np.int64)
+        slots[order] = base + np.arange(t_rows.size)
+        return slots, -(-t_rows.size // tsz)
+    slots = np.empty(t_rows.size, np.int64)
+    vtiles_total = 0
+    jj_of = t_rows // tsz
+    for jj in np.unique(jj_of):
+        sel = np.nonzero(jj_of == jj)[0]
+        nj = sel.size
+        mxj = int(rank_row[sel].max()) + 1
+        vj = max(-(-nj // tsz), -(-mxj // _COLLECT_SPREAD))
+        vj = min(vj, max(-(-nj // tsz), 16))
+        pref = (rank_row[sel]
+                + (t_rows[sel] * 2654435761) % (1 << 16)) % vj
+        local = np.full(nj, -1, np.int64)
+        used = np.zeros(vj, np.int64)
+        pending = np.arange(nj)
+        shift = 0
+        while pending.size:
+            tpref = (pref[pending] + shift) % vj
+            for tt in range(vj):
+                grp = pending[tpref == tt]
+                space = int(tsz - used[tt])
+                take = grp[:space]
+                if take.size:
+                    local[take] = (tt * tsz + used[tt]
+                                   + np.arange(take.size))
+                    used[tt] += take.size
+            pending = pending[local[pending] < 0]
+            shift += 1
+            assert shift <= vj + 1, "tail slot allocation overflow"
+        slots[sel] = base + vtiles_total * tsz + local
+        vtiles_total += vj
+    return slots, vtiles_total
+
+
+def _fold_search(rows, st, m, base_tile, qt, depth):
+    """(best_planes, plan) over {no fold} ∪ {cap × mode} candidates.
+
+    Plane counts are EXACT (pure counting, no routing, spills excluded):
+    a candidate's total = the capped demand set's layer planes + the
+    collect matrix's cost, counted RECURSIVELY with the same search —
+    the built collect route applies the same fold at depth+1, so a deep
+    tail (one 4000-degree row) is priced at its log-depth collapse, not
+    at a flat 4000 planes.  ``plan`` is ``(rows_eff, t_rows, slots,
+    vtiles)`` or ``None`` when not folding wins.
+    """
+    tsz = qt * LANE
+    nst = int(st.max()) + 1 if st.size else 1
+    flat = _layer_planes(rows, st, tsz, nst, _PLANE_UNROLL)
+    best = (flat, None)
+    if depth >= 2 or rows.size == 0:
+        return best
+    occ = _occ_within(rows * nst + st)       # per-(row, src-tile) rank
+    base = base_tile * tsz
+    max_tiles = _TILED_MAX_Q // qt
+    id_rows = np.arange(m)
+    for cap in _TAIL_FOLD_CANDS:
+        t_idx = np.nonzero(occ >= cap)[0]
+        if t_idx.size == 0:
+            continue
+        t_rows, t_st = rows[t_idx], st[t_idx]
+        rank_row = _occ_within(t_rows)       # per-row tail rank
+        rank_rs = occ[t_idx] - cap           # per-(row, src-tile) rank
+        for mode in ("j", "s"):
+            slots, vtiles = _fold_alloc(t_rows, t_st, rank_row, rank_rs,
+                                        base, tsz, mode)
+            if base_tile + vtiles > max_tiles:
+                continue
+            rows_eff = rows.copy()
+            rows_eff[t_idx] = slots
+            main = _layer_planes(rows_eff, st, tsz,
+                                 max(nst, base_tile + vtiles),
+                                 _PLANE_UNROLL)
+            # collect = identity over real rows + the tail slots,
+            # recursively costed (the built collect folds too)
+            c_rows = np.concatenate([id_rows, t_rows])
+            c_st = np.concatenate([id_rows, slots]) // tsz
+            coll, _ = _fold_search(c_rows, c_st, m,
+                                   base_tile + vtiles, qt, depth + 1)
+            total = main + coll
+            if total < best[0]:
+                best = (total, (rows_eff, t_rows, slots, vtiles))
+    return best
+
+
+def _tiled_transform(rows, cols, m, q, qt, depth):
+    """Pick the cheapest demand transform for a tiled table by EXACT
+    plane counting: no transform, the per-pool tail fold
+    (:func:`_fold_search` — right for Poisson tails spread over many
+    pools), or the global virtual-row chunk split (right for single
+    DEEP rows, which the occurrence cap only collapses by a factor of
+    the cap per level while chunking collapses them in one).
+
+    Returns ``None`` or ``(rows_eff, owners, slot_positions,
+    q_new_rows)`` — owners/slots feed the collect matrix, ``q_new_rows``
+    the extended table size in LANE-row units."""
+    tsz = qt * LANE
+    st = cols // tsz
+    nst = int(st.max()) + 1 if st.size else 1
+    tiles_n = -(-q // qt)
+    baseline = _layer_planes(rows, st, tsz, nst, _PLANE_UNROLL)
+    best = (baseline, None)
+
+    total, plan = _fold_search(rows, st, m, tiles_n, qt, depth)
+    if plan is not None and total < best[0]:
+        rows_eff, t_rows, slots, vtiles = plan
+        best = (total, (rows_eff, t_rows, slots, (tiles_n + vtiles) * qt))
+
+    pos = _occ_within(rows)
+    cnt = np.bincount(rows, minlength=m)
+    busy = cnt[cnt > 0]
+    k_max = int(busy.max()) if busy.size else 0
+    cands = ({int(np.percentile(busy, p)) for p in (50, 75, 90, 95)}
+             if busy.size else set())
+    cands.add(int(np.ceil(np.sqrt(max(k_max, 1)))))
+    id_rows = np.arange(m)
+    for t in sorted(tt for tt in cands if 1 <= tt < k_max):
+        chunk = pos // t
+        heavy = np.nonzero(cnt > t)[0]
+        n_chunks = -(-cnt[heavy] // t) - 1
+        nv = int(n_chunks.sum())
+        if nv == 0:
+            continue
+        # the table must keep covering the SOURCE positions too (n may
+        # exceed m + the virtual rows)
+        q_new = max(q, -(-(m + nv) // LANE))
+        tiles_after = -(-q_new // qt)
+        if tiles_after * qt > _TILED_MAX_Q:
+            continue
+        v_base = m + np.concatenate(([0], np.cumsum(n_chunks[:-1])))
+        first_virtual = np.zeros(m, np.int64)
+        first_virtual[heavy] = v_base
+        rows_eff = np.where(chunk == 0, rows,
+                            first_virtual[rows] + chunk - 1)
+        main = _layer_planes(rows_eff, st, tsz, max(nst, tiles_after),
+                             _PLANE_UNROLL)
+        owners = np.repeat(heavy, n_chunks)
+        vids = np.repeat(v_base, n_chunks) + _ragged_arange(n_chunks)
+        c_rows = np.concatenate([id_rows, owners])
+        c_st = np.concatenate([id_rows, vids]) // tsz
+        coll, _ = _fold_search(c_rows, c_st, m, tiles_after, qt,
+                               depth + 1)
+        total = main + coll
+        if total < best[0]:
+            best = (total, (rows_eff, owners, vids, q_new))
+    if best[1] is None or best[0] > _TAIL_FOLD_MIN_GAIN * baseline:
+        return None
+    return best[1]
+
+
 def _split_plan(cnt, m, q, nnz, n_src_rows, q_cap=None):
     """Pick a virtual-row split target minimizing estimated route cost
     (planes x table rows — virtual slots may grow the table).
@@ -359,11 +581,15 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
 
     collect = None
     target = None
-    if split and _depth < 2:
-        q_cap = (routed_q_limit() if qt_arg is None
-                 and q <= routed_q_limit() else _TILED_MAX_Q)
+    will_tile = not (qt_arg is None and q <= routed_q_limit())
+    if split and _depth < 2 and not will_tile:
+        # single-tile tables: global virtual-row split (planes = max row
+        # degree there, so chunking wide rows is the right tool).  Tiled
+        # tables use the per-pool tail fold below instead: their plane
+        # count is the SUM of per-(dst-tile, src-tile) pool maxima, which
+        # global degree chunking does not model.
         target, q = _split_plan(cnt, m, q, nnz, max(-(-n // LANE), 1),
-                                q_cap=q_cap)
+                                q_cap=routed_q_limit())
     if target is not None:
         # entry j of row r -> chunk j // target; chunk 0 keeps the real
         # row slot, chunks >= 1 get freshly-numbered virtual rows
@@ -415,6 +641,22 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     # small table.  Padding grows with the pair count (a plane spans one
     # pair only), which the chooser's routed_cost_estimate prices.
     qt = qt_arg or _tiled_qt()
+    if split and _depth < 2:
+        fold = _tiled_transform(rows, cols, m, q, qt, _depth)
+        if fold is not None:
+            rows_eff, owners, slot_pos, q_new = fold
+            # collect: every real row reads its own slot plus its
+            # virtual slots (the identity part rides the diagonal
+            # (j, j) pools at full fill)
+            c_rows = np.concatenate([np.arange(m), owners])
+            c_cols = np.concatenate([np.arange(m), slot_pos])
+            c_mat = scipy.sparse.csr_matrix(
+                (np.ones(c_rows.size), (c_rows, c_cols)),
+                shape=(m, q_new * LANE))
+            collect = build_routes(c_mat, seed=seed + 1,
+                                   _depth=_depth + 1, qt=qt_arg)
+            assert collect["shape"][1] == q_new * LANE
+            rows, q = rows_eff, q_new
     tiles_n = -(-q // qt)
     q_pad = tiles_n * qt
     dtile = (rows // LANE) // qt
@@ -447,6 +689,25 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     tagged.extend((d, 0, zplane) for d in range(tiles_n)
                   if d not in covered)
     tagged.sort(key=lambda t: (t[0], t[1]))  # dst-major: one output run
+    if _PLANE_UNROLL > 1:
+        # pad every (dst, src) run to a multiple of _PLANE_UNROLL so the
+        # kernel can run that many INDEPENDENT gather chains per grid
+        # step: the 3-gather + 2-transpose chain is latency-bound on the
+        # VPU (measured 666 ns per 128x128 plane), and chains of planes
+        # sharing one (src, dst) pair interleave with no extra DMA
+        padded = []
+        i = 0
+        while i < len(tagged):
+            d0, s0 = tagged[i][0], tagged[i][1]
+            j = i
+            while j < len(tagged) and (tagged[j][0], tagged[j][1]) == (
+                    d0, s0):
+                j += 1
+            padded.extend(tagged[i:j])
+            padded.extend((d0, s0, zplane)
+                          for _ in range((-(j - i)) % _PLANE_UNROLL))
+            i = j
+        tagged = padded
     dst = np.array([d for d, _, _ in tagged], np.int32)
     src = np.array([s for _, s, _ in tagged], np.int32)
     first = np.ones(dst.size, np.int32)
@@ -511,6 +772,12 @@ def route_gather_reference(x, route):
 # qt = 128.  VMEM is nowhere near binding at this geometry (~160 KB per
 # double-buffered plane step).
 _ROUTED_TILE_Q = LANE
+
+# independent gather chains per tiled-kernel grid step: one 3-gather +
+# 2-transpose chain is latency-bound (measured 666 ns per 128x128 plane
+# on the v5e), so the builder pads every (dst, src) plane run to a
+# multiple of this and the kernel unrolls that many chains per step
+_PLANE_UNROLL = 2
 
 # test hook: force interpreter mode off-TPU (mirrors cp_windowed)
 _FORCE_INTERPRET = False
@@ -612,10 +879,17 @@ def _routed_tiled_kernel(s_ref, d_ref, f_ref, x_ref, a_ref, b_ref, c_ref,
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    ta = _dyn_gather(x_ref[0], a_ref[0], axis=1)
-    tb = _dyn_gather(ta.T, b_ref[0], axis=1).T
-    g = _dyn_gather(tb, c_ref[0], axis=1)
-    o_ref[...] += (v_ref[0].astype(o_ref.dtype) * g)[None]
+    # _PLANE_UNROLL independent 3-gather chains per step (static unroll):
+    # one chain is latency-bound, so interleaving chains of planes that
+    # share this step's (src, dst) pair recovers VPU throughput
+    acc = None
+    for u in range(a_ref.shape[0]):
+        ta = _dyn_gather(x_ref[0], a_ref[u], axis=1)
+        tb = _dyn_gather(ta.T, b_ref[u], axis=1).T
+        g = _dyn_gather(tb, c_ref[u], axis=1)
+        term = v_ref[u].astype(o_ref.dtype) * g
+        acc = term if acc is None else acc + term
+    o_ref[...] += acc[None]
 
 
 @functools.partial(jax.jit,
@@ -631,13 +905,14 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
     from jax.experimental.pallas import tpu as pltpu
 
     i32 = jnp.int32
+    u = _PLANE_UNROLL if n_planes % _PLANE_UNROLL == 0 else 1
     plane_spec = pl.BlockSpec(
-        (1, qt, LANE), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
+        (u, qt, LANE), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
     plane_spec_t = pl.BlockSpec(
-        (1, LANE, qt), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
+        (u, LANE, qt), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_planes,),
+        grid=(n_planes // u,),
         in_specs=[
             pl.BlockSpec((1, qt, LANE),
                          lambda p, s, d, f: (s[p], i32(0), i32(0))),
@@ -660,7 +935,10 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
             transcendentals=0,
         ),
     )
-    return call(src, dst, first, xt, a, b, c, v)
+    # per-step tags: runs are padded to _PLANE_UNROLL so every step's
+    # planes share one (src, dst) pair; first-visit flags only fire on
+    # run starts, which are step-aligned
+    return call(src[::u], dst[::u], first[::u], xt, a, b, c, v)
 
 
 def _as_table(x, q, dtype):
@@ -951,10 +1229,11 @@ def routed_ell_eligible(csr_shape, q=None, dtype=None) -> bool:
 #     chain: 1527.8 us/pair = 56.25 B/slot at the 932 GB/s observed HBM
 #     ceiling;
 #   * END-TO-END inside the fused CP iteration (the traffic the chooser
-#     actually prices): 1029.2 us/iter including ~12 us of vector
-#     passes = 37.5 B/slot — XLA overlaps the gather chains of the
-#     pair with the update's vector work, so the in-solver rate is what
-#     auto-selection should compare against other backends.
+#     actually prices): 747.3 us/iter including ~12 us of vector passes
+#     over 20.64M padded slots = 33.2 B/slot — measured AFTER the
+#     tail-fold transform + 2-plane chain pairing landed (the pre-fold
+#     layout measured 37.5 B/slot over 25.3M slots; both the slot count
+#     and the per-slot cost improved).
 # The constant uses the end-to-end figure with ~4% optimism headroom so
 # bench rooflines priced by it remain true floors (frac <= 1
 # falsifiable).  The streamed plane traffic alone is only ~8 B/slot
@@ -963,8 +1242,8 @@ def routed_ell_eligible(csr_shape, q=None, dtype=None) -> bool:
 # per 128x128 plane step), so the constant prices COMPUTE at byte
 # equivalence, exactly like ELL_GATHER_BYTES_PER_NNZ does for the XLA
 # gather paths.  Same probe, same matrix, fallback SegmentedEllMatrix:
-# 32 691 us/pair — the routed kernel is 21-32x faster where both apply.
-ROUTED_ELL_BYTES_PER_SLOT = 36
+# 32 691 us/pair — the routed kernel is 21-44x faster where both apply.
+ROUTED_ELL_BYTES_PER_SLOT = 32
 # auto-selection gate: ON since the 2026-08-19 on-chip calibration;
 # prefer="routed" forces the backend regardless
 ROUTED_ELL_ENABLED = True
@@ -994,20 +1273,31 @@ def _tiled_orientation_cost_rows(rows, cols, q, qt):
     """Estimated (planes x qt rows) for one orientation of a TILED
     table: planes are pair-granular, so each (dst-tile, src-tile) pair
     costs its own max per-row entry count (or its source-capacity
-    bound).  The virtual-row split option is not modeled — tiling
-    already spreads a wide row's entries across source tiles."""
+    bound), with the tail-fold transform approximated in closed form —
+    pools capped at 4 occurrence layers, the capped tails repriced as
+    ~packed virtual-slot planes plus a collect pass (the builder's
+    :func:`_tiled_transform` search realizes or beats this)."""
     tiles_n = -(-q // qt)
+    tsz = qt * LANE
     st = (cols // LANE) // qt
     # per-(row, src-tile) entry counts -> per-pair maxima
     key = rows.astype(np.int64) * tiles_n + st
     uk, cts = np.unique(key, return_counts=True)
-    pair = ((uk // tiles_n) // (qt * LANE)) * tiles_n + uk % tiles_n
+    pair = ((uk // tiles_n) // tsz) * tiles_n + uk % tiles_n
     pmax = np.zeros(tiles_n * tiles_n, np.int64)
     np.maximum.at(pmax, pair, cts)
     pnnz = np.zeros(tiles_n * tiles_n, np.int64)
     np.add.at(pnnz, pair, cts)
-    src_bound = -(-pnnz // (qt * LANE))
-    planes = int(np.maximum(pmax, src_bound).sum())
+    src_bound = -(-pnnz // tsz)
+    flat = int(np.maximum(pmax, src_bound).sum())
+    cap = 4
+    over = int(np.maximum(cts - cap, 0).sum())
+    n_j = int(np.unique(pair // tiles_n).size)
+    n_s = int(np.unique(pair % tiles_n).size)
+    folded = (int(np.maximum(np.minimum(pmax, cap), src_bound).sum())
+              + 2 * (-(-over // tsz)) * min(n_j + n_s, 16)  # tails+collect
+              + -(-rows.size // tsz))                       # identity pass
+    planes = min(flat, folded) if over else flat
     return (planes + tiles_n) * qt  # + one zeroing plane per dst tile
 
 

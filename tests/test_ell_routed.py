@@ -158,12 +158,13 @@ def test_chooser_integration():
     cb = pr.operator_cost_bytes(op)
     assert cb == op.nnz_padded * er.ROUTED_ELL_BYTES_PER_SLOT
     # auto-selection is ON since the 2026-08-19 on-chip calibration
-    # (end-to-end CP capture: 37.5 B/slot effective, 32x over the
-    # segmented fallback on the bench's 1.95M-nnz matrix); the chooser
-    # only consults it on the TPU backend, so CPU-mesh tests still lower
-    # to the XLA gather layouts unless prefer="routed"
+    # (end-to-end CP capture after the tail-fold + chain pairing:
+    # 33.2 B/slot effective, 44x over the segmented fallback on the
+    # bench's 1.95M-nnz matrix); the chooser only consults it on the
+    # TPU backend, so CPU-mesh tests still lower to the XLA gather
+    # layouts unless prefer="routed"
     assert er.ROUTED_ELL_ENABLED
-    assert er.ROUTED_ELL_BYTES_PER_SLOT == 36
+    assert er.ROUTED_ELL_BYTES_PER_SLOT == 32
     best, _ = pr.estimate_stream_bytes(a, jnp.float32)
     assert best != "routed"
     # the cheap estimate is within a small factor of the built layout
@@ -405,3 +406,75 @@ def test_tiled_cost_estimate_tracks_built_layout():
     op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32)
     cb = pr.operator_cost_bytes(op)
     assert 0.2 * cb <= est <= 5 * cb
+
+
+# ---------------------------------------------------------------------------
+# tiled-table demand transforms (tail fold / chunk split) + plane pairing
+# ---------------------------------------------------------------------------
+
+
+def test_tail_fold_cuts_planes_on_poisson_tails():
+    """Uniform-random tiled tables pay per-pool MAX layers while the
+    mean is ~2 (Poisson tail): at the REAL tile geometry (qt=128,
+    16,384 positions/tile — small-tile geometries have too many small
+    pools for the fold to pay), the exact-count search must find a
+    transform well below the flat layout.  Counting only — the oracle
+    and interpret-kernel tests cover execution of folded routes."""
+    from pysparselp_tpu.ops import ell_routed as er
+
+    rng = np.random.RandomState(5)
+    m, n, deg, qt = 150_000, 100_000, 13, 128
+    nnz = m * deg
+    rows = np.sort(rng.randint(0, m, nnz).astype(np.int64))
+    st = rng.randint(0, -(-n // (qt * LANE)), nnz).astype(np.int64)
+    tsz = qt * LANE
+    nst = int(st.max()) + 1
+    flat = er._layer_planes(rows, st, tsz, nst, er._PLANE_UNROLL)
+    total, plan = er._fold_search(rows, st, m, -(-m // tsz), qt, 0)
+    assert plan is not None
+    assert total < 0.85 * flat, (total, flat)
+
+
+def test_chunk_split_beats_fold_on_single_deep_row():
+    """One 600-degree row in a tiled table: the occurrence cap only
+    divides its layers by the cap per level, while the global chunk
+    split collapses it in one — the exact-count search must pick the
+    cheaper transform and stay exact."""
+    rng = np.random.RandomState(9)
+    m = n = 1500
+    rows = np.concatenate([np.repeat(np.arange(m), 1),
+                           np.full(600, 7)])
+    cols = np.concatenate([rng.randint(0, n, m),
+                           rng.choice(n, 600, replace=False)])
+    a = scipy.sparse.csr_matrix((rng.randn(rows.size), (rows, cols)),
+                                shape=(m, n))
+    a.sum_duplicates()
+    route = build_routes(a, qt=4)
+    total = route["n_planes"]
+    coll = route.get("collect")
+    assert coll is not None  # a transform fired
+    while coll is not None:
+        total += coll["n_planes"]
+        coll = coll.get("collect")
+    # untransformed: >600 layers in row 7's pools; transformed: tens
+    assert total < 200, total
+    x = np.random.RandomState(4).randn(n)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_plane_pairing_runs_are_step_aligned():
+    """Every (dst, src) run must be a multiple of _PLANE_UNROLL so each
+    kernel grid step's planes share one tile pair, and first-visit flags
+    only fire on step boundaries."""
+    from pysparselp_tpu.ops import ell_routed as er
+
+    a = _rand(900, 700, 0.02, seed=31)
+    route = build_routes(a, qt=2)
+    u = er._PLANE_UNROLL
+    assert route["n_planes"] % u == 0
+    src, dst, first = route["tags"]
+    pair_change = np.r_[True, (np.diff(dst) != 0) | (np.diff(src) != 0)]
+    run_starts = np.nonzero(pair_change)[0]
+    assert (run_starts % u == 0).all()
+    assert (np.nonzero(first)[0] % u == 0).all()
