@@ -13,9 +13,12 @@ cp_chunk_impl`) is a pure function of a pytree-registered
 diagonal preconditioners (which depend only on the matrix) stay unbatched
 and are built once.  With the dense operator backend the batched iteration
 is a pair of ``(B, n) x (n, m)`` matmuls per step, i.e. the whole batch
-rides the MXU; larger systems use the gather-ELL backend (the XLA-safe
-layouts — the Pallas kernels do not vmap).  The whole chunk loop runs in
-one jitted dispatch per checkpoint.
+rides the MXU; larger systems use the XLA-safe (vmappable) layouts — the
+gather-free partition operator for assignment rows, the shift-loop DIA
+for banded systems, column-split composites of those for
+``[structured | hot-columns]`` shapes, else gather-ELL (the Pallas
+kernels do not vmap).  The whole chunk loop runs in one jitted dispatch
+per checkpoint.
 """
 
 from __future__ import annotations
@@ -108,17 +111,39 @@ class XlaDiaMatrix:
                              self.ncols)
 
 
-def _lower_xla(a, dtype):
+def _lower_xla(a, dtype, _split=True):
     """Lower to an XLA-safe (vmappable) operator: dense (MXU matmuls for
-    the whole batch) when the dense form is affordable; the shift-loop
-    DIA for banded systems; else plain ELL."""
+    the whole batch) when the dense form is affordable; the gather-free
+    partition operator for assignment/simplex row patterns; the
+    shift-loop DIA for banded systems; a column-split composite of
+    XLA-safe blocks for ``[structured | hot-columns]`` shapes (the
+    k-medians inequality system); else plain ELL."""
+    from .problem import (ColBlockMatrix, PartitionMatrix, col_split_plan,
+                          partition_geometry)
+
     csr = scipy.sparse.csr_matrix(a)
     m, n = csr.shape
     if m * n <= DENSE_AUTO_MAX_ENTRIES:
         return DenseMatrix(a=jnp.asarray(csr.toarray(), dtype), nrows=m,
                            ncols=n)
+    if partition_geometry(csr) is not None:
+        return PartitionMatrix.from_scipy(csr, dtype=dtype)
     if dia_offset_count(csr) <= DIA_AUTO_MAX_OFFSETS:
         return XlaDiaMatrix.from_scipy(csr, dtype)
+    if _split:
+        # every block re-lowered through THIS selector, so the composite
+        # stays vmappable (problem.ell_from_scipy would hand blocks to
+        # the Pallas backends, which do not vmap)
+        _, cuts = col_split_plan(csr, dtype)
+        if cuts:
+            csc = csr.tocsc()
+            starts = (0,) + tuple(cuts) + (n,)
+            blocks = tuple(
+                _lower_xla(csc[:, starts[b]:starts[b + 1]].tocsr(), dtype,
+                           _split=False)
+                for b in range(len(starts) - 1))
+            return ColBlockMatrix(blocks=blocks, col_starts=starts,
+                                  nrows=m, ncols=n)
     return EllMatrix.from_scipy(csr, dtype=dtype)
 
 
@@ -277,12 +302,18 @@ def solve_cp_batch(lp, costs=None, b_eq=None, b_lower=None, b_upper=None,
 
     def _cap_bytes(op):
         # the shared cost model doesn't know XlaDiaMatrix — price its
-        # shift loop like the XLA DIA regime (per-entry re-read traffic)
+        # shift loop like the XLA DIA regime (per-entry re-read traffic);
+        # recurse into composites so a ColBlock of XlaDia blocks prices
+        # its parts, not the gather fallback
+        from .problem import ColBlockMatrix
+
         if op is None:
             return 0
         if isinstance(op, XlaDiaMatrix):
             return op.nnz_padded * (op.vals.dtype.itemsize
                                     + DIA_REREAD_BYTES)
+        if isinstance(op, ColBlockMatrix):
+            return sum(_cap_bytes(b) for b in op.blocks)
         return operator_cost_bytes(op)
 
     nb_iter_plot = nb_iter_plot or nb_iter

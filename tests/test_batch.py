@@ -184,3 +184,82 @@ def test_batch_segmentation_matches_graph_cut():
                                     round(coef * coef_mul))
         agree = np.mean((segs[b] > 0.5) == (gt > 0.5))
         assert agree > 0.97, (b, agree)
+
+
+def test_lower_xla_partition_and_colsplit():
+    """Assignment/simplex patterns lower to the gather-free
+    PartitionMatrix, and [diag | hot-columns] shapes to an XLA-safe
+    column-split composite — both vmappable (the whole point)."""
+    import scipy.sparse
+
+    from pysparselp_tpu.problem import ColBlockMatrix, PartitionMatrix
+
+    # partition rows: too big for dense (m*n > DENSE_AUTO_MAX_ENTRIES)
+    m, w = 9000, 30
+    rows = np.repeat(np.arange(m), w)
+    cols = (np.arange(m)[:, None] * w + np.arange(w)[None, :]).reshape(-1)
+    simplex = scipy.sparse.csr_matrix(
+        (np.ones(m * w), (rows, cols)), shape=(m, m * w))
+    op = _lower_xla(simplex, jnp.float64)
+    assert isinstance(op, PartitionMatrix)
+    rng = np.random.RandomState(0)
+    X = rng.randn(3, m * w)
+    ref = np.stack([simplex @ xi for xi in X])
+    got = np.asarray(jax.vmap(op.matvec)(jnp.asarray(X)))
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    # k-medians-ineq shape: 1-nnz diagonal block + hot dense columns,
+    # too big for whole-matrix dense, not banded (the hot columns kill
+    # the DIA offset count)
+    npts, nc = 70000, 20
+    r2 = np.arange(npts)
+    labeling = scipy.sparse.csr_matrix(
+        (np.ones(npts), (r2, r2)), shape=(npts, npts + nc))
+    hot = scipy.sparse.csr_matrix(
+        (-np.ones(npts * nc),
+         (np.repeat(r2, nc), npts + np.tile(np.arange(nc), npts))),
+        shape=(npts, npts + nc))
+    a = (labeling + hot).tocsr()
+    op2 = _lower_xla(a, jnp.float64)
+    assert isinstance(op2, ColBlockMatrix)
+    assert all(not type(b).__name__.startswith(("Bsr", "Dia", "Routed"))
+               or type(b).__name__ == "XlaDiaMatrix"
+               for b in op2.blocks), [type(b).__name__ for b in op2.blocks]
+    x = rng.randn(npts + nc)
+    np.testing.assert_allclose(np.asarray(op2.matvec(jnp.asarray(x))),
+                               a @ x, atol=1e-9)
+    X2 = rng.randn(2, npts + nc)
+    ref2 = np.stack([a @ xi for xi in X2])
+    got2 = np.asarray(jax.vmap(op2.matvec)(jnp.asarray(X2)))
+    np.testing.assert_allclose(got2, ref2, atol=1e-9)
+
+
+def test_batch_assignment_lp_serving():
+    """Batched serving of an assignment LP (k-medians shape): B cost
+    variants through the partition-eq + col-split-ineq backends agree
+    with per-variant single solves."""
+    rng = np.random.RandomState(7)
+    npts, nc = 50, 6
+    dist = rng.rand(npts, nc)
+    lp = SparseLP()
+    lab = lp.add_variables_array((npts, nc), 0, 1, dist)
+    used = lp.add_variables_array(nc, 0, 1, 0)
+    lp.add_equality_constraints(lab, np.ones((npts, nc)), b=np.ones(npts))
+    cols = np.column_stack(
+        (lab.reshape(-1, 1),
+         np.ones((npts, 1)).dot(used[None, :]).reshape(-1, 1))).astype(int)
+    vals = np.column_stack((np.ones(lab.size), -np.ones(lab.size)))
+    lp.add_inequality_constraints(cols, vals, lower_bounds=None,
+                                  upper_bounds=0)
+
+    B = 3
+    C = lp.costsvector[None, :] * (1.0 + 0.2 * rng.rand(
+        B, lp.nb_variables))
+    X, info = solve_cp_batch(lp, costs=C, nb_iter=3000, nb_iter_plot=1500,
+                             dtype=np.float64)
+    for b in range(B):
+        lp.costsvector = C[b]
+        ref, _ = lp.solve(method="chambolle_pock_ppd", nb_iter=3000,
+                          nb_iter_plot=1500, dtype=np.float64)
+        np.testing.assert_allclose(np.asarray(X[b]), np.asarray(ref),
+                                   atol=2e-4)
