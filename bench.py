@@ -760,6 +760,47 @@ def measure_batch_serving_dia(bsz=16, n=150_000, nb_iter=2_000):
     }
 
 
+def measure_batch_serving_assign(bsz=8, nb_iter=2_000):
+    """Batched serving of the assignment-LP class: ``bsz`` cost variants
+    of the k-medians system (150k vars, 450k nnz) through the vmappable
+    XLA-safe composite — gather-free PartitionMatrix equalities +
+    [XlaDia | dense] column-split inequalities — vs sequential single
+    solves (which ride the Pallas ColBlock path).  The serving pattern:
+    one facility/assignment template, many per-request cost fields."""
+    from pysparselp_tpu import solve_cp_batch
+
+    lp = _kmedians_lp()
+    rng = np.random.RandomState(0)
+    C = lp.costsvector[None, :] * (
+        1.0 + 0.1 * rng.rand(bsz, lp.nb_variables))
+
+    kwargs = dict(costs=C, nb_iter=nb_iter, nb_iter_plot=nb_iter,
+                  dtype=np.float32)
+    _, info = solve_cp_batch(lp, **kwargs)          # warmup/compile
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve_cp_batch(lp, **kwargs)
+        rates.append(nb_iter / (time.perf_counter() - t0))
+    rates.sort()
+    rate = rates[1]
+
+    single_kwargs = dict(method="chambolle_pock_ppd", nb_iter=nb_iter,
+                         nb_iter_plot=nb_iter // 2, dtype=np.float32)
+    single_rate, single_runs = _median_rate(lp, single_kwargs)
+    return {
+        "batch_size": bsz,
+        "problem": "kmedians-assignment (150k vars, 450k nnz)",
+        "backend": info["backend"],
+        "batch_iters_per_sec": round(rate, 1),
+        "batch_iters_per_sec_runs": [round(r, 1) for r in rates],
+        "problem_iters_per_sec": round(rate * bsz, 1),
+        "single_iters_per_sec": round(single_rate, 1),
+        "single_iters_per_sec_runs": single_runs,
+        "batching_efficiency_x": round(rate * bsz / single_rate, 2),
+    }
+
+
 def measure_sharded_overhead(size=300, nb_iter=20_000):
     """Sharded CP on a 1-device mesh vs the single-chip kernel at
     Potts-``size``.  Since the position-sharded windowed regime landed,
@@ -943,6 +984,10 @@ def main():
         details["batch_serving_dia"] = measure_batch_serving_dia()
     except Exception as e:  # pragma: no cover - hardware flake guard
         details["batch_serving_dia_error"] = repr(e)
+    try:
+        details["batch_serving_assign"] = measure_batch_serving_assign()
+    except Exception as e:  # pragma: no cover - hardware flake guard
+        details["batch_serving_assign_error"] = repr(e)
     details.update({
         "reference_remeasure": (
             "sys.path.insert(0,'/root/reference'); "
