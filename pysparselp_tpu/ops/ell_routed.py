@@ -362,7 +362,7 @@ def _fold_alloc(t_rows, t_st, rank_row, rank_rs, base, tsz, mode):
     return slots, vtiles_total
 
 
-def _fold_search(rows, st, m, base_tile, qt, depth):
+def _fold_search(rows, st, m, base_tile, qt, depth, unroll, max_tiles):
     """(best_planes, plan) over {no fold} ∪ {cap × mode} candidates.
 
     Plane counts are EXACT (pure counting, no routing, spills excluded):
@@ -371,17 +371,19 @@ def _fold_search(rows, st, m, base_tile, qt, depth):
     the built collect route applies the same fold at depth+1, so a deep
     tail (one 4000-degree row) is priced at its log-depth collapse, not
     at a flat 4000 planes.  ``plan`` is ``(rows_eff, t_rows, slots,
-    vtiles)`` or ``None`` when not folding wins.
+    vtiles)`` or ``None`` when not folding wins.  ``unroll`` is the
+    per-run pad quantum the kernel will pay (1 for the resident kernel,
+    whose chains pair across pools); ``max_tiles`` bounds table growth
+    (the resident kernel must keep the output table in VMEM).
     """
     tsz = qt * LANE
     nst = int(st.max()) + 1 if st.size else 1
-    flat = _layer_planes(rows, st, tsz, nst, _PLANE_UNROLL)
+    flat = _layer_planes(rows, st, tsz, nst, unroll)
     best = (flat, None)
     if depth >= 2 or rows.size == 0:
         return best
     occ = _occ_within(rows * nst + st)       # per-(row, src-tile) rank
     base = base_tile * tsz
-    max_tiles = _TILED_MAX_Q // qt
     id_rows = np.arange(m)
     for cap in _TAIL_FOLD_CANDS:
         t_idx = np.nonzero(occ >= cap)[0]
@@ -399,13 +401,14 @@ def _fold_search(rows, st, m, base_tile, qt, depth):
             rows_eff[t_idx] = slots
             main = _layer_planes(rows_eff, st, tsz,
                                  max(nst, base_tile + vtiles),
-                                 _PLANE_UNROLL)
+                                 unroll)
             # collect = identity over real rows + the tail slots,
             # recursively costed (the built collect folds too)
             c_rows = np.concatenate([id_rows, t_rows])
             c_st = np.concatenate([id_rows, slots]) // tsz
             coll, _ = _fold_search(c_rows, c_st, m,
-                                   base_tile + vtiles, qt, depth + 1)
+                                   base_tile + vtiles, qt, depth + 1,
+                                   unroll, max_tiles)
             total = main + coll
             if total < best[0]:
                 best = (total, (rows_eff, t_rows, slots, vtiles))
@@ -427,10 +430,18 @@ def _tiled_transform(rows, cols, m, q, qt, depth):
     st = cols // tsz
     nst = int(st.max()) + 1 if st.size else 1
     tiles_n = -(-q // qt)
-    baseline = _layer_planes(rows, st, tsz, nst, _PLANE_UNROLL)
+    # the resident kernel pairs chains across pools, so its pad quantum
+    # is 1; it also needs the (possibly fold-grown) output table to stay
+    # VMEM-resident, so transforms may not grow it past the residency cap
+    resident = tiles_n <= _RESIDENT_MAX_TILES
+    unroll = 1 if resident else _PLANE_UNROLL
+    max_tiles = (_RESIDENT_MAX_TILES if resident
+                 else _TILED_MAX_Q // qt)
+    baseline = _layer_planes(rows, st, tsz, nst, unroll)
     best = (baseline, None)
 
-    total, plan = _fold_search(rows, st, m, tiles_n, qt, depth)
+    total, plan = _fold_search(rows, st, m, tiles_n, qt, depth, unroll,
+                               max_tiles)
     if plan is not None and total < best[0]:
         rows_eff, t_rows, slots, vtiles = plan
         best = (total, (rows_eff, t_rows, slots, (tiles_n + vtiles) * qt))
@@ -454,7 +465,7 @@ def _tiled_transform(rows, cols, m, q, qt, depth):
         # exceed m + the virtual rows)
         q_new = max(q, -(-(m + nv) // LANE))
         tiles_after = -(-q_new // qt)
-        if tiles_after * qt > _TILED_MAX_Q:
+        if tiles_after > max_tiles:
             continue
         v_base = m + np.concatenate(([0], np.cumsum(n_chunks[:-1])))
         first_virtual = np.zeros(m, np.int64)
@@ -462,13 +473,13 @@ def _tiled_transform(rows, cols, m, q, qt, depth):
         rows_eff = np.where(chunk == 0, rows,
                             first_virtual[rows] + chunk - 1)
         main = _layer_planes(rows_eff, st, tsz, max(nst, tiles_after),
-                             _PLANE_UNROLL)
+                             unroll)
         owners = np.repeat(heavy, n_chunks)
         vids = np.repeat(v_base, n_chunks) + _ragged_arange(n_chunks)
         c_rows = np.concatenate([id_rows, owners])
         c_st = np.concatenate([id_rows, vids]) // tsz
         coll, _ = _fold_search(c_rows, c_st, m, tiles_after, qt,
-                               depth + 1)
+                               depth + 1, unroll, max_tiles)
         total = main + coll
         if total < best[0]:
             best = (total, (rows_eff, owners, vids, q_new))
@@ -666,7 +677,7 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     pp = pair[porder]
     starts = np.nonzero(np.r_[True, pp[1:] != pp[:-1]])[0]
     bounds = np.append(starts, pp.size)
-    tagged = []  # (dst_tile, src_tile, (a, b, c, v))
+    pools = []  # (dst_tile, src_tile, [(a, b, c, v), ...])
     n_spill = 0
     for gi in range(starts.size):
         sel = porder[starts[gi]:bounds[gi + 1]]
@@ -677,37 +688,57 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
         pool_planes, sp = _route_pool(rows[sel], row_loc, col_loc,
                                       vals_all[sel], qt, rng)
         n_spill += sp
-        tagged.extend((d_t, s_t, p) for p in pool_planes)
-    # dst tiles no demand touches still need one (zeroing) plane — the
-    # kernel initializes an output tile on its first visit, and every
-    # tile of the padded table is returned to the caller
-    covered = {d for d, _, _ in tagged}
+        pools.append((d_t, s_t, pool_planes))
     zplane = (np.zeros((qt, LANE), np.int32),
               np.zeros((LANE, qt), np.int32),
               np.zeros((qt, LANE), np.int32),
               np.zeros((qt, LANE), np.float64))
-    tagged.extend((d, 0, zplane) for d in range(tiles_n)
-                  if d not in covered)
-    tagged.sort(key=lambda t: (t[0], t[1]))  # dst-major: one output run
-    if _PLANE_UNROLL > 1:
-        # pad every (dst, src) run to a multiple of _PLANE_UNROLL so the
-        # kernel can run that many INDEPENDENT gather chains per grid
-        # step: the 3-gather + 2-transpose chain is latency-bound on the
-        # VPU (measured 666 ns per 128x128 plane), and chains of planes
-        # sharing one (src, dst) pair interleave with no extra DMA
-        padded = []
-        i = 0
-        while i < len(tagged):
-            d0, s0 = tagged[i][0], tagged[i][1]
-            j = i
-            while j < len(tagged) and (tagged[j][0], tagged[j][1]) == (
-                    d0, s0):
-                j += 1
-            padded.extend(tagged[i:j])
-            padded.extend((d0, s0, zplane)
-                          for _ in range((-(j - i)) % _PLANE_UNROLL))
-            i = j
-        tagged = padded
+    if tiles_n <= _RESIDENT_MAX_TILES:
+        # resident kernel: the whole output table lives in VMEM and
+        # every chain carries its own (src, dst) tags, so planes order
+        # LAYER-MAJOR (the l-th plane of every pool, pool by pool) —
+        # each grid step's _RESIDENT_UNROLL chains then come from
+        # different pools and stay independent without any per-run
+        # padding; only the global count pads (with zero planes) to the
+        # unroll quantum
+        maxlen = max((len(pls) for _, _, pls in pools), default=0)
+        tagged = [(d_t, s_t, pls[layer]) for layer in range(maxlen)
+                  for d_t, s_t, pls in pools if layer < len(pls)]
+        if not tagged:
+            tagged = [(0, 0, zplane)]
+        tagged.extend((0, 0, zplane) for _ in range(
+            (-len(tagged)) % _RESIDENT_UNROLL))
+    else:
+        # legacy streaming kernel (output table exceeds the residency
+        # cap): dst tiles no demand touches still need one (zeroing)
+        # plane — the kernel initializes an output tile on its first
+        # visit, and every tile of the padded table is returned to the
+        # caller
+        tagged = [(d, s, p) for d, s, pls in pools for p in pls]
+        covered = {d for d, _, _ in tagged}
+        tagged.extend((d, 0, zplane) for d in range(tiles_n)
+                      if d not in covered)
+        tagged.sort(key=lambda t: (t[0], t[1]))  # dst-major output runs
+        if _PLANE_UNROLL > 1:
+            # pad every (dst, src) run to a multiple of _PLANE_UNROLL so
+            # the kernel can run that many INDEPENDENT gather chains per
+            # grid step: the 3-gather + 2-transpose chain is
+            # latency-bound on the VPU (measured 666 ns per 128x128
+            # plane), and chains of planes sharing one (src, dst) pair
+            # interleave with no extra DMA
+            padded = []
+            i = 0
+            while i < len(tagged):
+                d0, s0 = tagged[i][0], tagged[i][1]
+                j = i
+                while j < len(tagged) and (
+                        tagged[j][0], tagged[j][1]) == (d0, s0):
+                    j += 1
+                padded.extend(tagged[i:j])
+                padded.extend((d0, s0, zplane)
+                              for _ in range((-(j - i)) % _PLANE_UNROLL))
+                i = j
+            tagged = padded
     dst = np.array([d for d, _, _ in tagged], np.int32)
     src = np.array([s for _, s, _ in tagged], np.int32)
     first = np.ones(dst.size, np.int32)
@@ -776,8 +807,22 @@ _ROUTED_TILE_Q = LANE
 # independent gather chains per tiled-kernel grid step: one 3-gather +
 # 2-transpose chain is latency-bound (measured 666 ns per 128x128 plane
 # on the v5e), so the builder pads every (dst, src) plane run to a
-# multiple of this and the kernel unrolls that many chains per step
+# multiple of this and the kernel unrolls that many chains per step.
+# Only the LEGACY streaming kernel pays this per-run padding — the
+# resident kernel below pairs chains across pools and pads globally.
 _PLANE_UNROLL = 2
+
+# Resident tiled kernel: when the whole output table fits VMEM
+# (tiles <= _RESIDENT_MAX_TILES, i.e. <= 6 MB of f32 accumulator), the
+# kernel keeps it resident for the full grid, each chain carries its own
+# scalar-prefetched (src, dst) tile tags (per-chain x-tile DMA, dynamic
+# read-modify-write accumulation), and plane order is layer-major across
+# pools.  That removes BOTH legacy paddings (per-run unroll fill and the
+# one-zero-plane-per-untouched-dst-tile) and lets the unroll deepen past
+# the per-run plane supply: the r5 unstructured capture paid 1,260
+# planes at _PLANE_UNROLL=2 where the same routes cost 1,041 unpadded.
+_RESIDENT_MAX_TILES = 96
+_RESIDENT_UNROLL = 4
 
 # test hook: force interpreter mode off-TPU (mirrors cp_windowed)
 _FORCE_INTERPRET = False
@@ -941,6 +986,92 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
     return call(src[::u], dst[::u], first[::u], xt, a, b, c, v)
 
 
+def _make_resident_kernel(u):
+    """Resident-output tiled kernel with ``u`` fully independent chains.
+
+    The output table (tiles, qt, LANE) stays VMEM-resident for the whole
+    grid (zero-filled once at step 0), so chains no longer need to share
+    a (src, dst) tile pair: chain ``uu`` of step ``p`` reads its own
+    scalar-prefetched x tile (in_spec ``s[p*u+uu]``) and accumulates into
+    its own dst tile by dynamic read-modify-write.  The RMW loop runs
+    AFTER all gather chains so two chains landing on one dst tile
+    serialize only the cheap adds (program order keeps them correct),
+    never the latency-bound gathers."""
+    from jax.experimental import pallas as pl
+
+    def kernel(s_ref, d_ref, *refs):
+        del s_ref  # src tags are consumed by the x-tile index maps
+        x_refs = refs[:u]
+        a_ref, b_ref, c_ref, v_ref, o_ref = refs[u:]
+        p = pl.program_id(0)
+
+        @pl.when(p == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        terms = []
+        for uu in range(u):
+            ta = _dyn_gather(x_refs[uu][0], a_ref[uu], axis=1)
+            tb = _dyn_gather(ta.T, b_ref[uu], axis=1).T
+            g = _dyn_gather(tb, c_ref[uu], axis=1)
+            terms.append(v_ref[uu].astype(o_ref.dtype) * g)
+        for uu in range(u):
+            d = d_ref[p * u + uu]
+            o_ref[pl.ds(d, 1)] += terms[uu][None]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("qt", "tiles", "n_planes", "interpret"))
+def _routed_resident_spmv_call(xt, a, b, c, v, src, dst, qt, tiles,
+                               n_planes, interpret=False):
+    """Resident-output routed SpMV (tables within _RESIDENT_MAX_TILES).
+
+    ``xt`` is (tiles, qt, LANE); the x input is passed once per chain so
+    each chain's BlockSpec DMAs its own source tile from the per-plane
+    ``src`` tags, and ``dst`` rides scalar prefetch into the kernel for
+    the dynamic accumulate."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i32 = jnp.int32
+    u = _RESIDENT_UNROLL if n_planes % _RESIDENT_UNROLL == 0 else 1
+    plane_spec = pl.BlockSpec(
+        (u, qt, LANE), lambda p, s, d: (i32(p), i32(0), i32(0)))
+    plane_spec_t = pl.BlockSpec(
+        (u, LANE, qt), lambda p, s, d: (i32(p), i32(0), i32(0)))
+
+    def x_map(uu):
+        return lambda p, s, d: (s[p * i32(u) + i32(uu)], i32(0), i32(0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_planes // u,),
+        in_specs=[
+            *(pl.BlockSpec((1, qt, LANE), x_map(uu)) for uu in range(u)),
+            plane_spec, plane_spec_t, plane_spec, plane_spec,
+        ],
+        out_specs=pl.BlockSpec((tiles, qt, LANE),
+                               lambda p, s, d: (i32(0), i32(0), i32(0))),
+    )
+    slot_bytes = (a.dtype.itemsize + b.dtype.itemsize + c.dtype.itemsize
+                  + v.dtype.itemsize)
+    call = pl.pallas_call(
+        _make_resident_kernel(u),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tiles, qt, LANE), xt.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_planes * qt * LANE,
+            bytes_accessed=n_planes * qt * LANE * slot_bytes
+            + 2 * tiles * qt * LANE * 4,
+            transcendentals=0,
+        ),
+    )
+    return call(src, dst, *([xt] * u), a, b, c, v)
+
+
 def _as_table(x, q, dtype):
     xt = jnp.zeros((q * LANE,), dtype)
     xt = xt.at[: x.shape[0]].set(x.astype(dtype))
@@ -1017,6 +1148,14 @@ class RoutedEllMatrix:
                                     v.astype(flat.dtype), tq,
                                     int(a.shape[0]),
                                     interpret=self._interpret())
+        elif int(tiles) <= _RESIDENT_MAX_TILES:
+            # build_routes orders/pads planes for the resident kernel
+            # exactly when the table is within the residency cap, so the
+            # tiles count alone selects the matching kernel
+            out = _routed_resident_spmv_call(
+                flat.reshape(tiles, tq, LANE), a, b, c,
+                v.astype(flat.dtype), tags[0], tags[1],
+                tq, tiles, int(a.shape[0]), interpret=self._interpret())
         else:
             out = _routed_tiled_spmv_call(
                 flat.reshape(tiles, tq, LANE), a, b, c,
@@ -1298,6 +1437,10 @@ def _tiled_orientation_cost_rows(rows, cols, q, qt):
               + 2 * (-(-over // tsz)) * min(n_j + n_s, 16)  # tails+collect
               + -(-rows.size // tsz))                       # identity pass
     planes = min(flat, folded) if over else flat
+    if tiles_n <= _RESIDENT_MAX_TILES:
+        # resident kernel: no zeroing planes for untouched dst tiles and
+        # no per-run unroll padding — the plane count is the pool sum
+        return planes * qt
     return (planes + tiles_n) * qt  # + one zeroing plane per dst tile
 
 
