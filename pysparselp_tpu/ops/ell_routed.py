@@ -372,9 +372,9 @@ def _fold_search(rows, st, m, base_tile, qt, depth, unroll, max_tiles):
     tail (one 4000-degree row) is priced at its log-depth collapse, not
     at a flat 4000 planes.  ``plan`` is ``(rows_eff, t_rows, slots,
     vtiles)`` or ``None`` when not folding wins.  ``unroll`` is the
-    per-run pad quantum the kernel will pay (1 for the resident kernel,
-    whose chains pair across pools); ``max_tiles`` bounds table growth
-    (the resident kernel must keep the output table in VMEM).
+    pad quantum the plane layout will pay (1 for the dst-grouped kernel,
+    whose per-pool remainders pair cross-pool within each dst group);
+    ``max_tiles`` bounds table growth.
     """
     tsz = qt * LANE
     nst = int(st.max()) + 1 if st.size else 1
@@ -430,13 +430,11 @@ def _tiled_transform(rows, cols, m, q, qt, depth):
     st = cols // tsz
     nst = int(st.max()) + 1 if st.size else 1
     tiles_n = -(-q // qt)
-    # the resident kernel pairs chains across pools, so its pad quantum
-    # is 1; it also needs the (possibly fold-grown) output table to stay
-    # VMEM-resident, so transforms may not grow it past the residency cap
-    resident = tiles_n <= _RESIDENT_MAX_TILES
-    unroll = 1 if resident else _PLANE_UNROLL
-    max_tiles = (_RESIDENT_MAX_TILES if resident
-                 else _TILED_MAX_Q // qt)
+    # the dst-grouped kernel pairs chains across a group's src pools, so
+    # per-pool padding is gone; group-level padding (< unroll planes per
+    # dst tile) is small enough to count plane totals at quantum 1
+    unroll = 1
+    max_tiles = _TILED_MAX_Q // qt
     baseline = _layer_planes(rows, st, tsz, nst, unroll)
     best = (baseline, None)
 
@@ -693,52 +691,38 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
               np.zeros((LANE, qt), np.int32),
               np.zeros((qt, LANE), np.int32),
               np.zeros((qt, LANE), np.float64))
-    if tiles_n <= _RESIDENT_MAX_TILES:
-        # resident kernel: the whole output table lives in VMEM and
-        # every chain carries its own (src, dst) tags, so planes order
-        # LAYER-MAJOR (the l-th plane of every pool, pool by pool) —
-        # each grid step's _RESIDENT_UNROLL chains then come from
-        # different pools and stay independent without any per-run
-        # padding; only the global count pads (with zero planes) to the
-        # unroll quantum
-        maxlen = max((len(pls) for _, _, pls in pools), default=0)
-        tagged = [(d_t, s_t, pls[layer]) for layer in range(maxlen)
-                  for d_t, s_t, pls in pools if layer < len(pls)]
-        if not tagged:
-            tagged = [(0, 0, zplane)]
-        tagged.extend((0, 0, zplane) for _ in range(
-            (-len(tagged)) % _RESIDENT_UNROLL))
-    else:
-        # legacy streaming kernel (output table exceeds the residency
-        # cap): dst tiles no demand touches still need one (zeroing)
-        # plane — the kernel initializes an output tile on its first
-        # visit, and every tile of the padded table is returned to the
-        # caller
-        tagged = [(d, s, p) for d, s, pls in pools for p in pls]
-        covered = {d for d, _, _ in tagged}
-        tagged.extend((d, 0, zplane) for d in range(tiles_n)
-                      if d not in covered)
-        tagged.sort(key=lambda t: (t[0], t[1]))  # dst-major output runs
-        if _PLANE_UNROLL > 1:
-            # pad every (dst, src) run to a multiple of _PLANE_UNROLL so
-            # the kernel can run that many INDEPENDENT gather chains per
-            # grid step: the 3-gather + 2-transpose chain is
-            # latency-bound on the VPU (measured 666 ns per 128x128
-            # plane), and chains of planes sharing one (src, dst) pair
-            # interleave with no extra DMA
-            padded = []
-            i = 0
-            while i < len(tagged):
-                d0, s0 = tagged[i][0], tagged[i][1]
-                j = i
-                while j < len(tagged) and (
-                        tagged[j][0], tagged[j][1]) == (d0, s0):
-                    j += 1
-                padded.extend(tagged[i:j])
-                padded.extend((d0, s0, zplane)
-                              for _ in range((-(j - i)) % _PLANE_UNROLL))
-                i = j
-            tagged = padded
+    # dst-grouped plane order: each grid step's _PLANE_UNROLL chains
+    # share ONE output tile (single revolving-block accumulate) but
+    # carry their own scalar-prefetched SOURCE tile.  Within a dst
+    # group, each pool's planes are emitted in whole unroll quanta first
+    # (a step's chains then share their src tile too, so the per-chain
+    # x BlockSpecs keep hitting the same block and Pallas skips the
+    # re-DMA — measured faster than strict cross-pool interleave, 761 vs
+    # 747 us/pair on the r5 unstructured matrix); the per-pool REMAINDER
+    # planes pair cross-pool within the group (mixed-src steps pay extra
+    # 64 KB x DMAs but avoid the old per-pool zero-fill, which cost 232
+    # of the r5 capture's 1,260 planes).  Only each group's tail pads
+    # with zero planes.  Untouched dst tiles still need one (zeroing)
+    # group so every tile of the padded table is written.
+    covered = {d for d, _, _ in pools}
+    by_dst = {}
+    for d_t, s_t, pls in pools:
+        by_dst.setdefault(d_t, []).append((s_t, pls))
+    for d in range(tiles_n):
+        if d not in covered:
+            by_dst[d] = [(0, [zplane])]
+    u = _PLANE_UNROLL
+    tagged = []
+    for d_t in sorted(by_dst):
+        group = by_dst[d_t]
+        orphans = []
+        for s_t, pls in group:
+            whole = len(pls) - len(pls) % u
+            tagged.extend((d_t, s_t, p) for p in pls[:whole])
+            orphans.extend((d_t, s_t, p) for p in pls[whole:])
+        orphans.extend((d_t, 0, zplane)
+                       for _ in range((-len(orphans)) % u))
+        tagged.extend(orphans)
     dst = np.array([d for d, _, _ in tagged], np.int32)
     src = np.array([s for _, s, _ in tagged], np.int32)
     first = np.ones(dst.size, np.int32)
@@ -806,23 +790,13 @@ _ROUTED_TILE_Q = LANE
 
 # independent gather chains per tiled-kernel grid step: one 3-gather +
 # 2-transpose chain is latency-bound (measured 666 ns per 128x128 plane
-# on the v5e), so the builder pads every (dst, src) plane run to a
-# multiple of this and the kernel unrolls that many chains per step.
-# Only the LEGACY streaming kernel pays this per-run padding — the
-# resident kernel below pairs chains across pools and pads globally.
+# on the v5e), so the kernel unrolls this many chains per step.  Each
+# step's chains share ONE dst tile (single revolving-block accumulate)
+# but read per-chain src tiles, so the builder pads per dst GROUP —
+# typically many src pools wide — not per (dst, src) pool: the r5
+# unstructured capture paid 1,260 planes under pool-level pairing at
+# unroll 2 where the dst-grouped layout costs ~1,060 at unroll 4.
 _PLANE_UNROLL = 2
-
-# Resident tiled kernel: when the whole output table fits VMEM
-# (tiles <= _RESIDENT_MAX_TILES, i.e. <= 6 MB of f32 accumulator), the
-# kernel keeps it resident for the full grid, each chain carries its own
-# scalar-prefetched (src, dst) tile tags (per-chain x-tile DMA, dynamic
-# read-modify-write accumulation), and plane order is layer-major across
-# pools.  That removes BOTH legacy paddings (per-run unroll fill and the
-# one-zero-plane-per-untouched-dst-tile) and lets the unroll deepen past
-# the per-run plane supply: the r5 unstructured capture paid 1,260
-# planes at _PLANE_UNROLL=2 where the same routes cost 1,041 unpadded.
-_RESIDENT_MAX_TILES = 96
-_RESIDENT_UNROLL = 4
 
 # test hook: force interpreter mode off-TPU (mirrors cp_windowed)
 _FORCE_INTERPRET = False
@@ -911,30 +885,43 @@ def _routed_spmv_call(xt, a, b, c, v, q, n_planes, interpret=False):
     return call(xt, a, b, c, v)
 
 
-def _routed_tiled_kernel(s_ref, d_ref, f_ref, x_ref, a_ref, b_ref, c_ref,
-                         v_ref, o_ref):
+def _make_tiled_kernel(u):
+    """Tiled routed kernel: ``u`` gather chains per step, ONE dst tile.
+
+    Every step's planes share one output tile (build_routes orders
+    planes dst-grouped), so the accumulate is a single revolving-block
+    RMW — but each chain reads its OWN source tile (per-chain
+    scalar-prefetched ``src`` tags), which lets the latency-bound
+    3-gather + 2-transpose chains interleave across a dst group's many
+    src pools.  A dynamic per-chain dst (full read-modify-write of a
+    (qt, LANE) slab per chain) was measured strictly worse: 666 ns/plane
+    at u=4 vs 593 ns/plane for shared-dst pairs at u=2 — the 64 KB
+    VMEM↔vreg round-trip per chain swamps the ILP gain."""
     from jax.experimental import pallas as pl
 
-    p = pl.program_id(0)
+    def kernel(s_ref, d_ref, f_ref, *refs):
+        del s_ref, d_ref  # consumed by the x-tile / output index maps
+        x_refs = refs[:u]
+        a_ref, b_ref, c_ref, v_ref, o_ref = refs[u:]
+        p = pl.program_id(0)
 
-    # first visit of this output tile (planes are dst-tile-major, so each
-    # tile is one contiguous run and the accumulator stays VMEM-resident
-    # for the whole run)
-    @pl.when(f_ref[p] == 1)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        # first visit of this output tile (planes are dst-grouped, so
+        # each tile is one contiguous run and the accumulator stays
+        # VMEM-resident for the whole run)
+        @pl.when(f_ref[p] == 1)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
 
-    # _PLANE_UNROLL independent 3-gather chains per step (static unroll):
-    # one chain is latency-bound, so interleaving chains of planes that
-    # share this step's (src, dst) pair recovers VPU throughput
-    acc = None
-    for u in range(a_ref.shape[0]):
-        ta = _dyn_gather(x_ref[0], a_ref[u], axis=1)
-        tb = _dyn_gather(ta.T, b_ref[u], axis=1).T
-        g = _dyn_gather(tb, c_ref[u], axis=1)
-        term = v_ref[u].astype(o_ref.dtype) * g
-        acc = term if acc is None else acc + term
-    o_ref[...] += acc[None]
+        acc = None
+        for uu in range(u):
+            ta = _dyn_gather(x_refs[uu][0], a_ref[uu], axis=1)
+            tb = _dyn_gather(ta.T, b_ref[uu], axis=1).T
+            g = _dyn_gather(tb, c_ref[uu], axis=1)
+            term = v_ref[uu].astype(o_ref.dtype) * g
+            acc = term if acc is None else acc + term
+        o_ref[...] += acc[None]
+
+    return kernel
 
 
 @functools.partial(jax.jit,
@@ -942,10 +929,10 @@ def _routed_tiled_kernel(s_ref, d_ref, f_ref, x_ref, a_ref, b_ref, c_ref,
 def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
                             n_planes, interpret=False):
     """Tiled-table routed SpMV: ``xt`` is ``(tiles, qt, LANE)`` in HBM;
-    each plane's source and destination tiles come from scalar-prefetched
-    tags (the same mechanism as the BSR kernel's tile-column ids), so the
-    grid stays one-dimensional over planes while the table exceeds VMEM.
-    """
+    each chain's source tile and each step's destination tile come from
+    scalar-prefetched tags (the same mechanism as the BSR kernel's
+    tile-column ids), so the grid stays one-dimensional over planes
+    while the table exceeds VMEM."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -955,12 +942,16 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
         (u, qt, LANE), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
     plane_spec_t = pl.BlockSpec(
         (u, LANE, qt), lambda p, s, d, f: (i32(p), i32(0), i32(0)))
+
+    def x_map(uu):
+        return lambda p, s, d, f: (s[p * i32(u) + i32(uu)], i32(0),
+                                   i32(0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_planes // u,),
         in_specs=[
-            pl.BlockSpec((1, qt, LANE),
-                         lambda p, s, d, f: (s[p], i32(0), i32(0))),
+            *(pl.BlockSpec((1, qt, LANE), x_map(uu)) for uu in range(u)),
             plane_spec, plane_spec_t, plane_spec, plane_spec,
         ],
         out_specs=pl.BlockSpec((1, qt, LANE),
@@ -969,7 +960,7 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
     slot_bytes = (a.dtype.itemsize + b.dtype.itemsize + c.dtype.itemsize
                   + v.dtype.itemsize)
     call = pl.pallas_call(
-        _routed_tiled_kernel,
+        _make_tiled_kernel(u),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles, qt, LANE), xt.dtype),
         interpret=interpret,
@@ -980,96 +971,10 @@ def _routed_tiled_spmv_call(xt, a, b, c, v, src, dst, first, qt, tiles,
             transcendentals=0,
         ),
     )
-    # per-step tags: runs are padded to _PLANE_UNROLL so every step's
-    # planes share one (src, dst) pair; first-visit flags only fire on
-    # run starts, which are step-aligned
-    return call(src[::u], dst[::u], first[::u], xt, a, b, c, v)
-
-
-def _make_resident_kernel(u):
-    """Resident-output tiled kernel with ``u`` fully independent chains.
-
-    The output table (tiles, qt, LANE) stays VMEM-resident for the whole
-    grid (zero-filled once at step 0), so chains no longer need to share
-    a (src, dst) tile pair: chain ``uu`` of step ``p`` reads its own
-    scalar-prefetched x tile (in_spec ``s[p*u+uu]``) and accumulates into
-    its own dst tile by dynamic read-modify-write.  The RMW loop runs
-    AFTER all gather chains so two chains landing on one dst tile
-    serialize only the cheap adds (program order keeps them correct),
-    never the latency-bound gathers."""
-    from jax.experimental import pallas as pl
-
-    def kernel(s_ref, d_ref, *refs):
-        del s_ref  # src tags are consumed by the x-tile index maps
-        x_refs = refs[:u]
-        a_ref, b_ref, c_ref, v_ref, o_ref = refs[u:]
-        p = pl.program_id(0)
-
-        @pl.when(p == 0)
-        def _():
-            o_ref[...] = jnp.zeros_like(o_ref)
-
-        terms = []
-        for uu in range(u):
-            ta = _dyn_gather(x_refs[uu][0], a_ref[uu], axis=1)
-            tb = _dyn_gather(ta.T, b_ref[uu], axis=1).T
-            g = _dyn_gather(tb, c_ref[uu], axis=1)
-            terms.append(v_ref[uu].astype(o_ref.dtype) * g)
-        for uu in range(u):
-            d = d_ref[p * u + uu]
-            o_ref[pl.ds(d, 1)] += terms[uu][None]
-
-    return kernel
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("qt", "tiles", "n_planes", "interpret"))
-def _routed_resident_spmv_call(xt, a, b, c, v, src, dst, qt, tiles,
-                               n_planes, interpret=False):
-    """Resident-output routed SpMV (tables within _RESIDENT_MAX_TILES).
-
-    ``xt`` is (tiles, qt, LANE); the x input is passed once per chain so
-    each chain's BlockSpec DMAs its own source tile from the per-plane
-    ``src`` tags, and ``dst`` rides scalar prefetch into the kernel for
-    the dynamic accumulate."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    i32 = jnp.int32
-    u = _RESIDENT_UNROLL if n_planes % _RESIDENT_UNROLL == 0 else 1
-    plane_spec = pl.BlockSpec(
-        (u, qt, LANE), lambda p, s, d: (i32(p), i32(0), i32(0)))
-    plane_spec_t = pl.BlockSpec(
-        (u, LANE, qt), lambda p, s, d: (i32(p), i32(0), i32(0)))
-
-    def x_map(uu):
-        return lambda p, s, d: (s[p * i32(u) + i32(uu)], i32(0), i32(0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_planes // u,),
-        in_specs=[
-            *(pl.BlockSpec((1, qt, LANE), x_map(uu)) for uu in range(u)),
-            plane_spec, plane_spec_t, plane_spec, plane_spec,
-        ],
-        out_specs=pl.BlockSpec((tiles, qt, LANE),
-                               lambda p, s, d: (i32(0), i32(0), i32(0))),
-    )
-    slot_bytes = (a.dtype.itemsize + b.dtype.itemsize + c.dtype.itemsize
-                  + v.dtype.itemsize)
-    call = pl.pallas_call(
-        _make_resident_kernel(u),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((tiles, qt, LANE), xt.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_planes * qt * LANE,
-            bytes_accessed=n_planes * qt * LANE * slot_bytes
-            + 2 * tiles * qt * LANE * 4,
-            transcendentals=0,
-        ),
-    )
-    return call(src, dst, *([xt] * u), a, b, c, v)
+    # src tags are per PLANE (chains read distinct source tiles); dst
+    # and first-visit tags are per STEP (dst groups are padded to the
+    # unroll quantum, so group boundaries are step-aligned)
+    return call(src, dst[::u], first[::u], *([xt] * u), a, b, c, v)
 
 
 def _as_table(x, q, dtype):
@@ -1148,14 +1053,6 @@ class RoutedEllMatrix:
                                     v.astype(flat.dtype), tq,
                                     int(a.shape[0]),
                                     interpret=self._interpret())
-        elif int(tiles) <= _RESIDENT_MAX_TILES:
-            # build_routes orders/pads planes for the resident kernel
-            # exactly when the table is within the residency cap, so the
-            # tiles count alone selects the matching kernel
-            out = _routed_resident_spmv_call(
-                flat.reshape(tiles, tq, LANE), a, b, c,
-                v.astype(flat.dtype), tags[0], tags[1],
-                tq, tiles, int(a.shape[0]), interpret=self._interpret())
         else:
             out = _routed_tiled_spmv_call(
                 flat.reshape(tiles, tq, LANE), a, b, c,
@@ -1437,11 +1334,10 @@ def _tiled_orientation_cost_rows(rows, cols, q, qt):
               + 2 * (-(-over // tsz)) * min(n_j + n_s, 16)  # tails+collect
               + -(-rows.size // tsz))                       # identity pass
     planes = min(flat, folded) if over else flat
-    if tiles_n <= _RESIDENT_MAX_TILES:
-        # resident kernel: no zeroing planes for untouched dst tiles and
-        # no per-run unroll padding — the plane count is the pool sum
-        return planes * qt
-    return (planes + tiles_n) * qt  # + one zeroing plane per dst tile
+    # dst-grouped layout: no per-pool unroll padding, and zeroing planes
+    # only for UNTOUCHED dst tiles (rare on real demand sets) — group
+    # padding (< _PLANE_UNROLL per touched tile) rides the packing factor
+    return planes * qt
 
 
 def routed_cost_estimate(csr) -> int:

@@ -293,12 +293,14 @@ def test_tiled_route_reproduces_spmv():
     route = build_routes(a, qt=2)
     assert route["tiles"] == -(-route["q"] // 2)
     assert route["tags"].shape == (3, route["n_planes"])
-    # resident-kernel plane order: globally padded to the unroll quantum
-    # so every grid step carries a full complement of chains
+    # dst-grouped plane order, each group padded to the unroll quantum
     from pysparselp_tpu.ops import ell_routed as er
 
-    assert route["tiles"] <= er._RESIDENT_MAX_TILES
-    assert route["n_planes"] % er._RESIDENT_UNROLL == 0
+    src, dst, first = route["tags"]
+    assert (np.diff(dst) >= 0).all()
+    expect_first = np.r_[1, (np.diff(dst) != 0).astype(np.int32)]
+    np.testing.assert_array_equal(first, expect_first)
+    assert route["n_planes"] % er._PLANE_UNROLL == 0
     x = np.random.RandomState(0).randn(700)
     np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
                                rtol=1e-12, atol=1e-12)
@@ -378,8 +380,8 @@ def test_tiled_auto_beyond_single_tile_limit():
 
 
 def test_tiled_tpu_lowering_under_x64():
-    """Mosaic legalization of the RESIDENT tiled kernel (per-chain tags,
-    dynamic RMW accumulate), checked WITHOUT a chip (x64 suite
+    """Mosaic legalization of the dst-grouped tiled kernel (per-chain
+    src tags, shared-dst accumulate), checked WITHOUT a chip (x64 suite
     environment, i32 index maps)."""
     import jax
 
@@ -387,7 +389,6 @@ def test_tiled_tpu_lowering_under_x64():
 
     a = _rand(600, 400, 0.02, seed=43)
     op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32, qt=2)
-    assert op.tiles <= er._RESIDENT_MAX_TILES  # resident path covered
     x = jnp.zeros(400, jnp.float32)
     forced, er._FORCE_INTERPRET = er._FORCE_INTERPRET, False
     try:
@@ -395,46 +396,6 @@ def test_tiled_tpu_lowering_under_x64():
         f.trace(x).lower(lowering_platforms=("tpu",))
     finally:
         er._FORCE_INTERPRET = forced
-
-
-def test_legacy_tiled_tpu_lowering_under_x64(monkeypatch):
-    """Mosaic legalization of the LEGACY streaming tiled kernel (shared
-    per-step tags, first-visit zeroing) — the path tables beyond the
-    residency cap still take."""
-    import jax
-
-    from pysparselp_tpu.ops import ell_routed as er
-
-    monkeypatch.setattr(er, "_RESIDENT_MAX_TILES", 0)
-    a = _rand(600, 400, 0.02, seed=43)
-    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32, qt=2)
-    x = jnp.zeros(400, jnp.float32)
-    forced, er._FORCE_INTERPRET = er._FORCE_INTERPRET, False
-    try:
-        f = jax.jit(lambda x: jnp.sum(op.rmatvec(op.matvec(x))))
-        f.trace(x).lower(lowering_platforms=("tpu",))
-    finally:
-        er._FORCE_INTERPRET = forced
-
-
-def test_legacy_tiled_operator_parity(monkeypatch):
-    """Interpret-mode numeric parity through the LEGACY streaming tiled
-    kernel, so the big-table path keeps end-to-end coverage."""
-    from pysparselp_tpu.ops import ell_routed as er
-
-    monkeypatch.setattr(er, "_RESIDENT_MAX_TILES", 0)
-    a = _rand(700, 450, 0.02, seed=51)
-    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32, qt=2)
-    x = np.random.RandomState(3).randn(450).astype(np.float32)
-    ref = a @ x
-    got = np.asarray(op.matvec(jnp.asarray(x)))
-    scale = np.abs(ref).max() or 1.0
-    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-6)
-    y = np.random.RandomState(4).randn(700).astype(np.float32)
-    refT = a.T @ y
-    gotT = np.asarray(op.rmatvec(jnp.asarray(y)))
-    scaleT = np.abs(refT).max() or 1.0
-    np.testing.assert_allclose(gotT / scaleT, refT / scaleT, atol=3e-6)
 
 
 def test_tiled_cost_estimate_tracks_built_layout():
@@ -474,7 +435,7 @@ def test_tail_fold_cuts_planes_on_poisson_tails():
     nst = int(st.max()) + 1
     flat = er._layer_planes(rows, st, tsz, nst, 1)
     total, plan = er._fold_search(rows, st, m, -(-m // tsz), qt, 0, 1,
-                                  er._RESIDENT_MAX_TILES)
+                                  er._TILED_MAX_Q // qt)
     assert plan is not None
     assert total < 0.85 * flat, (total, flat)
 
@@ -507,53 +468,34 @@ def test_chunk_split_beats_fold_on_single_deep_row():
                                rtol=1e-12, atol=1e-12)
 
 
-def test_plane_pairing_runs_are_step_aligned(monkeypatch):
-    """LEGACY streaming kernel (tables beyond the residency cap): every
-    (dst, src) run must be a multiple of _PLANE_UNROLL so each kernel
-    grid step's planes share one tile pair, and first-visit flags only
-    fire on step boundaries."""
-    from pysparselp_tpu.ops import ell_routed as er
-
-    monkeypatch.setattr(er, "_RESIDENT_MAX_TILES", 0)
-    a = _rand(900, 700, 0.02, seed=31)
-    route = build_routes(a, qt=2)
-    u = er._PLANE_UNROLL
-    assert route["n_planes"] % u == 0
-    src, dst, first = route["tags"]
-    pair_change = np.r_[True, (np.diff(dst) != 0) | (np.diff(src) != 0)]
-    run_starts = np.nonzero(pair_change)[0]
-    assert (run_starts % u == 0).all()
-    assert (np.nonzero(first)[0] % u == 0).all()
-    # the legacy route must stay executable end-to-end (oracle parity)
-    x = np.random.RandomState(0).randn(700)
-    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
-                               rtol=1e-12, atol=1e-12)
-
-
-def test_resident_layer_major_order_and_oracle():
-    """Resident kernel invariants: plane count padded to
-    _RESIDENT_UNROLL, layer-major order interleaves pools (the l-th
-    plane of every pool precedes any (l+1)-th plane), and the oracle
-    reproduces A @ x through the per-chain tags."""
+def test_dst_groups_are_step_aligned_and_pool_major():
+    """dst-grouped kernel invariants: every dst group is padded to a
+    multiple of _PLANE_UNROLL (each grid step's chains share ONE output
+    tile, so group boundaries — where first-visit flags fire — must be
+    step-aligned), whole unroll quanta of each pool precede the group's
+    cross-pool orphan tail (so most steps also share their src tile and
+    the per-chain x DMA is skipped), and the oracle must reproduce
+    A @ x through the per-chain tags."""
     from pysparselp_tpu.ops import ell_routed as er
 
     a = _rand(900, 700, 0.02, seed=31)
     route = build_routes(a, qt=2, split=False)
-    assert route["tiles"] <= er._RESIDENT_MAX_TILES
-    assert route["n_planes"] % er._RESIDENT_UNROLL == 0
+    u = er._PLANE_UNROLL
+    assert route["n_planes"] % u == 0
     src, dst, first = route["tags"]
-    # layer index of each plane within its (dst, src) pool must be
-    # non-decreasing along the plane order (layer-major interleave);
-    # trailing global zero pads (all-zero value planes tagged (0, 0))
-    # are excluded — they exist only to square off the unroll quantum
-    real = np.asarray([v.any() for v in route["v"]])
-    n_real = int(np.nonzero(real)[0].max()) + 1
-    seen = {}
-    layers = []
-    for s, d in zip(src[:n_real], dst[:n_real]):
-        layers.append(seen.get((d, s), 0))
-        seen[(d, s)] = layers[-1] + 1
-    assert (np.diff(np.asarray(layers)) >= 0).all()
+    group_starts = np.nonzero(np.r_[True, np.diff(dst) != 0])[0]
+    assert (group_starts % u == 0).all()
+    np.testing.assert_array_equal(
+        first, np.r_[1, (np.diff(dst) != 0).astype(np.int32)])
+    # most steps must be same-src (the x-DMA-reuse heuristic): mixed-src
+    # steps only come from the cross-pool orphan tails, bounded by one
+    # orphan run per (dst, src) pool
+    n_steps = dst.size // u
+    mixed = sum(
+        len({int(s) for s in src[k * u:(k + 1) * u]}) > 1
+        for k in range(n_steps))
+    n_pools = len({(int(d), int(s)) for d, s in zip(dst, src)})
+    assert mixed <= n_pools, (mixed, n_steps, n_pools)
     x = np.random.RandomState(0).randn(700)
     np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
                                rtol=1e-12, atol=1e-12)
