@@ -8,12 +8,14 @@ pick, and derives the effective bytes-per-padded-slot constant
 
 Run ON the real chip, one process at a time:
     PYTHONPATH=/root/repo:/root/.axon_site python scripts_routed_probe.py \
-        [ITERS] [routed|fallback|both]
+        [ITERS] [routed|fallback|both] [UNROLL]
 
 The second arg selects which backend(s) to time (default ``both``) —
 operationally important on the tunneled chip: timing one backend per
 process keeps each dispatch chain short (long dispatches can kill the
 tunneled worker) and isolates a crash to the backend that caused it.
+The third arg overrides ``_PLANE_UNROLL`` (chains per tiled-kernel grid
+step) so the unroll sweep runs without editing the module.
 """
 import json
 import sys
@@ -25,6 +27,10 @@ import jax.numpy as jnp
 
 iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 which = sys.argv[2] if len(sys.argv) > 2 else "both"
+
+if len(sys.argv) > 3:
+    from pysparselp_tpu.ops import ell_routed as _er
+    _er._PLANE_UNROLL = int(sys.argv[3])
 
 from bench import _unstructured_matrix  # noqa: E402
 from pysparselp_tpu import problem as pr  # noqa: E402
@@ -81,6 +87,10 @@ def main():
         # observed ceiling; see bench.HBM_OBSERVED_CEILING_GBS)
         r["bytes_per_slot_at_932"] = round(
             r["pair_us"] * 1e-6 * 932e9 / r["nnz_padded"], 2)
+        planes = op_r.v.shape[0] + op_r.vt.shape[0]
+        for chain in (op_r.coll, op_r.coll_t):
+            planes += sum(stack[3].shape[0] for stack in chain or ())
+        r["planes_per_pair"] = int(planes)
         results["routed"] = r
         del op_r
 
