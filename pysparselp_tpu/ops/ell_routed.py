@@ -135,6 +135,10 @@ def _route_plane(so, lo, sx, lx, vals, q, rng):
             b_slot[key_b[ci]] = e[ci]
         unassigned = u[lam[u] == -1]
 
+    if unassigned.size:
+        _repair_plane(unassigned, so, sx, eid, lam, a_slot, b_slot)
+        unassigned = unassigned[lam[unassigned] == -1]
+
     spilled = np.zeros(nd, bool)
     spilled[unassigned] = True
 
@@ -152,6 +156,131 @@ def _route_plane(so, lo, sx, lx, vals, q, rng):
     c[pso, plo] = pl_
     v[pso, plo] = vals[placed]
     return a, b, c, v, spilled
+
+
+def _repair_plane(unassigned, so, sx, eid, lam, a_slot, b_slot):
+    """Exact alternating-path recoloring for the greedy's leftovers.
+
+    A plane's demands form a bipartite multigraph (source sublanes x
+    output sublanes) and λ is an edge color: per A-node each color is
+    claimed by one element, per B-node each color by one demand.  With
+    per-node degree <= 128 a 128-edge-coloring always exists (König's
+    edge-coloring theorem), but the randomized greedy above strands a
+    few percent of demands on dense planes — the r5 unstructured build
+    paid 148 merged overflow planes (~14%) for them.  This pass places
+    each leftover exactly: pick α free at the demand's A-row and β free
+    at its B-row, then flip the αβ-alternating chain starting at the
+    B-row (bipartiteness guarantees the chain never reaches the A-row,
+    so α frees up at both ends).  Multicast slots (one A-slot shared by
+    several same-element demands) have color-degree > 1 and break the
+    chain argument, so walks abort on them (rare: within-plane element
+    fanout is ~1.04 on the bench matrices).  Mutates ``lam`` /
+    ``a_slot`` / ``b_slot`` in place.
+    """
+    # edge maps for chain walking: -1 free, -2 shared (unflippable),
+    # else the demand id holding the slot
+    a_edge = np.full(a_slot.size, -1, np.int64)
+    b_edge = np.full(b_slot.size, -1, np.int64)
+    placed = np.nonzero(lam >= 0)[0]
+    ka = sx[placed].astype(np.int64) * LANE + lam[placed]
+    kb = so[placed].astype(np.int64) * LANE + lam[placed]
+    for key, edge in ((ka, a_edge), (kb, b_edge)):
+        order = np.argsort(key, kind="stable")
+        ks, ps = key[order], placed[order]
+        dup = np.zeros(ks.size, bool)
+        same = ks[1:] == ks[:-1]
+        dup[1:] |= same
+        dup[:-1] |= same
+        edge[ks[~dup]] = ps[~dup]
+        edge[ks[dup]] = -2  # multicast: >= 2 demands on one slot
+
+    def walk(rb_base, ra_base, alpha, beta, e):
+        """Collect the αβ-chain from the B-row; [] means blocked."""
+        path = []
+        color, node, side = alpha, rb_base, "b"
+        for _ in range(2 * LANE + 2):
+            j = (b_edge if side == "b" else a_edge)[node + color]
+            if j == -1:
+                return path
+            if j == -2:
+                return None
+            # the OTHER endpoint's slot of j at its current color must
+            # be exclusively j's (flipping j must free that slot)
+            if side == "b":
+                if a_edge[int(sx[j]) * LANE + color] != j:
+                    return None
+                path.append(j)
+                node, side, color = int(sx[j]) * LANE, "a", beta
+            else:
+                if b_edge[int(so[j]) * LANE + color] != j:
+                    return None
+                path.append(j)
+                node, side, color = int(so[j]) * LANE, "b", alpha
+            if side == "a" and node == ra_base:
+                # αβ-chains from the B-row cannot reach the A-row when
+                # slots are exclusive (parity argument); a multicast
+                # slot we failed to detect could — refuse to flip
+                return None
+        return None
+
+    for i in unassigned:
+        e = int(eid[i])
+        ra = int(sx[i]) * LANE
+        rb = int(so[i]) * LANE
+        arow = a_slot[ra:ra + LANE]
+        brow = b_slot[rb:rb + LANE]
+        ok_a = (arow == -1) | (arow == e)
+        free_b = brow == -1
+        both = np.nonzero(ok_a & free_b)[0]
+        if both.size:
+            # prefer joining an existing multicast slot (costs no A-slot)
+            shared = both[arow[both] == e]
+            lam_i = int(shared[0] if shared.size else both[0])
+        else:
+            alphas = np.nonzero(ok_a)[0]
+            betas = np.nonzero(free_b)[0]
+            if alphas.size == 0 or betas.size == 0:
+                continue  # structural capacity spill
+            lam_i = -1
+            for alpha in alphas[:4]:
+                for beta in betas[:4]:
+                    path = walk(rb, ra, int(alpha), int(beta), e)
+                    if path is None:
+                        continue
+                    # flip the chain: j_0 α->β, j_1 β->α, ...
+                    for t, j in enumerate(path):
+                        old = int(alpha if t % 2 == 0 else beta)
+                        new = int(beta if t % 2 == 0 else alpha)
+                        kaj = int(sx[j]) * LANE
+                        kbj = int(so[j]) * LANE
+                        a_slot[kaj + old] = -1
+                        b_slot[kbj + old] = -1
+                        a_edge[kaj + old] = -1
+                        b_edge[kbj + old] = -1
+                        lam[j] = new
+                    for t, j in enumerate(path):
+                        new = int(beta if t % 2 == 0 else alpha)
+                        ej = int(eid[j])
+                        kaj = int(sx[j]) * LANE + new
+                        kbj = int(so[j]) * LANE + new
+                        a_slot[kaj] = ej
+                        b_slot[kbj] = ej
+                        a_edge[kaj] = j
+                        b_edge[kbj] = j
+                    lam_i = int(alpha)
+                    break
+                if lam_i >= 0:
+                    break
+            if lam_i < 0:
+                continue
+        lam[i] = lam_i
+        if a_slot[ra + lam_i] == e:
+            a_edge[ra + lam_i] = -2  # now shared
+        else:
+            a_slot[ra + lam_i] = e
+            a_edge[ra + lam_i] = i
+        b_slot[rb + lam_i] = e
+        b_edge[rb + lam_i] = i
 
 
 def _route_pool(rows, row_loc, col_loc, vals, q, rng):
@@ -221,20 +350,29 @@ def _route_pool(rows, row_loc, col_loc, vals, q, rng):
     planes = []
     spill_pool = []
     spill_planes = 0
+    side = []
+    # an overflow plane streams q*LANE slots at ~32 B each while the COO
+    # side path (XLA gather + scatter-add) costs ~2 kB effective per
+    # demand: a merged overflow plane only pays for itself above
+    # ~q*LANE/64 demands — smaller residues ride the side path
+    side_cut = max(64, (q * LANE) // 64)
     while pending_sel or spill_pool:
         if not pending_sel:
             # merge every plane's spills into as few overflow planes as
             # possible (routing them per source plane wastes mostly-empty
-            # (q, LANE) tiles)
-            if spill_planes >= _MAX_SPILL_PLANES:
-                raise RuntimeError(
-                    f"gather routing did not converge: "
-                    f"{sum(s.size for s in spill_pool)} demands left "
-                    f"after {_MAX_SPILL_PLANES} spill planes")
+            # (q, LANE) tiles); residues below the plane-cost crossover
+            # go to the COO side path instead
             merged = bin_by_row_occurrence(np.concatenate(spill_pool))
             spill_pool = []
-            spill_planes += len(merged)
-            pending_sel.extend(merged)
+            keep = [s for s in merged if s.size >= side_cut]
+            side.extend(s for s in merged if s.size < side_cut)
+            if spill_planes + len(keep) > _MAX_SPILL_PLANES:
+                side.extend(keep)
+                keep = []
+            spill_planes += len(keep)
+            pending_sel.extend(keep)
+            if not pending_sel:
+                break
         sel = pending_sel.pop(0)
         a, b, c, v, spilled = _route_plane(
             so_all[sel], lo_all[sel], sx_all[sel], lx_all[sel],
@@ -243,7 +381,9 @@ def _route_pool(rows, row_loc, col_loc, vals, q, rng):
         sp = sel[spilled]
         if sp.size:
             spill_pool.append(sp)
-    return planes, len(planes) - k_max
+    side_idx = (np.concatenate(side) if side
+                else np.zeros(0, np.int64))
+    return planes, len(planes) - k_max, side_idx
 
 
 def _ragged_arange(counts):
@@ -525,6 +665,17 @@ def _split_plan(cnt, m, q, nnz, n_src_rows, q_cap=None):
     return best
 
 
+def _side_coo(rows, cols, vals, side_idx):
+    """COO triplet ``(out positions, in positions, values)`` — in TABLE
+    coordinates — for the demands the router left to the XLA
+    gather/scatter fallback; ``None`` when everything routed."""
+    if side_idx.size == 0:
+        return None
+    return (rows[side_idx].astype(np.int64),
+            cols[side_idx].astype(np.int64),
+            vals[side_idx].astype(np.float64))
+
+
 def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     """Route a CSR matrix's gather pattern into stacked index planes.
 
@@ -634,11 +785,13 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     del pos, cnt  # _route_pool recomputes both per demand pool
 
     if qt_arg is None and q <= routed_q_limit():
-        planes, n_spill = _route_pool(rows, rows, cols, vals_all, q, rng)
+        planes, n_spill, side_idx = _route_pool(rows, rows, cols,
+                                                vals_all, q, rng)
         arrs = {k: np.stack([p[i] for p in planes])
                 for i, k in enumerate(("a", "b", "c", "v"))}
         arrs.update(q=q, shape=(m, n), n_planes=len(planes),
-                    spill_planes=n_spill, collect=collect)
+                    spill_planes=n_spill, collect=collect,
+                    side=_side_coo(rows, cols, vals_all, side_idx))
         return arrs
 
     # ------------------------------------------------------------------
@@ -677,15 +830,18 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     bounds = np.append(starts, pp.size)
     pools = []  # (dst_tile, src_tile, [(a, b, c, v), ...])
     n_spill = 0
+    side_parts = []
     for gi in range(starts.size):
         sel = porder[starts[gi]:bounds[gi + 1]]
         d_t = int(dtile[sel[0]])
         s_t = int(stile[sel[0]])
         row_loc = rows[sel] - d_t * (qt * LANE)
         col_loc = cols[sel] - s_t * (qt * LANE)
-        pool_planes, sp = _route_pool(rows[sel], row_loc, col_loc,
-                                      vals_all[sel], qt, rng)
+        pool_planes, sp, side_local = _route_pool(
+            rows[sel], row_loc, col_loc, vals_all[sel], qt, rng)
         n_spill += sp
+        if side_local.size:
+            side_parts.append(sel[side_local])
         pools.append((d_t, s_t, pool_planes))
     zplane = (np.zeros((qt, LANE), np.int32),
               np.zeros((LANE, qt), np.int32),
@@ -708,9 +864,14 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     by_dst = {}
     for d_t, s_t, pls in pools:
         by_dst.setdefault(d_t, []).append((s_t, pls))
-    for d in range(tiles_n):
-        if d not in covered:
-            by_dst[d] = [(0, [zplane])]
+    # tiles no plane writes stay garbage in the pallas output; they are
+    # masked to zero OUTSIDE the kernel (a (tiles, 1, 1) where-select,
+    # ~3 us for the whole table) instead of paying one zeroing group of
+    # _PLANE_UNROLL planes each (~0.5 us PER PLANE) inside it
+    touched = None
+    if len(covered) < tiles_n:
+        touched = np.zeros(tiles_n, np.float32)
+        touched[sorted(covered)] = 1.0
     u = _PLANE_UNROLL
     tagged = []
     for d_t in sorted(by_dst):
@@ -729,10 +890,14 @@ def build_routes(csr, seed=0, split=True, _depth=0, qt=None):
     first[1:] = (dst[1:] != dst[:-1]).astype(np.int32)
     arrs = {k: np.stack([p[i] for _, _, p in tagged])
             for i, k in enumerate(("a", "b", "c", "v"))}
+    side_idx = (np.concatenate(side_parts) if side_parts
+                else np.zeros(0, np.int64))
     arrs.update(q=q_pad, qt=qt, tiles=tiles_n,
                 tags=np.stack([src, dst, first]),
                 shape=(m, n), n_planes=len(tagged),
-                spill_planes=n_spill, collect=collect)
+                spill_planes=n_spill, collect=collect,
+                touched=touched,
+                side=_side_coo(rows, cols, vals_all, side_idx))
     return arrs
 
 
@@ -762,6 +927,10 @@ def route_gather_reference(x, route):
             tb = np.take_along_axis(ta.T, b, axis=1).T
             g = np.take_along_axis(tb, c, axis=1)
             acc[d_t] += v * g
+    side = route.get("side")
+    if side is not None:
+        o, i, sv = side
+        np.add.at(acc.reshape(-1), o, sv * xt.reshape(-1)[i])
     if route.get("collect") is not None:
         # tile padding may extend the table beyond the collect matrix's
         # column count; the extra positions are never written
@@ -793,10 +962,11 @@ _ROUTED_TILE_Q = LANE
 # on the v5e), so the kernel unrolls this many chains per step.  Each
 # step's chains share ONE dst tile (single revolving-block accumulate)
 # but read per-chain src tiles, so the builder pads per dst GROUP —
-# typically many src pools wide — not per (dst, src) pool: the r5
-# unstructured capture paid 1,260 planes under pool-level pairing at
-# unroll 2 where the dst-grouped layout costs ~1,060 at unroll 4.
-_PLANE_UNROLL = 2
+# typically many src pools wide — not per (dst, src) pool.  Swept
+# on-chip 2026-08-19 (scripts_unroll_sweep.py, slope-timed on the bench
+# 1.95M-nnz matrix): u=2 580 ns/plane, u=3 528 ns/plane (best pair
+# time), u=4 542 ns/plane + the most group-tail padding.
+_PLANE_UNROLL = 3
 
 # test hook: force interpreter mode off-TPU (mirrors cp_windowed)
 _FORCE_INTERPRET = False
@@ -986,7 +1156,8 @@ def _as_table(x, q, dtype):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("a", "b", "c", "v", "at", "bt", "ct", "vt",
-                 "tags", "tags_t", "coll", "coll_t"),
+                 "tags", "tags_t", "coll", "coll_t",
+                 "side", "side_t", "touched", "touched_t"),
     meta_fields=("q", "qt", "tiles", "tiles_t", "coll_tiles",
                  "coll_tiles_t", "nrows", "ncols", "true_nnz"),
 )
@@ -1018,8 +1189,17 @@ class RoutedEllMatrix:
     vt: jax.Array
     tags: jax.Array | None    # (3, P) i32 (src, dst, first) — tiled only
     tags_t: jax.Array | None
-    coll: tuple | None    # chain of (a, b, c, v, tags) collect stacks
+    # chain of (a, b, c, v, tags, side, touched) collect stacks
+    coll: tuple | None
     coll_t: tuple | None
+    # COO fallback (out positions, in positions, values) for demands the
+    # router spilled below the overflow-plane crossover (see _route_pool)
+    side: tuple | None
+    side_t: tuple | None
+    # (tiles,) 0/1 mask when some table tiles are written by no plane
+    # (their pallas output is garbage and is where-selected to zero)
+    touched: jax.Array | None
+    touched_t: jax.Array | None
     q: int   # forward table rows incl. virtual-row and tile padding
     qt: int  # transpose table rows (orientations grow independently)
     tiles: int        # forward table tiles (1 = single VMEM-resident tile)
@@ -1042,10 +1222,24 @@ class RoutedEllMatrix:
                 n += stack[3].size
         return n
 
+    @property
+    def side_nnz(self):
+        """Demands served by the XLA COO fallback (both orientations
+        plus their collect chains); priced at the XLA gather cost."""
+        n = 0
+        for s in (self.side, self.side_t):
+            n += 0 if s is None else int(s[0].shape[0])
+        for chain in (self.coll, self.coll_t):
+            for stack in chain or ():
+                if stack[5] is not None:
+                    n += int(stack[5][0].shape[0])
+        return n
+
     def _interpret(self) -> bool:
         return _FORCE_INTERPRET or jax.default_backend() != "tpu"
 
-    def _apply_stack(self, flat, a, b, c, v, tags, tiles):
+    def _apply_stack(self, flat, a, b, c, v, tags, tiles, side=None,
+                     touched=None):
         """One routed gather pass over a flat (positions,) vector."""
         tq = int(a.shape[1])
         if tags is None:
@@ -1058,7 +1252,15 @@ class RoutedEllMatrix:
                 flat.reshape(tiles, tq, LANE), a, b, c,
                 v.astype(flat.dtype), tags[0], tags[1], tags[2],
                 tq, tiles, int(a.shape[0]), interpret=self._interpret())
-        return out.reshape(-1)
+            if touched is not None:
+                # tiles no plane wrote hold uninitialized memory
+                out = jnp.where(touched[:, None, None] > 0, out,
+                                jnp.zeros((), out.dtype))
+        out = out.reshape(-1)
+        if side is not None:
+            o, i, sv = side
+            out = out.at[o].add(sv.astype(out.dtype) * flat[i])
+        return out
 
     def _compute_dtype(self):
         # bf16 is a storage format: gather/accumulate at f32
@@ -1068,27 +1270,31 @@ class RoutedEllMatrix:
     def _collect(self, flat, chain, chain_tiles):
         """Apply the collect chain to a flat partial-sum table."""
         for stack, tiles in zip(chain or (), chain_tiles or ()):
-            a, b, c, v, tags = stack
+            a, b, c, v, tags, side, touched = stack
             flat = self._apply_stack(flat[: a.shape[1] * LANE * tiles],
-                                     a, b, c, v, tags, tiles)
+                                     a, b, c, v, tags, tiles,
+                                     side=side, touched=touched)
         return flat
 
     def _spmv(self, x, a, b, c, v, tags, tiles, n_out, chain, chain_tiles,
-              q):
+              q, side=None, touched=None):
         xt = _as_table(x, q, self._compute_dtype()).reshape(-1)
-        out = self._apply_stack(xt, a, b, c, v, tags, tiles)
+        out = self._apply_stack(xt, a, b, c, v, tags, tiles, side=side,
+                                touched=touched)
         out = self._collect(out, chain, chain_tiles)
         return out[:n_out].astype(x.dtype)
 
     def matvec(self, x: jax.Array) -> jax.Array:
         return self._spmv(x, self.a, self.b, self.c, self.v, self.tags,
                           self.tiles, self.nrows, self.coll,
-                          self.coll_tiles, self.q)
+                          self.coll_tiles, self.q, side=self.side,
+                          touched=self.touched)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
         return self._spmv(y, self.at, self.bt, self.ct, self.vt,
                           self.tags_t, self.tiles_t, self.ncols,
-                          self.coll_t, self.coll_tiles_t, self.qt)
+                          self.coll_t, self.coll_tiles_t, self.qt,
+                          side=self.side_t, touched=self.touched_t)
 
     def _plane_sum(self, planes, tags, tiles):
         """Sum value planes into their output slots (tile-aware)."""
@@ -1103,6 +1309,9 @@ class RoutedEllMatrix:
         s = self._plane_sum(
             abs_pow0(self.v.astype(self._compute_dtype()), p),
             self.tags, self.tiles)
+        if self.side is not None:
+            o, _, sv = self.side
+            s = s.at[o].add(abs_pow0(sv.astype(s.dtype), p))
         s = self._collect(s, self.coll, self.coll_tiles)
         return s[: self.nrows]
 
@@ -1112,14 +1321,21 @@ class RoutedEllMatrix:
         s = self._plane_sum(
             abs_pow0(self.vt.astype(self._compute_dtype()), p),
             self.tags_t, self.tiles_t)
+        if self.side_t is not None:
+            o, _, sv = self.side_t
+            s = s.at[o].add(abs_pow0(sv.astype(s.dtype), p))
         s = self._collect(s, self.coll_t, self.coll_tiles_t)
         return s[: self.ncols]
 
     def sq_rowsum_weighted(self, d: jax.Array) -> jax.Array:
         v2 = self.v.astype(self._compute_dtype()) ** 2
+        side2 = (None if self.side is None else
+                 (self.side[0], self.side[1],
+                  self.side[2].astype(self._compute_dtype()) ** 2))
         return self._spmv(d, self.a, self.b, self.c, v2, self.tags,
                           self.tiles, self.nrows, self.coll,
-                          self.coll_tiles, self.q)
+                          self.coll_tiles, self.q, side=side2,
+                          touched=self.touched)
 
     def to_scipy(self) -> scipy.sparse.csr_matrix:
         """Decode the forward routes back into the original matrix
@@ -1154,8 +1370,11 @@ class RoutedEllMatrix:
         total = np.arange(size)
         for stack in self.coll or ():
             step = np.full(size, -1, np.int64)
-            for outp, inp, _ in plane_iter(*stack):
+            for outp, inp, _ in plane_iter(*stack[:5]):
                 step[inp] = outp
+            if stack[5] is not None:  # COO side demands route too
+                o, i, _ = (np.asarray(t) for t in stack[5])
+                step[i] = o
             # positions already unrouted (-1) must stay -1, not index
             # step[] — possible from chain depth 2 onward
             total = np.where(total >= 0,
@@ -1166,6 +1385,11 @@ class RoutedEllMatrix:
             rows.append(total[outp])
             cols.append(inp)
             vals.append(val)
+        if self.side is not None:
+            o, i, sv = (np.asarray(t) for t in self.side)
+            rows.append(total[o])
+            cols.append(i.astype(np.int64))
+            vals.append(sv.astype(np.float64))
         return scipy.sparse.csr_matrix(
             (np.concatenate(vals),
              (np.concatenate(rows), np.concatenate(cols))),
@@ -1212,13 +1436,26 @@ class RoutedEllMatrix:
                     jnp.asarray(route["c"], jnp.int8),
                     jnp.asarray(route["v"], dtype))
 
+        def side_of(route):
+            s = route.get("side")
+            if s is None:
+                return None
+            o, i, sv = s
+            return (jnp.asarray(o, jnp.int32), jnp.asarray(i, jnp.int32),
+                    jnp.asarray(sv, dtype))
+
+        def touched_of(route):
+            t = route.get("touched")
+            return None if t is None else jnp.asarray(t, jnp.float32)
+
         def chain_of(route):
             out, out_tiles = [], []
             coll = route.get("collect")
             while coll is not None:
                 tags = coll.get("tags")
                 out.append(narrow(coll)
-                           + (None if tags is None else jnp.asarray(tags),))
+                           + (None if tags is None else jnp.asarray(tags),
+                              side_of(coll), touched_of(coll)))
                 out_tiles.append(coll.get("tiles", 1))
                 coll = coll.get("collect")
             return (tuple(out) or None), (tuple(out_tiles) or None)
@@ -1234,6 +1471,8 @@ class RoutedEllMatrix:
             tags=None if ftags is None else jnp.asarray(ftags),
             tags_t=None if btags is None else jnp.asarray(btags),
             coll=coll_f, coll_t=coll_b,
+            side=side_of(fwd), side_t=side_of(bwd),
+            touched=touched_of(fwd), touched_t=touched_of(bwd),
             q=fwd["q"], qt=bwd["q"],
             tiles=fwd.get("tiles", 1), tiles_t=bwd.get("tiles", 1),
             coll_tiles=coll_f_tiles, coll_tiles_t=coll_b_tiles,

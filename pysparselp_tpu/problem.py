@@ -1094,8 +1094,11 @@ def operator_cost_bytes(op) -> int:
     from .ops.ell_routed import ROUTED_ELL_BYTES_PER_SLOT, RoutedEllMatrix
 
     if isinstance(op, RoutedEllMatrix):
-        # nnz_padded counts every (plane, q, LANE) slot in both orientations
-        return op.nnz_padded * ROUTED_ELL_BYTES_PER_SLOT
+        # nnz_padded counts every (plane, q, LANE) slot in both
+        # orientations; residual spills ride the XLA COO fallback at the
+        # calibrated gather cost
+        return (op.nnz_padded * ROUTED_ELL_BYTES_PER_SLOT
+                + op.side_nnz * ELL_GATHER_BYTES_PER_NNZ)
     return op.nnz_padded * ELL_GATHER_BYTES_PER_NNZ
 
 

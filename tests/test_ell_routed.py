@@ -101,9 +101,17 @@ def test_spill_planes_bounded_on_uniform_random():
     a = _rand(1000, 1000, 0.01, seed=11)
     route = build_routes(a, split=False)
     k_max = int(np.diff(a.indptr).max())
-    # uniform random sparsity routes with a small spill tail
+    # uniform random sparsity routes with a small spill tail; demands
+    # the alternating-path repair cannot place ride the COO side path
+    # when there are too few of them to justify an overflow plane
     assert route["spill_planes"] <= max(4, k_max)
     assert route["n_planes"] == k_max + route["spill_planes"]
+    side = route.get("side")
+    side_n = 0 if side is None else side[0].size
+    assert side_n <= a.nnz // 100  # repair places ~all demands
+    x = np.random.RandomState(5).randn(1000)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-10)
 
 
 def test_virtual_row_split_cuts_planes():
@@ -154,9 +162,11 @@ def test_chooser_integration():
     a = _rand(300, 200, 0.03, seed=21)
     op = pr.ell_from_scipy(a, dtype=jnp.float32, prefer="routed")
     assert isinstance(op, RoutedEllMatrix)
-    # the dispatch cap prices the routed operator by its padded slots
+    # the dispatch cap prices the routed operator by its padded slots,
+    # plus any COO side demands at the XLA gather cost
     cb = pr.operator_cost_bytes(op)
-    assert cb == op.nnz_padded * er.ROUTED_ELL_BYTES_PER_SLOT
+    assert cb == (op.nnz_padded * er.ROUTED_ELL_BYTES_PER_SLOT
+                  + op.side_nnz * pr.ELL_GATHER_BYTES_PER_NNZ)
     # auto-selection is ON since the 2026-08-19 on-chip calibration
     # (end-to-end CP capture after the tail-fold + chain pairing:
     # 33.2 B/slot effective, 44x over the segmented fallback on the
@@ -498,4 +508,94 @@ def test_dst_groups_are_step_aligned_and_pool_major():
     assert mixed <= n_pools, (mixed, n_steps, n_pools)
     x = np.random.RandomState(0).randn(700)
     np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_side_path_forced_spills(monkeypatch):
+    """With overflow planes disabled entirely, every demand the greedy
+    plus the alternating-path repair cannot place rides the XLA COO
+    side path — and the operator protocol stays exact."""
+    from pysparselp_tpu.ops import ell_routed as er
+
+    # dense enough that some planes need repair or spill
+    a = _rand(600, 400, 0.08, seed=41)
+    monkeypatch.setattr(er, "_MAX_SPILL_PLANES", 0)
+    route = build_routes(a, split=False)
+    assert route["spill_planes"] == 0
+    rng = np.random.RandomState(7)
+    x = rng.randn(400)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32)
+    np.testing.assert_allclose(op.to_scipy().toarray(), a.toarray(),
+                               rtol=1e-6, atol=1e-7)
+    xf = x.astype(np.float32)
+    np.testing.assert_allclose(op.matvec(jnp.asarray(xf)), a @ xf,
+                               rtol=3e-5, atol=3e-5)
+    y = rng.randn(600).astype(np.float32)
+    np.testing.assert_allclose(op.rmatvec(jnp.asarray(y)), a.T @ y,
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(op.abs_power_rowsum(1.0),
+                               np.abs(a) @ np.ones(400),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(op.abs_power_colsum(2.0),
+                               a.power(2).T @ np.ones(600),
+                               rtol=3e-5, atol=3e-5)
+    d = np.abs(rng.randn(400)).astype(np.float32)
+    np.testing.assert_allclose(op.sq_rowsum_weighted(jnp.asarray(d)),
+                               a.power(2) @ d, rtol=3e-5, atol=3e-5)
+
+
+def test_untouched_tiles_masked_to_zero():
+    """A tiled table whose output has tiles no plane writes (tall
+    matrix, all nnz in the top rows): the pallas output garbage must be
+    masked to zero, not paid for with zeroing plane groups."""
+    rng = np.random.RandomState(9)
+    m, n = 1600, 400
+    rows = rng.randint(0, 256, 3000)  # only the first 256 rows touched
+    cols = rng.randint(0, n, 3000)
+    a = scipy.sparse.csr_matrix((rng.randn(3000), (rows, cols)),
+                                shape=(m, n))
+    a.sum_duplicates()
+    route = build_routes(a, qt=2, split=False)
+    touched = route.get("touched")
+    assert touched is not None and (touched == 0).any()
+    # no zero-fill plane groups for untouched tiles: every all-zero
+    # value plane is group-tail padding, bounded by the unroll quantum
+    # per dst group
+    from pysparselp_tpu.ops import ell_routed as er
+
+    zero_planes = int((np.abs(route["v"]).sum(axis=(1, 2)) == 0).sum())
+    n_groups = len(set(route["tags"][1].tolist()))
+    assert zero_planes <= n_groups * (er._PLANE_UNROLL - 1)
+    x = rng.randn(n)
+    np.testing.assert_allclose(route_gather_reference(x, route), a @ x,
+                               rtol=1e-12, atol=1e-12)
+    op = RoutedEllMatrix.from_scipy(a, dtype=jnp.float32, qt=2)
+    assert op.touched is not None
+    xf = x.astype(np.float32)
+    got = np.asarray(op.matvec(jnp.asarray(xf)))
+    np.testing.assert_allclose(got, a @ xf, rtol=3e-5, atol=3e-5)
+    assert np.all(got[256:] == 0.0)
+
+
+def test_repair_places_greedy_leftovers():
+    """The alternating-path repair (König edge coloring) must leave at
+    most a sliver of demands to the side path on dense single planes:
+    a full permutation plane (every output row one demand) routes with
+    no spills at all."""
+    from pysparselp_tpu.ops import ell_routed as er
+
+    rng = np.random.RandomState(13)
+    n = LANE * LANE  # one full (128, 128) tile, 100% fill
+    perm = rng.permutation(n)
+    a = scipy.sparse.csr_matrix(
+        (np.ones(n), (np.arange(n), perm)), shape=(n, n))
+    route = build_routes(a, split=False)
+    side = route.get("side")
+    assert route["spill_planes"] == 0
+    assert side is None or side[0].size == 0
+    assert route["n_planes"] == 1
+    x = rng.randn(n)
+    np.testing.assert_allclose(route_gather_reference(x, route), x[perm],
                                rtol=1e-12, atol=1e-12)
